@@ -1,38 +1,70 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` aggregate the per-module QUERIES /
+ORACLES registries from ``university_data_lakehouse_spark.operators``.
+Every key in SURVEY.md §2 maps to one entry here; oracle-less keys
+(approximate / streaming ops) get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from university_data_lakehouse_spark.session import tune_existing
+
+
+def _registries():
+    """Collect (QUERIES, ORACLES) from every operator module."""
+    from university_data_lakehouse_spark.operators import (  # noqa: PLC0415
+        silver,
+    )
+
+    modules = [silver]
+    for name in ("gold", "quality", "olap", "events", "dedup",
+                 "similarity", "text", "multimodal"):
+        try:
+            mod = __import__(
+                f"university_data_lakehouse_spark.operators.{name}",
+                fromlist=[name],
+            )
+            modules.append(mod)
+        except ImportError:
+            continue
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for mod in modules:
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_existing(spark)
+    qs, _ = _registries()
+    flagship = qs.get("gold_order_metrics", qs["silver_dim_customers"])
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    qs, _ = _registries()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_existing(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {k: wrap(fn) for k, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, oracles = _registries()
+    return dict(oracles)

@@ -1,0 +1,72 @@
+"""Headline benchmark: runs the flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing is end-to-end per query (plan + execute + count-style action),
+after a warmup query amortizes JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from university_data_lakehouse_spark.session import get_spark
+
+HEADLINE = [
+    "silver_dim_customers",
+    "silver_fact_lineitems",
+    "silver_fact_contacts",
+    "gold_order_metrics",
+    "gold_revenue_analytics",
+    "gold_status_funnel",
+    "olap_pricing_summary",
+    "olap_local_supplier_volume",
+    "olap_top_k_per_group",
+    "events_sessionize",
+    "events_asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_knn_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("udl-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    queries = entry_mod.queries()
+
+    # warmup: touch the biggest table so JVM + parquet footer caches are hot
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+        print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

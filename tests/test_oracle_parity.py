@@ -1,0 +1,30 @@
+"""Driver-gate replica: every queries() key with an oracle must
+hash-match DuckDB on the small SF (SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_utils import compare
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("key", sorted(k for k in QUERIES if k in ORACLES))
+def test_oracle_parity(spark, sf_dir, key):
+    compare(QUERIES[key](spark, sf_dir), ORACLES[key], sf_dir, name=key)
+
+
+def test_every_query_has_oracle_or_is_declared_rows_only():
+    rows_only = {k for k in QUERIES if k not in ORACLES}
+    # keys intentionally without oracle (approximate by construction)
+    allowed = {"sim_knn_lsh"}
+    assert rows_only <= allowed, f"missing oracles for: {rows_only - allowed}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,254 @@
+"""Silver-layer conformance operators.
+
+Reference parity: the six Trino CTAS transforms in
+``defs/silver_transforms/defs.yaml`` (dim_students l.22, dim_courses
+l.64, dim_employees l.92, fact_enrollments l.123,
+fact_financial_transactions l.158, fact_admissions_contacts l.193),
+executed by ``components/trino_iceberg_transform_component.py:116``.
+Schema mapping per SURVEY §2: students→customer, courses→part,
+employees→supplier, cost_centers→nation/region, enrollments→lineitem,
+general_ledger→orders, CRM contacts→customer×orders.
+
+Scale notes (SURVEY §6): dimension sides (nation, region, customer at
+dim scale) are broadcast explicitly — the fact side never shuffles for
+these joins. The fact-fact composite-key join (silver_fact_lineitems)
+shuffles on its key and relies on AQE; at 100 TB the landing tables
+would be written bucketed on the join key (sources.write_bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import surrogate_key
+from ..sources.loader import load_table
+
+
+def silver_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_students parity (defs/silver_transforms/defs.yaml:22-42):
+    surrogate key, name concat, LEFT JOIN dim with COALESCE default,
+    boolean flag via LEFT JOIN (SELECT DISTINCT ...) semi-join."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    buyers = orders.select("o_custkey").distinct()
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+            "left",
+        )
+        .join(buyers, cust.c_custkey == buyers.o_custkey, "left")
+        .select(
+            surrogate_key("c_custkey").alias("customer_key"),
+            F.col("c_custkey").alias("custkey"),
+            F.concat_ws(" ", "c_name", "c_mktsegment").alias("full_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.coalesce("n_name", F.lit("Unknown")).alias("nation_name"),
+            F.col("o_custkey").isNotNull().alias("is_buyer"),
+        )
+    )
+
+
+def silver_dim_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_courses parity (defs/silver_transforms/defs.yaml:64-73):
+    pure projection + surrogate key. Narrow, no shuffle."""
+    return load_table(spark, sf_dir, "part").select(
+        surrogate_key("p_partkey").alias("part_key"),
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("part_type"),
+        F.col("p_size").alias("part_size"),
+        F.col("p_retailprice").alias("retail_price"),
+    )
+
+
+def silver_dim_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_employees parity (defs/silver_transforms/defs.yaml:92-103):
+    LEFT JOIN enrichment chain (cost-center analog: nation→region)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            surrogate_key("s_suppkey").alias("supplier_key"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+def silver_fact_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_enrollments parity (defs/silver_transforms/defs.yaml:123-137):
+    big fact LEFT JOIN auxiliary fact on a composite key whose second
+    component is computed (term = aid_year analog: ship-year =
+    order-year), COALESCE(amount, 0.0) default.
+
+    Scale: fact-fact equi-join shuffles both sides on l_orderkey; the
+    year clause rides along as a post-join filter-key. AQE handles
+    skew; bucketed landing removes the shuffle entirely (SURVEY §6).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (F.year(li.l_shipdate) == F.year(orders.o_orderdate)),
+            "left",
+        )
+        .select(
+            surrogate_key("l_orderkey", "l_linenumber").alias("lineitem_key"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extended_price"),
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_shipdate").alias("ship_date"),
+            F.coalesce("o_totalprice", F.lit(0.0)).alias("order_total"),
+        )
+    )
+
+
+def silver_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_financial_transactions parity
+    (defs/silver_transforms/defs.yaml:158-171): fact LEFT JOIN dim for
+    two enrichment columns. Customer is dim-sized → broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .select(
+            surrogate_key("o_orderkey").alias("transaction_key"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("posting_date"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+def silver_fact_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_admissions_contacts parity
+    (defs/silver_transforms/defs.yaml:193-209): 3-way LEFT JOIN chain
+    (contacts→opportunities→campaigns ⇒ customer→orders→first-line),
+    COALESCE default on revenue. The third side is pre-aggregated to
+    one row per join key so the chain stays fan-out-free."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_line = (
+        li.where(F.col("l_linenumber") == 1)
+        .groupBy("l_orderkey")
+        .agg(F.min("l_returnflag").alias("campaign_flag"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .join(first_line, orders.o_orderkey == first_line.l_orderkey, "left")
+        .select(
+            surrogate_key(
+                F.col("c_custkey"), F.coalesce("o_orderkey", F.lit(-1))
+            ).alias("contact_key"),
+            F.col("c_custkey").alias("custkey"),
+            F.concat_ws(" ", "c_name", "c_mktsegment").alias("full_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderstatus").alias("funnel_stage"),
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("o_totalprice", F.lit(0.0)).alias("expected_revenue"),
+            F.col("campaign_flag"),
+        )
+    )
+
+
+QUERIES = {
+    "silver_dim_customers": silver_dim_customers,
+    "silver_dim_parts": silver_dim_parts,
+    "silver_dim_suppliers": silver_dim_suppliers,
+    "silver_fact_lineitems": silver_fact_lineitems,
+    "silver_fact_orders": silver_fact_orders,
+    "silver_fact_contacts": silver_fact_contacts,
+}
+
+ORACLES = {
+    "silver_dim_customers": """
+        SELECT md5(CAST(c.c_custkey AS VARCHAR)) AS customer_key,
+               c.c_custkey AS custkey,
+               c.c_name || ' ' || c.c_mktsegment AS full_name,
+               c.c_mktsegment AS segment,
+               c.c_acctbal AS acctbal,
+               COALESCE(n.n_name, 'Unknown') AS nation_name,
+               b.o_custkey IS NOT NULL AS is_buyer
+        FROM customer c
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) b
+               ON c.c_custkey = b.o_custkey
+    """,
+    "silver_dim_parts": """
+        SELECT md5(CAST(p_partkey AS VARCHAR)) AS part_key,
+               p_partkey AS partkey, p_name AS part_name, p_brand AS brand,
+               p_type AS part_type, p_size AS part_size,
+               p_retailprice AS retail_price
+        FROM part
+    """,
+    "silver_dim_suppliers": """
+        SELECT md5(CAST(s.s_suppkey AS VARCHAR)) AS supplier_key,
+               s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+               s.s_acctbal AS acctbal, n.n_name AS nation_name,
+               r.r_name AS region_name
+        FROM supplier s
+        LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "silver_fact_lineitems": """
+        SELECT md5(CAST(l.l_orderkey AS VARCHAR) || '-' ||
+                   CAST(l.l_linenumber AS VARCHAR)) AS lineitem_key,
+               l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+               l.l_partkey AS partkey, l.l_quantity AS quantity,
+               l.l_extendedprice AS extended_price,
+               l.l_returnflag AS return_flag, l.l_shipdate AS ship_date,
+               COALESCE(o.o_totalprice, 0.0) AS order_total
+        FROM lineitem l
+        LEFT JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+              AND YEAR(l.l_shipdate) = YEAR(o.o_orderdate)
+    """,
+    "silver_fact_orders": """
+        SELECT md5(CAST(o.o_orderkey AS VARCHAR)) AS transaction_key,
+               o.o_orderkey AS orderkey, o.o_orderdate AS posting_date,
+               o.o_orderstatus AS status, o.o_orderpriority AS priority,
+               o.o_totalprice AS amount, c.c_name AS customer_name,
+               c.c_mktsegment AS segment
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "silver_fact_contacts": """
+        SELECT md5(CAST(c.c_custkey AS VARCHAR) || '-' ||
+                   CAST(COALESCE(o.o_orderkey, -1) AS VARCHAR)) AS contact_key,
+               c.c_custkey AS custkey,
+               c.c_name || ' ' || c.c_mktsegment AS full_name,
+               c.c_mktsegment AS segment,
+               o.o_orderstatus AS funnel_stage,
+               o.o_orderpriority AS priority,
+               COALESCE(o.o_totalprice, 0.0) AS expected_revenue,
+               fl.campaign_flag
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        LEFT JOIN (
+            SELECT l_orderkey, MIN(l_returnflag) AS campaign_flag
+            FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey
+        ) fl ON o.o_orderkey = fl.l_orderkey
+    """,
+}

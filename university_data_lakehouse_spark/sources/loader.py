@@ -1,0 +1,46 @@
+"""Parquet loaders for the bronze layer.
+
+Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown + column pruning (check ``PushedFilters`` / ``ReadSchema``
+in plans). At 100 TB the same call points at an object-store prefix;
+nothing here assumes local files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import SOURCE_REGISTRY
+
+TABLES = tuple(SOURCE_REGISTRY)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in SOURCE_REGISTRY:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def write_bucketed(
+    df: DataFrame, path: str, table: str, bucket_col: str, n_buckets: int = 64
+) -> None:
+    """Bucketing writer for co-located joins at scale (SURVEY §6):
+    landing tables written bucketed by their join key let repeated
+    fact-fact joins skip the shuffle entirely."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
