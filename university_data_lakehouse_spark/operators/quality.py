@@ -1,0 +1,194 @@
+"""Data-quality check operators.
+
+Reference parity: the five check types registered in
+``components/trino_iceberg_transform_component.py:192-206``
+(not_null_pk, no_duplicates, row_count, referential_integrity,
+value_range) plus the freshness/completeness checks at
+``components/s3_data_landing_component.py:165-196`` and
+``components/gold_analytics_component.py:165-196`` (those two are
+exercised by ``plans.checks``; see tests).
+
+Checks are data-driven from ``sources.registry.SOURCE_REGISTRY`` —
+the same pattern as the reference's per-transform
+``data_quality_checks`` lists — and each check is one aggregate
+query, so at 100 TB it is a single scan with map-side partial
+aggregation (counts only, never a collect of violating rows).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from ..sources.registry import SOURCE_REGISTRY
+
+# Tables covered by PK-style checks (every registered table).
+_PK_TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _union(dfs: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def dq_not_null_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """not_null_pk: rows whose primary-key column(s) contain NULL."""
+    parts = []
+    for t in _PK_TABLES:
+        pk = SOURCE_REGISTRY[t].primary_key
+        cond = reduce(lambda a, c: a | F.col(c).isNull(),
+                      pk[1:], F.col(pk[0]).isNull())
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.when(cond, F.lit(1))).alias("null_pk_count"),
+            )
+        )
+    return _union(parts)
+
+
+def dq_no_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """no_duplicates: COUNT(*) - COUNT(DISTINCT pk) per table."""
+    parts = []
+    for t in _PK_TABLES:
+        pk = SOURCE_REGISTRY[t].primary_key
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in pk])
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                (F.count(F.lit(1)) - F.countDistinct(key)).alias("duplicate_count"),
+            )
+        )
+    return _union(parts)
+
+
+def dq_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_count per table (reference uses it as a >0 gate)."""
+    parts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        for t in _PK_TABLES
+    ]
+    return _union(parts)
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """referential_integrity: orphan-FK counts for every registry FK.
+    Implemented as LEFT ANTI joins (parent side broadcast when
+    dim-sized) — returns counts only, scan-shaped at any scale."""
+    parts = []
+    for t in _PK_TABLES:
+        for col, (ptable, pcol) in sorted(SOURCE_REGISTRY[t].foreign_keys.items()):
+            child = load_table(spark, sf_dir, t).select(F.col(col))
+            parent = load_table(spark, sf_dir, ptable).select(F.col(pcol))
+            orphans = child.where(F.col(col).isNotNull()).join(
+                parent, child[col] == parent[pcol], "left_anti"
+            )
+            parts.append(
+                orphans.agg(
+                    F.lit(f"{t}.{col}->{ptable}.{pcol}").alias("relation"),
+                    F.count(F.lit(1)).alias("orphan_count"),
+                )
+            )
+    return _union(parts)
+
+
+def dq_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_range: out-of-bounds counts for every registry range rule."""
+    parts = []
+    for t in _PK_TABLES:
+        for col, (lo, hi) in sorted(SOURCE_REGISTRY[t].value_ranges.items()):
+            parts.append(
+                load_table(spark, sf_dir, t).agg(
+                    F.lit(f"{t}.{col}").alias("rule"),
+                    F.count(
+                        F.when(
+                            F.col(col).isNotNull()
+                            & ((F.col(col) < lo) | (F.col(col) > hi)),
+                            F.lit(1),
+                        )
+                    ).alias("violation_count"),
+                )
+            )
+    return _union(parts)
+
+
+def _sql_union(selects: list[str]) -> str:
+    return "\nUNION ALL\n".join(selects)
+
+
+def _oracle_not_null_pk() -> str:
+    sel = []
+    for t in _PK_TABLES:
+        pk = SOURCE_REGISTRY[t].primary_key
+        cond = " OR ".join(f"{c} IS NULL" for c in pk)
+        sel.append(
+            f"SELECT '{t}' AS table_name, "
+            f"COUNT(CASE WHEN {cond} THEN 1 END) AS null_pk_count FROM {t}"
+        )
+    return _sql_union(sel)
+
+
+def _oracle_no_duplicates() -> str:
+    sel = []
+    for t in _PK_TABLES:
+        pk = SOURCE_REGISTRY[t].primary_key
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+        sel.append(
+            f"SELECT '{t}' AS table_name, "
+            f"COUNT(*) - COUNT(DISTINCT {key}) AS duplicate_count FROM {t}"
+        )
+    return _sql_union(sel)
+
+
+def _oracle_row_count() -> str:
+    return _sql_union(
+        [f"SELECT '{t}' AS table_name, COUNT(*) AS row_count FROM {t}"
+         for t in _PK_TABLES]
+    )
+
+
+def _oracle_referential_integrity() -> str:
+    sel = []
+    for t in _PK_TABLES:
+        for col, (ptable, pcol) in sorted(SOURCE_REGISTRY[t].foreign_keys.items()):
+            sel.append(
+                f"SELECT '{t}.{col}->{ptable}.{pcol}' AS relation, COUNT(*) AS orphan_count "
+                f"FROM {t} c WHERE c.{col} IS NOT NULL AND NOT EXISTS "
+                f"(SELECT 1 FROM {ptable} p WHERE p.{pcol} = c.{col})"
+            )
+    return _sql_union(sel)
+
+
+def _oracle_value_range() -> str:
+    sel = []
+    for t in _PK_TABLES:
+        for col, (lo, hi) in sorted(SOURCE_REGISTRY[t].value_ranges.items()):
+            sel.append(
+                f"SELECT '{t}.{col}' AS rule, "
+                f"COUNT(CASE WHEN {col} IS NOT NULL AND ({col} < {lo} OR {col} > {hi}) "
+                f"THEN 1 END) AS violation_count FROM {t}"
+            )
+    return _sql_union(sel)
+
+
+QUERIES = {
+    "dq_not_null_pk": dq_not_null_pk,
+    "dq_no_duplicates": dq_no_duplicates,
+    "dq_row_count": dq_row_count,
+    "dq_referential_integrity": dq_referential_integrity,
+    "dq_value_range": dq_value_range,
+}
+
+ORACLES = {
+    "dq_not_null_pk": _oracle_not_null_pk(),
+    "dq_no_duplicates": _oracle_no_duplicates(),
+    "dq_row_count": _oracle_row_count(),
+    "dq_referential_integrity": _oracle_referential_integrity(),
+    "dq_value_range": _oracle_value_range(),
+}

@@ -24,7 +24,20 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SOURCE_REGISTRY:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
+    # truncate to microseconds — same floor DuckDB applies — JVM-side
+    # integer `div` (no double round-trip: ns epochs exceed 2^53).
+    expected = SOURCE_REGISTRY[name].columns
+    for f in df.schema.fields:
+        if expected.get(f.name) == "timestamp" and f.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            df = df.withColumn(
+                f.name,
+                F.timestamp_micros(F.expr(f"`{f.name}` div 1000")),
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
