@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(18,4)"
 
+# For products: cast RAW columns (stored with few decimal places, so
+# double→decimal rounding is unambiguous) to decimal BEFORE multiplying,
+# and keep the whole product chain in exact decimal. Casting a computed
+# double product to decimal is NOT cross-engine-stable (Spark rounds
+# HALF_UP, DuckDB half-even — they disagree on boundary values).
+DEC_PRICE = "decimal(24,4)"    # money columns (wide → DuckDB uses int128)
+DEC_FACTOR = "decimal(12,6)"   # (1 ± rate) factors
+DEC_FACTOR2 = "decimal(13,12)"  # product of two factors, narrowed so
+#                                 price×factor2 stays ≤ precision 38 in Spark
+
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col

@@ -1,0 +1,206 @@
+"""Event-stream batch operators (SURVEY §2.4, events_* keys).
+
+These are the batch twins of the reference's sensor/schedule-driven
+incremental assets (``components/s3_data_landing_component.py:198``):
+the same event semantics run as Structured Streaming in
+``streaming/``; here they are expressed as declarative batch plans
+with DuckDB oracles.
+
+Scale notes: every operator shuffles at most once on its natural key
+(window bucket / user_id); the as-of join avoids the classic
+range-join blowup by interleaving both sides in ONE sort (union +
+last(ignorenulls) over a user-partitioned window) instead of
+fan-out join + filter — at 100 TB that is the difference between a
+shuffle-sort and an O(events × orders) explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import DEC
+from ..sources.loader import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate on event time (batch twin of
+    streaming/windowed.py). date_trunc keeps the bucket JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative gap-count: a new session
+    starts after a >30-minute silence. One shuffle on user_id; both
+    windows share the same partitioning so Spark sorts once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("session_num", F.sum(is_new).over(wcum))
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _dedup_orders_per_day(orders: DataFrame) -> DataFrame:
+    """One order row per (custkey, orderdate) so the as-of pick is
+    deterministic under timestamp ties (SURVEY §2.4 oracle note)."""
+    return orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    ).agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.max("o_totalprice").alias("last_order_total"),
+    )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the nearest prior (<= ts) order of
+    the same user. Implemented scale-first: union both sides, one
+    window sort per user, carry the latest order forward with
+    last(ignorenulls). Oracle uses DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = _dedup_orders_per_day(load_table(spark, sf_dir, "orders"))
+
+    ev_side = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("bigint").alias("o_key"),
+        F.lit(None).cast("double").alias("o_total"),
+    )
+    ord_side = orders.select(
+        "user_id",
+        F.col("order_ts").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("last_orderkey").alias("o_key"),
+        F.col("last_order_total").alias("o_total"),
+    )
+    # order rows sort before event rows at equal t ⇒ `<=` as-of semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev_side.unionByName(ord_side).select(
+        "user_id", "t", "is_event", "event_id", "event_type",
+        F.last("o_key", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_total", ignorenulls=True).over(w).alias("last_order_total"),
+    )
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts"),
+        "event_type",
+        "last_orderkey",
+        "last_order_total",
+    )
+
+
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: distinct types, span, exact value
+    stats. (approx_count_distinct is exposed in streaming/ where
+    exactness is not oracle-gated.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+
+
+QUERIES = {
+    "events_windowed_agg": events_windowed_agg,
+    "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
+    "events_user_stats": events_user_stats,
+}
+
+_SESSION_SQL = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_num
+        FROM flagged
+    )
+    SELECT user_id, session_num,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_num
+"""
+
+ORACLES = {
+    "events_windowed_agg": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": _SESSION_SQL,
+    "events_asof_join": """
+        WITH ord AS (
+            SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+                   MAX(o_orderkey) AS last_orderkey,
+                   MAX(o_totalprice) AS last_order_total
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               d.last_orderkey, d.last_order_total
+        FROM events e
+        ASOF LEFT JOIN ord d
+             ON e.user_id = d.user_id AND e.ts >= d.order_ts
+    """,
+    "events_user_stats": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_event_types,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               MAX(value) AS max_value,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        FROM events GROUP BY user_id
+    """,
+}

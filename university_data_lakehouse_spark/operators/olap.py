@@ -1,0 +1,328 @@
+"""Core OLAP operators (engine completeness, SURVEY §2.4).
+
+The reference's capability surface is Trino SQL over a star schema;
+these operators prove the same OLAP algebra Spark-first: multi-agg
+groupBy, selective multi-way joins, top-N, windowed ranking, ROLLUP
+grouping sets, and pivot-style conditional aggregation.
+
+Scale notes (SURVEY §6): filters are expressed on scan columns so
+Catalyst pushes them into the parquet reader (PushedFilters); dims
+are broadcast; aggregates are decimal-exact with map-side partials;
+top-N uses ORDER BY + LIMIT which Spark executes as TakeOrdered
+(per-partition heap, no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import DEC, DEC_FACTOR, DEC_FACTOR2, DEC_PRICE
+from ..sources.loader import load_table
+
+
+def _disc_price() -> F.Column:
+    """extendedprice × (1-discount) as an exact decimal product."""
+    return F.col("l_extendedprice").cast(DEC_PRICE) * (
+        1 - F.col("l_discount")
+    ).cast(DEC_FACTOR)
+
+
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate groupBy with
+    decimal-exact sums; single shuffle on the 2-key group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _disc_price()
+    charge = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        (1 - F.col("l_discount")).cast(DEC_FACTOR)
+        * (1 + F.col("l_tax")).cast(DEC_FACTOR)
+    ).cast(DEC_FACTOR2)
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            # shrink the wide-scale decimal sum to (24,6) — exact, true
+            # scale ≤ 6 — so the mantissa stays < 2^53 and both engines'
+            # decimal→double conversion is exact-then-correctly-rounded
+            F.sum(disc_price).cast("decimal(24,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(24,6)").cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / n).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to available columns): selective 3-way
+    join + group + deterministic top-10. Spark runs LIMIT over sort as
+    TakeOrdered — no full global sort at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    revenue = F.sum(_disc_price()).cast("decimal(24,6)").cast("double")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(orders.where(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderdate"), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+def olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through dims with the
+    customer-nation = supplier-nation co-location constraint; dims
+    broadcast, single fact shuffle on l_orderkey."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(12,6)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY n.n_name
+    """)
+
+
+def olap_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-heavy filtered aggregate — every predicate
+    is scan-column-level so it reaches the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC_PRICE)
+                * F.col("l_discount").cast(DEC_FACTOR)
+            )
+            .cast("decimal(24,6)")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def olap_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per customer segment via window
+    ranking; deterministic tie-break on orderkey. Rank pushdown: the
+    window shuffles once on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("rk").alias("rank_in_segment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, status) with a grouping-level indicator; group
+    keys COALESCEd so subtotal rows are hash-stable across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("string").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "status")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.grouping("order_year") * 2 + F.grouping("status")
+            ).cast("int").alias("grouping_lvl"),
+        )
+        .select(
+            F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+            F.coalesce("status", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+            "grouping_lvl",
+        )
+    )
+
+
+def olap_market_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: revenue per order-year ×
+    market segment as columns (fixed segment list → static schema,
+    single shuffle — same plan shape as the reference funnel's
+    CASE-count pivot at defs/gold_analytics/defs.yaml:104)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    aggs = [
+        F.sum(
+            F.when(F.col("c_mktsegment") == s, F.col("o_totalprice")).cast(DEC)
+        )
+        .cast("double")
+        .alias(f"rev_{s.lower()}")
+        for s in segs
+    ]
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(*aggs, F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+QUERIES = {
+    "olap_pricing_summary": olap_pricing_summary,
+    "olap_shipping_priority": olap_shipping_priority,
+    "olap_local_supplier_volume": olap_local_supplier_volume,
+    "olap_revenue_forecast": olap_revenue_forecast,
+    "olap_top_k_per_group": olap_top_k_per_group,
+    "olap_rollup_revenue": olap_rollup_revenue,
+    "olap_market_pivot": olap_market_pivot,
+}
+
+ORACLES = {
+    "olap_pricing_summary": """
+        SELECT l_returnflag AS return_flag,
+               l_linestatus AS line_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                        * CAST(1 - l_discount AS DECIMAL(12,6)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                        * CAST(CAST(1 - l_discount AS DECIMAL(12,6))
+                               * CAST(1 + l_tax AS DECIMAL(12,6))
+                               AS DECIMAL(13,12)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "olap_shipping_priority": """
+        SELECT l.l_orderkey AS orderkey,
+               o.o_orderdate AS orderdate,
+               o.o_orderpriority AS priority,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(12,6)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, orderdate, orderkey
+        LIMIT 10
+    """,
+    "olap_local_supplier_volume": """
+        SELECT n.n_name AS nation,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(12,6)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    "olap_revenue_forecast": """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                        * CAST(l_discount AS DECIMAL(12,6)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "olap_top_k_per_group": """
+        SELECT segment, rank_in_segment, orderkey, total_price FROM (
+            SELECT c.c_mktsegment AS segment,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rank_in_segment,
+                   o.o_orderkey AS orderkey,
+                   o.o_totalprice AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rank_in_segment <= 3
+    """,
+    "olap_rollup_revenue": """
+        SELECT COALESCE(CAST(YEAR(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(CAST(YEAR(o_orderdate) AS VARCHAR)) * 2
+                    + GROUPING(o_orderstatus) AS INTEGER) AS grouping_lvl
+        FROM orders
+        GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS VARCHAR), o_orderstatus)
+    """,
+    "olap_market_pivot": """
+        SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                   THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_automobile,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                   THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_building,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'FURNITURE'
+                   THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_furniture,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'
+                   THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_household,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                   THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_machinery,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+}
