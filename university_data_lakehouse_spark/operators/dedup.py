@@ -1,0 +1,428 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.5).
+
+Five strategies over the ``documents`` / ``embeddings`` tables:
+exact hash, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine.
+
+Scale design (SURVEY §6):
+- the shingle explode is the widest stage — it carries only
+  (doc_id, shingle) so the shuffle payload is minimal;
+- MinHash/LSH turns the O(n²) pair space into per-(band, bucket)
+  joins; exact Jaccard verification runs only on LSH candidates;
+- skewed buckets (boilerplate shingles) are handled by AQE skew-join;
+- hashes are md5-based (JVM codegen, identical in DuckDB) — the
+  lexicographic MIN of seeded md5s is a valid MinHash family and,
+  unlike Spark's MinHashLSH, is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import TOKEN_RE, shingles, tokens
+from ..functions.vector import as_double_vec, dot
+from ..sources.loader import load_table
+
+NGRAM_TAU = 0.5          # jaccard threshold for near-dup pairs
+MINHASH_K = 9            # minhash signature length
+LSH_BANDS = 3            # bands of MINHASH_K / LSH_BANDS rows
+SIMHASH_BITS = 32        # one bit per md5 hex nibble's high bit
+SIMHASH_MAX_HAMMING = 6
+COSINE_TAU = 0.4
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the shared first stage."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.select("doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("s"))
+        .distinct()
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash, min-doc_id winner per group."""
+    doc = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    h = F.md5("text")
+    w = Window.partitionBy(h)
+    return doc.select(
+        "doc_id",
+        h.alias("content_hash"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle-set
+    intersection counts (verification runs only on candidates)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("id_b2"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("id_b2")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle explode → shingle-bucket self-join → exact
+    Jaccard ≥ τ pairs. The self-join is bucketed by shingle (no
+    crossJoin anywhere); frequent-shingle skew → AQE skew-join."""
+    sh = _shingle_sets(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(jac >= NGRAM_TAU)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """K lexicographic-min seeded-md5 minhashes per doc — one groupBy,
+    K aggregates, all JVM-side."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH: signature → band hashes → bucket join for
+    candidates → exact-Jaccard verify (only on candidates)."""
+    sh = _shingle_sets(spark, sf_dir)
+    sig = _minhash_signatures(sh)
+    r = MINHASH_K // LSH_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
+        ).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    a = melted.select(
+        F.col("doc_id").alias("id_a"), "band_idx", F.col("band_hash").alias("h_a")
+    )
+    b = melted.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_hash").alias("h_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("h_a") == F.col("h_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(cand, sh).where(F.col("jaccard") >= NGRAM_TAU)
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: each bit is the majority vote over distinct
+    tokens of the high bit of one md5 hex nibble (hex char >= '8')."""
+    doc = load_table(spark, sf_dir, "documents")
+    ut = doc.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    votes = (
+        ut.select("doc_id", F.md5("t").alias("h"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("i"),
+            "h",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.when(F.expr("substring(h, i, 1) >= '8'"), 1).otherwise(-1).alias("v"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("v").alias("vote"))
+    )
+    bit = F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        votes.select("doc_id", "i", bit.alias("bit"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "bit"))),
+                    lambda x: x["bit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit signature into 4 bytes,
+    bucket-join on any equal band, verify Hamming ≤ threshold."""
+    sig = _simhash_signatures(spark, sf_dir)
+    n_bands, width = 4, SIMHASH_BITS // 4
+    melted = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.substring("simhash", j * width + 1, width).alias("band"),
+                )
+                for j in range(n_bands)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "simhash", "bd.band_idx", "bd.band")
+    a = melted.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        "band_idx", F.col("band").alias("band_a"),
+    )
+    b = melted.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        F.col("band_idx").alias("band_idx_b"), F.col("band").alias("band_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_a") == F.col("band_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "sig_a", "id_b", "sig_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split("sig_a", ""),
+            F.split("sig_b", ""),
+            lambda x, y: F.when(x == y, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ τ. Exact all-pairs here
+    (correctness baseline); the LSH-bucketed scale path is
+    similarity.sim_knn_lsh. Deterministic left-fold dot product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        as_double_vec(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_TAU)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_SH_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks)
+    )
+"""
+_MH_COLS = ", ".join(
+    f"min(md5('{j}:' || s)) AS mh{j}" for j in range(MINHASH_K)
+)
+_R = MINHASH_K // LSH_BANDS
+_BAND_COLS = ", ".join(
+    "md5(" + " || '|' || ".join(f"mh{b * _R + i}" for i in range(_R)) + f") AS band{b}"
+    for b in range(LSH_BANDS)
+)
+_BAND_CASE = (
+    "CASE j "
+    + " ".join(f"WHEN {b} THEN band{b}" for b in range(LSH_BANDS))
+    + " END"
+)
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_SELF_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT doc_id,
+               md5(text) AS content_hash,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        FROM documents
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SH_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes na ON id_a = na.doc_id
+        JOIN sizes nb ON id_b = nb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= {NGRAM_TAU}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SH_CTE},
+        sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+        banded AS (SELECT doc_id, {_BAND_COLS} FROM sig),
+        melted AS (
+            SELECT doc_id, j AS band_idx, {_BAND_CASE} AS band_hash
+            FROM banded, (SELECT unnest(range(0, {LSH_BANDS})) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM melted x
+            JOIN melted y ON x.band_idx = y.band_idx
+                         AND x.band_hash = y.band_hash
+                         AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.id_a
+            JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes na ON id_a = na.doc_id
+        JOIN sizes nb ON id_b = nb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= {NGRAM_TAU}
+    """,
+    "dedup_simhash": f"""
+        WITH ut AS (
+            SELECT DISTINCT doc_id, t FROM (
+                SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id, i,
+                   SUM(CASE WHEN substr(md5(t), i, 1) >= '8'
+                            THEN 1 ELSE -1 END) AS vote
+            FROM ut, (SELECT unnest(range(1, {SIMHASH_BITS + 1})) AS i)
+            GROUP BY doc_id, i
+        ),
+        sig AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY i) AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        melted AS (
+            SELECT doc_id, simhash, j AS band_idx,
+                   substr(simhash, j * 8 + 1, 8) AS band
+            FROM sig, (SELECT unnest(range(0, 4)) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, x.simhash AS sig_a,
+                            y.doc_id AS id_b, y.simhash AS sig_b
+            FROM melted x
+            JOIN melted y ON x.band_idx = y.band_idx AND x.band = y.band
+                         AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b,
+               list_sum(list_transform(range(1, {SIMHASH_BITS + 1}),
+                   i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                             THEN 0 ELSE 1 END)) AS hamming
+        FROM cand
+        WHERE list_sum(list_transform(range(1, {SIMHASH_BITS + 1}),
+                  i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                            THEN 0 ELSE 1 END)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH v AS (
+            SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DOT} / (a.nrm * b.nrm) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_DOT} / (a.nrm * b.nrm) >= {COSINE_TAU}
+    """,
+}

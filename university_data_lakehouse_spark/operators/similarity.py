@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (SURVEY §2.6).
+
+Brute-force exact cosine top-k is the correctness baseline (and the
+DuckDB-oracle-checkable one); random-hyperplane LSH bucketing is the
+scale path (candidates only within matching signature buckets).
+
+Determinism: dot products are strict left folds over double-cast
+arrays — identical IEEE results in Spark (F.aggregate) and DuckDB
+(list_reduce), see functions/vector.py. Ranking ties break on vec_id.
+
+Scale notes (SURVEY §6): signatures are computed in one narrow map
+stage (JVM codegen, no Python); the query side is tiny and broadcast,
+so brute force is a broadcast-nested-loop over a partitioned scan —
+embarrassingly parallel; LSH replaces the full scan per query with
+per-bucket joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double_vec, dot
+from ..sources.loader import load_table
+
+TOP_K = 10
+QUERY_MOD = 100          # vec_id % 100 == 0 → query set
+LSH_PLANES = 8           # hyperplane signature bits
+EMB_DIM = 64
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector: broadcast the (small) query
+    side against the full collection, rank per query."""
+    v = _vectors(spark, sf_dir)
+    q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("v_q"),
+        F.col("nrm").alias("n_q"),
+    )
+    cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplanes seeded by md5 — the
+    same planes on every run/engine (public construction: Charikar
+    random-hyperplane LSH with a derandomized sign source)."""
+    planes = []
+    for j in range(LSH_PLANES):
+        row = []
+        for i in range(EMB_DIM):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            row.append(1 if h[0] >= "8" else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: F.Column) -> F.Column:
+    """Bit-string signature: sign of <v, plane_j> for each plane."""
+    bits = []
+    for row in _hyperplanes():
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bits.append(F.when(dot(vec_col, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates share the full LSH signature
+    bucket with the query; exact cosine re-rank within the bucket.
+    Approximate by construction → driver rows-only check; recall is
+    pytest-asserted against brute force (tests/test_similarity.py)."""
+    v = _vectors(spark, sf_dir).withColumn("sig", lsh_signature(F.col("v")))
+    q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("v_q"),
+        F.col("nrm").alias("n_q"),
+        F.col("sig").alias("sig_q"),
+    )
+    cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(v, (F.col("sig") == F.col("sig_q")) & (F.col("vec_id") != F.col("query_id")))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+QUERIES = {
+    "sim_knn_bruteforce": sim_knn_bruteforce,
+    "sim_knn_lsh": sim_knn_lsh,
+}
+
+_DOT_QV = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_SELF_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+ORACLES = {
+    "sim_knn_bruteforce": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   {_DOT_QV} / (q.nrm * v.nrm) AS cosine
+            FROM vecs q JOIN vecs v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    # sim_knn_lsh: intentionally no oracle (approximate by construction)
+}

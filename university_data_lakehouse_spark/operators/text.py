@@ -1,0 +1,208 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.7).
+
+Everything is JVM-side expression work (regexp_extract_all /
+higher-order array functions) — zero Python UDFs — so the hot path
+stays inside whole-stage codegen and scales linearly with one narrow
+map stage per document partition (no shuffle at all except the
+optional aggregates).
+
+Cross-engine determinism: ratios are CAST(int AS DOUBLE)/int with
+identical expression shape in Spark and DuckDB; weighted score uses
+left-associated + over identical literals (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import TOKEN_RE, shingles, tokens
+from ..sources.loader import load_table
+
+EN_STOP = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+ES_STOP = ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por")
+FR_STOP = ("le", "la", "de", "et", "un", "une", "les", "des", "du", "est")
+DE_STOP = ("der", "die", "das", "und", "ein", "zu", "von", "mit", "ist", "den")
+
+PUNCT_RE = "[^.,;:!?]"
+ALPHA_RE = "[^A-Za-z]"
+DIGIT_RE = "[^0-9]"
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/regex token counting: totals, uniques, mean token
+    length (BPE-ish pre-tokenization statistics)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    char_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return doc.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            char_sum.cast("double")
+            / F.nullif(F.size(toks), F.lit(0))
+        ).alias("avg_token_len"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / digit / stopword-ratio quality scoring
+    (the usual pretraining-corpus heuristics)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.length("text")
+    nd = n.cast("double")
+    alpha = F.length(F.regexp_replace("text", ALPHA_RE, ""))
+    digit = F.length(F.regexp_replace("text", DIGIT_RE, ""))
+    punct = F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    stop = _count_in(toks, EN_STOP)
+    alpha_ratio = alpha.cast("double") / F.nullif(nd, F.lit(0.0))
+    digit_ratio = digit.cast("double") / F.nullif(nd, F.lit(0.0))
+    punct_ratio = punct.cast("double") / F.nullif(nd, F.lit(0.0))
+    stop_ratio = stop.cast("double") / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.1) * (F.lit(1.0) - digit_ratio)
+    )
+    return doc.select(
+        "doc_id",
+        n.alias("len_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic over en/es/fr/de lists with a
+    deterministic preference order on ties."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en, es = _count_in(toks, EN_STOP), _count_in(toks, ES_STOP)
+    fr, de = _count_in(toks, FR_STOP), _count_in(toks, DE_STOP)
+    pred = (
+        F.when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return doc.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        de.alias("de_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the token-normalized content +
+    min-shingle-hash (a 1-hash MinHash, the rolling-fingerprint
+    analog used for container-level dedup)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sh = shingles(toks, 3)
+    return doc.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("content_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_md5"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_SHINGLES = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               LENGTH(text) AS len_chars,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_unique_tokens,
+               CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS avg_token_len
+        FROM t
+    """,
+    "text_quality_score": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               LENGTH(text) AS len_chars,
+               CAST(LENGTH(regexp_replace(text, '{ALPHA_RE}', '', 'g')) AS DOUBLE)
+                   / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0) AS alpha_ratio,
+               CAST(LENGTH(regexp_replace(text, '{DIGIT_RE}', '', 'g')) AS DOUBLE)
+                   / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0) AS digit_ratio,
+               CAST(LENGTH(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE)
+                   / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0) AS punct_ratio,
+               CAST({_sql_count_in(EN_STOP)} AS DOUBLE)
+                   / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS stopword_ratio,
+               0.4 * (CAST(LENGTH(regexp_replace(text, '{ALPHA_RE}', '', 'g')) AS DOUBLE)
+                      / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0))
+               + 0.3 * (CAST({_sql_count_in(EN_STOP)} AS DOUBLE)
+                        / NULLIF(CAST(len(toks) AS DOUBLE), 0.0))
+               + 0.2 * (1.0 - CAST(LENGTH(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE)
+                        / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0))
+               + 0.1 * (1.0 - CAST(LENGTH(regexp_replace(text, '{DIGIT_RE}', '', 'g')) AS DOUBLE)
+                        / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0))
+                   AS quality_score
+        FROM t
+    """,
+    "text_langid": f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               lang AS lang_declared,
+               {_sql_count_in(EN_STOP)} AS en_hits,
+               {_sql_count_in(ES_STOP)} AS es_hits,
+               {_sql_count_in(FR_STOP)} AS fr_hits,
+               {_sql_count_in(DE_STOP)} AS de_hits,
+               CASE
+                 WHEN {_sql_count_in(EN_STOP)} >= {_sql_count_in(ES_STOP)}
+                  AND {_sql_count_in(EN_STOP)} >= {_sql_count_in(FR_STOP)}
+                  AND {_sql_count_in(EN_STOP)} >= {_sql_count_in(DE_STOP)} THEN 'en'
+                 WHEN {_sql_count_in(ES_STOP)} >= {_sql_count_in(FR_STOP)}
+                  AND {_sql_count_in(ES_STOP)} >= {_sql_count_in(DE_STOP)} THEN 'es'
+                 WHEN {_sql_count_in(FR_STOP)} >= {_sql_count_in(DE_STOP)} THEN 'fr'
+                 ELSE 'de'
+               END AS lang_pred
+        FROM t
+    """,
+    "text_fingerprint": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, toks, {_SHINGLES} AS sh FROM t)
+        SELECT doc_id,
+               md5(array_to_string(toks, ' ')) AS content_md5,
+               list_min(list_transform(sh, x -> md5(x))) AS min_shingle_md5,
+               len(sh) AS n_shingles
+        FROM s
+    """,
+}
