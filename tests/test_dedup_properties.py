@@ -1,0 +1,82 @@
+"""Property-style tests for dedup/similarity (SURVEY §5.5):
+self-similarity, symmetry-by-construction, LSH recall against the
+exact baseline, planted near-duplicates recovered."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from university_data_lakehouse_spark.operators.dedup import (
+    NGRAM_TAU,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from university_data_lakehouse_spark.operators.similarity import (
+    TOP_K,
+    sim_knn_bruteforce,
+    sim_knn_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def jaccard_pairs(spark, sf_dir):
+    return {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+
+
+def test_exact_dedup_doc_equals_itself(spark, sf_dir):
+    out = dedup_exact(spark, sf_dir)
+    # canonical_id ≤ doc_id always; non-dup docs are their own canonical
+    bad = out.where(F.col("canonical_id") > F.col("doc_id")).count()
+    assert bad == 0
+    singles = out.where(~F.col("is_dup"))
+    assert singles.where(F.col("canonical_id") != F.col("doc_id")).count() == 0
+
+
+def test_jaccard_pairs_ordered_and_bounded(jaccard_pairs):
+    assert len(jaccard_pairs) > 0, "expected planted near-dups in testdata"
+    for (a, b), j in jaccard_pairs.items():
+        assert a < b
+        assert NGRAM_TAU <= j <= 1.0
+
+
+def test_minhash_lsh_recall_on_high_jaccard(spark, sf_dir, jaccard_pairs):
+    """LSH with b=3,r=3 must recover essentially all pairs with
+    jaccard ≥ 0.9 (P[miss] = (1-j^3)^3 < 0.03 at j=0.9)."""
+    lsh = {
+        (r.id_a, r.id_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    strong = {p for p, j in jaccard_pairs.items() if j >= 0.9}
+    assert strong, "expected some very-near duplicates"
+    recall = len(strong & lsh) / len(strong)
+    assert recall >= 0.9, (recall, strong - lsh)
+    # and LSH never invents pairs below the verify threshold
+    assert lsh <= set(jaccard_pairs)
+
+
+def test_simhash_finds_near_duplicates(spark, sf_dir, jaccard_pairs):
+    sim = {(r.id_a, r.id_b) for r in dedup_simhash(spark, sf_dir).collect()}
+    strong = {p for p, j in jaccard_pairs.items() if j >= 0.95}
+    if strong:  # simhash is coarser; require non-trivial overlap
+        assert len(strong & sim) / len(strong) >= 0.5
+
+
+def test_knn_lsh_subset_of_bruteforce_scores(spark, sf_dir):
+    """LSH top-k per query ⊆ same-bucket candidates, and its cosines
+    match brute force exactly for shared (query, neighbor) pairs."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_knn_bruteforce(spark, sf_dir).collect()
+    }
+    lsh_rows = sim_knn_lsh(spark, sf_dir).collect()
+    assert bf
+    for r in lsh_rows:
+        assert r.rank <= TOP_K
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == r.cosine

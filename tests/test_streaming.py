@@ -1,0 +1,145 @@
+"""Streaming tests (SURVEY §5.4): availableNow incremental pickup
+(sensor-cursor semantics), watermark late-data handling, stateful
+sessionization — memory sink + processAllAvailable."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from university_data_lakehouse_spark.streaming.ingestion import (
+    freshness_check,
+    ingest_available_now,
+    landing_stream,
+)
+from university_data_lakehouse_spark.streaming.stateful import sessionize_stream
+from university_data_lakehouse_spark.streaming.windowed import tumbling_counts
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def _ts(minute: int, hour: int = 10) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_ingestion_cursor_semantics(spark, tmp_path):
+    """availableNow + checkpoint = the reference's S3 sensor cursor:
+    second tick picks up ONLY files landed after the first tick."""
+    landing = str(tmp_path / "landing")
+    bronze = str(tmp_path / "bronze")
+    chk = str(tmp_path / "chk")
+
+    _write_batch(spark, landing, [(1, _ts(0), 1, "click", 1.0)])
+    stream = landing_stream(spark, landing, EVENT_SCHEMA)
+    q = ingest_available_now(stream, bronze, chk)
+    q.awaitTermination(120)
+    assert spark.read.parquet(bronze).count() == 1
+
+    # second landing file → only the delta is ingested on the next tick
+    _write_batch(spark, landing, [(2, _ts(1), 1, "view", 2.0), (3, _ts(2), 2, "click", 3.0)])
+    stream = landing_stream(spark, landing, EVENT_SCHEMA)
+    q = ingest_available_now(stream, bronze, chk)
+    q.awaitTermination(120)
+    out = spark.read.parquet(bronze)
+    assert out.count() == 3
+    assert out.select("_source_file").distinct().count() >= 2
+
+    fresh = freshness_check(spark, bronze, "ts", max_age_hours=1.0,
+                            now=_ts(30))
+    assert fresh["passed"] and fresh["age_hours"] <= 1.0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows arriving behind the watermark are dropped from finalized
+    windows (late-data semantics)."""
+    src = str(tmp_path / "wm_src")
+    chk = str(tmp_path / "wm_chk")
+
+    # batch 1: on-time rows that advance the watermark past 08:00+2h
+    _write_batch(spark, src, [
+        (1, _ts(0, 8), 1, "click", 1.0),
+        (2, _ts(30, 8), 1, "click", 1.0),
+        (3, _ts(0, 12), 2, "view", 5.0),   # pushes watermark forward
+    ])
+    stream = landing_stream(spark, src, EVENT_SCHEMA).drop(
+        "_ingested_at", "_source_file"
+    )
+    agg = tumbling_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a VERY late row for the 08:00 window (behind watermark)
+        _write_batch(spark, src, [(4, _ts(45, 8), 9, "click", 100.0)])
+        q.processAllAvailable()
+        # one more on-time row so a further micro-batch finalizes state
+        _write_batch(spark, src, [(5, _ts(0, 13), 2, "view", 7.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM wm_out").collect()
+    # finalized 08:00 window must NOT include the late row's value
+    w8 = [r for r in rows if r.window_start.hour == 8]
+    assert w8, rows
+    assert all(r.total_value <= 2.0 for r in w8), w8
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState session accumulator: a >30min gap within
+    one user's events closes the first session and emits it."""
+    src = str(tmp_path / "sess_src")
+    chk = str(tmp_path / "sess_chk")
+    _write_batch(spark, src, [
+        (1, _ts(0), 7, "click", 1.0),
+        (2, _ts(5), 7, "view", 2.0),
+        (3, _ts(50), 7, "click", 4.0),   # 45min gap → closes session 1
+        (4, _ts(0, 9), 8, "view", 9.0),  # other user, single session
+    ])
+    stream = landing_stream(spark, src, EVENT_SCHEMA).select(
+        "user_id", "ts", "value"
+    )
+    sessions = sessionize_stream(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # the closed session for user 7 (2 events, value 3.0) must be emitted
+    assert (7, 2, 3.0) in out, out
