@@ -1,0 +1,135 @@
+"""Orchestration-layer tests (SURVEY §2.10): toposort, check gating,
+selection DSL, cron schedules, lineage registry consistency."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from university_data_lakehouse_spark.plans.assets import Asset, AssetGraph
+from university_data_lakehouse_spark.plans.checks import (
+    completeness,
+    freshness,
+    no_duplicates,
+    not_null_pk,
+    referential_integrity,
+    row_count,
+    value_range,
+)
+from university_data_lakehouse_spark.plans.lineage import (
+    GOLD_LINEAGE,
+    SILVER_LINEAGE,
+    lineage_edges,
+)
+from university_data_lakehouse_spark.plans.medallion import medallion_graph
+from university_data_lakehouse_spark.plans.schedules import (
+    cron_matches,
+    next_run,
+    parse_schedules,
+)
+from university_data_lakehouse_spark.plans.selection import select_assets
+import __spark_entry__ as entry_mod
+
+
+def test_medallion_toposort_and_full_run(spark, sf_dir):
+    g = medallion_graph()
+    order = g.toposort()
+    pos = {k: i for i, k in enumerate(order)}
+    for key, asset in g.assets.items():
+        for d in asset.deps:
+            assert pos[d] < pos[key], (d, key)
+    results = g.materialize(spark, sf_dir)
+    assert all(r.status == "ok" for r in results.values()), {
+        k: (r.status, r.checks, r.error) for k, r in results.items()
+        if r.status != "ok"
+    }
+    assert results["gold/order_metrics"].rows > 0
+
+
+def test_failed_check_blocks_downstream(spark, sf_dir):
+    def bad_fn(s, d):
+        return s.range(5).select(F.lit(None).cast("bigint").alias("pk"))
+
+    def child_fn(s, d):
+        return s.range(1)
+
+    g = AssetGraph([
+        Asset("a", bad_fn, checks=(("not_null_pk", not_null_pk("pk")),)),
+        Asset("b", child_fn, deps=("a",)),
+        Asset("c", child_fn),
+    ])
+    res = g.materialize(spark, "unused")
+    assert res["a"].status == "check_failed"
+    assert res["b"].status == "skipped"
+    assert res["c"].status == "ok"
+
+
+def test_checks_pass_and_fail(spark, sf_dir):
+    df = spark.createDataFrame(
+        [(1, 10.0, dt.datetime(2024, 1, 1)), (2, -5.0, dt.datetime(2024, 1, 2)),
+         (2, 3.0, None)],
+        "id long, v double, ts timestamp",
+    )
+    assert not_null_pk("id")(df)[0]
+    assert not no_duplicates("id")(df)[0]
+    assert row_count(3)(df)[0] and not row_count(4)(df)[0]
+    assert not value_range("v", 0.0, 100.0)(df)[0]
+    parent = spark.createDataFrame([(1,)], "id long")
+    ok, meta = referential_integrity("id", parent, "id")(df)
+    assert not ok and meta["orphans"] == 2
+    ok, meta = completeness("ts", 0.9)(df)
+    assert not ok
+    ok, meta = freshness("ts", 24.0, now=dt.datetime(2024, 1, 2, 12))(df)
+    assert ok and meta["age_hours"] == pytest.approx(12.0)
+
+
+def test_selection_dsl():
+    g = medallion_graph()
+    assets = list(g.assets.values())
+    assert select_assets(assets, "*") == sorted(g.assets)
+    silver = select_assets(assets, "group:silver")
+    assert all(k.startswith("silver/") for k in silver) and len(silver) == 6
+    assert select_assets(assets, "silver") == silver  # bare token = group
+    assert select_assets(assets, "key:gold/status_funnel") == ["gold/status_funnel"]
+    both = select_assets(assets, "group:silver | group:gold")
+    assert len(both) == 9
+    gold_spark = select_assets(assets, "tag:tier=Gold & kind:spark")
+    assert gold_spark == select_assets(assets, "group:gold")
+    assert select_assets(assets, "tag:layer=bronze & kind:parquet") == sorted(
+        k for k in g.assets if k.startswith("bronze/")
+    )
+
+
+def test_schedules_cron():
+    cfgs = parse_schedules([
+        {"name": "nightly", "cron_schedule": "0 2 * * *",
+         "asset_selection": "group:silver | group:gold"},
+        {"name": "hourly", "cron_schedule": "15 * * * *", "enabled": False},
+    ])
+    assert cfgs[0].selection.startswith("group:silver")
+    assert not cfgs[1].enabled
+    assert cron_matches("0 2 * * *", dt.datetime(2024, 5, 1, 2, 0))
+    assert not cron_matches("0 2 * * *", dt.datetime(2024, 5, 1, 3, 0))
+    assert cron_matches("*/15 * * * *", dt.datetime(2024, 5, 1, 3, 45))
+    nxt = next_run("0 2 * * *", dt.datetime(2024, 5, 1, 2, 30))
+    assert nxt == dt.datetime(2024, 5, 2, 2, 0)
+
+
+def test_lineage_matches_live_schemas(spark, sf_dir):
+    """Registry column names/types must match the actual operator
+    outputs (the reference never validates this; we do)."""
+    queries = entry_mod.queries()
+    for table, cols in {**SILVER_LINEAGE, **GOLD_LINEAGE}.items():
+        df = queries[table](spark, sf_dir)
+        live = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        reg = {c["name"]: c["type"] for c in cols}
+        assert reg == live, (table, reg, live)
+
+
+def test_lineage_edges_shape():
+    edges = lineage_edges(SILVER_LINEAGE)
+    assert ("bronze/customer.c_name", "silver_dim_customers.full_name") in edges
+    assert all(src.startswith("bronze/") for src, _ in edges)

@@ -1,0 +1,129 @@
+"""Declarative asset graph with topological execution and
+quality-check gating.
+
+Reference parity: Dagster's asset graph as wired by the three
+components (``s3_data_landing_component.py`` bronze assets,
+``trino_iceberg_transform_component.py:116`` silver CTAS assets with
+``data_quality_checks`` lists, ``gold_analytics_component.py:128``
+gold models). Here an Asset is a named Spark transform with declared
+deps, group, tags, and blocking checks; the graph toposorts and
+materializes with per-asset results, and a failed blocking check
+halts downstream materialization (the reference's
+``blocking=True`` check semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Asset:
+    key: str                              # e.g. "silver/dim_customers"
+    fn: Callable[..., DataFrame]          # (spark, sf_dir, **dep DFs) → DF
+    deps: tuple[str, ...] = ()
+    group: str = "default"
+    tags: dict[str, str] = field(default_factory=dict)
+    kind: str = "spark"
+    # checks: name → fn(DataFrame) → (passed: bool, metadata: dict)
+    checks: tuple[tuple[str, Callable[[DataFrame], tuple[bool, dict]]], ...] = ()
+
+
+@dataclass
+class AssetResult:
+    key: str
+    status: str                           # ok | check_failed | skipped | error
+    rows: int | None = None
+    checks: dict[str, bool] = field(default_factory=dict)
+    error: str | None = None
+
+
+class AssetGraph:
+    def __init__(self, assets: Iterable[Asset]):
+        self.assets = {a.key: a for a in assets}
+        for a in self.assets.values():
+            missing = [d for d in a.deps if d not in self.assets]
+            if missing:
+                raise ValueError(f"{a.key}: unknown deps {missing}")
+
+    def toposort(self, keys: Iterable[str] | None = None) -> list[str]:
+        """Deterministic Kahn toposort (lexicographic among ready
+        nodes) over the closure of `keys` plus their upstreams."""
+        wanted = set(self.assets if keys is None else keys)
+        # include upstream closure
+        frontier = list(wanted)
+        while frontier:
+            k = frontier.pop()
+            for d in self.assets[k].deps:
+                if d not in wanted:
+                    wanted.add(d)
+                    frontier.append(d)
+        indeg = {k: sum(d in wanted for d in self.assets[k].deps) for k in wanted}
+        ready = sorted(k for k, n in indeg.items() if n == 0)
+        out: list[str] = []
+        while ready:
+            k = ready.pop(0)
+            out.append(k)
+            for other in sorted(wanted):
+                if k in self.assets[other].deps:
+                    indeg[other] -= 1
+                    if indeg[other] == 0:
+                        ready.append(other)
+            ready.sort()
+        if len(out) != len(wanted):
+            cyc = sorted(wanted - set(out))
+            raise ValueError(f"cycle among {cyc}")
+        return out
+
+    def downstream_of(self, key: str) -> set[str]:
+        out, frontier = set(), [key]
+        while frontier:
+            k = frontier.pop()
+            for other, a in self.assets.items():
+                if k in a.deps and other not in out:
+                    out.add(other)
+                    frontier.append(other)
+        return out
+
+    def materialize(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        keys: Iterable[str] | None = None,
+    ) -> dict[str, AssetResult]:
+        """Run assets in dependency order; a failed blocking check
+        skips everything downstream (reference blocking semantics)."""
+        order = self.toposort(keys)
+        results: dict[str, AssetResult] = {}
+        materialized: dict[str, DataFrame] = {}
+        blocked: set[str] = set()
+        for key in order:
+            if key in blocked:
+                results[key] = AssetResult(key, "skipped")
+                continue
+            asset = self.assets[key]
+            try:
+                dep_dfs = {d: materialized[d] for d in asset.deps if d in materialized}
+                df = asset.fn(spark, sf_dir, **dep_dfs) if dep_dfs else asset.fn(spark, sf_dir)
+                df = df.cache()
+                rows = df.count()
+            except Exception as e:  # noqa: BLE001 — orchestrator boundary
+                results[key] = AssetResult(key, "error", error=str(e)[:500])
+                blocked |= self.downstream_of(key)
+                continue
+            check_outcomes: dict[str, bool] = {}
+            failed = False
+            for name, check in asset.checks:
+                ok, _meta = check(df)
+                check_outcomes[name] = ok
+                failed = failed or not ok
+            materialized[key] = df
+            if failed:
+                results[key] = AssetResult(key, "check_failed", rows, check_outcomes)
+                blocked |= self.downstream_of(key)
+            else:
+                results[key] = AssetResult(key, "ok", rows, check_outcomes)
+        return results

@@ -1,0 +1,99 @@
+"""The default bronze→silver→gold medallion asset graph — the
+engine's equivalent of the reference's full Dagster deployment
+(bronze ingestion component + silver transform component + gold
+analytics component wired together).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import gold as gold_ops
+from ..operators import silver as silver_ops
+from ..sources.loader import load_table
+from .assets import Asset, AssetGraph
+from .checks import completeness, no_duplicates, not_null_pk, row_count
+
+_BRONZE = ("region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem")
+
+
+def _bronze_asset(name: str) -> Asset:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return load_table(spark, sf_dir, name)
+
+    return Asset(
+        key=f"bronze/{name}", fn=fn, group="bronze",
+        tags={"layer": "bronze", "source": name}, kind="parquet",
+        checks=(("row_count", row_count(1)),),
+    )
+
+
+def _silver_asset(key: str, fn, deps: tuple[str, ...], pk: str,
+                  unique: bool) -> Asset:
+    """Check lists mirror the reference per-transform
+    ``data_quality_checks`` (defs/silver_transforms/defs.yaml): dims
+    demand unique surrogate keys; facts don't (a fact grain can
+    legitimately repeat its natural key — as this testdata does)."""
+    checks = [("not_null_pk", not_null_pk(pk)), ("row_count", row_count(1))]
+    if unique:
+        checks.insert(1, ("no_duplicates", no_duplicates(pk)))
+    return Asset(
+        key=f"silver/{key}",
+        fn=lambda spark, sf_dir, **_: fn(spark, sf_dir),
+        deps=deps,
+        group="silver",
+        tags={"layer": "silver"},
+        kind="spark",
+        checks=tuple(checks),
+    )
+
+
+def _gold_asset(key: str, fn, deps: tuple[str, ...], complete_col: str) -> Asset:
+    return Asset(
+        key=f"gold/{key}",
+        fn=lambda spark, sf_dir, **_: fn(spark, sf_dir),
+        deps=deps,
+        group="gold",
+        tags={"layer": "gold", "tier": "Gold"},
+        kind="spark",
+        checks=(
+            ("row_count", row_count(1)),
+            ("completeness", completeness(complete_col, 0.9)),
+        ),
+    )
+
+
+def medallion_graph() -> AssetGraph:
+    bronze = [_bronze_asset(n) for n in _BRONZE]
+    silver = [
+        _silver_asset("dim_customers", silver_ops.silver_dim_customers,
+                      ("bronze/customer", "bronze/nation", "bronze/orders"),
+                      "customer_key", unique=True),
+        _silver_asset("dim_parts", silver_ops.silver_dim_parts,
+                      ("bronze/part",), "part_key", unique=True),
+        _silver_asset("dim_suppliers", silver_ops.silver_dim_suppliers,
+                      ("bronze/supplier", "bronze/nation", "bronze/region"),
+                      "supplier_key", unique=True),
+        _silver_asset("fact_lineitems", silver_ops.silver_fact_lineitems,
+                      ("bronze/lineitem", "bronze/orders"), "lineitem_key",
+                      unique=False),
+        _silver_asset("fact_orders", silver_ops.silver_fact_orders,
+                      ("bronze/orders", "bronze/customer"), "transaction_key",
+                      unique=True),
+        _silver_asset("fact_contacts", silver_ops.silver_fact_contacts,
+                      ("bronze/customer", "bronze/orders", "bronze/lineitem"),
+                      "contact_key", unique=True),
+    ]
+    gold = [
+        _gold_asset("order_metrics", gold_ops.gold_order_metrics,
+                    ("silver/fact_lineitems", "silver/dim_customers"),
+                    "segment"),
+        _gold_asset("revenue_analytics", gold_ops.gold_revenue_analytics,
+                    ("silver/fact_lineitems", "silver/dim_customers",
+                     "silver/fact_orders"),
+                    "total_offered"),
+        _gold_asset("status_funnel", gold_ops.gold_status_funnel,
+                    ("silver/fact_contacts",), "expected_revenue"),
+    ]
+    return AssetGraph(bronze + silver + gold)
