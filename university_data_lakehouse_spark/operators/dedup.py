@@ -32,11 +32,25 @@ COSINE_TAU = 0.4
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the shared first stage."""
+    """Distinct (doc_id, shingle) pairs — the shared first stage.
+
+    Cached: signatures, set sizes, and candidate verification all
+    reuse it; without persistence Spark re-explodes+re-deduplicates
+    the corpus once per branch (at 100 TB this intermediate would be
+    written to a bucketed table instead, same idea)."""
     doc = load_table(spark, sf_dir, "documents")
+    # Materialize the token array BEFORE shingling: the shingle
+    # expression references the array O(3×positions) times, and
+    # inlining the regexp into each reference re-runs it per element
+    # (measured 10× slowdown). localCheckpoint cuts the lineage so
+    # Catalyst cannot collapse the projection back into the consumer.
+    toks = doc.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=True)
     return (
-        doc.select("doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("s"))
+        toks.select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("s"))
         .distinct()
+        .cache()
     )
 
 

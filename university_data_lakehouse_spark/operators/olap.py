@@ -104,9 +104,9 @@ def olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND c.c_nationkey = s.s_nationkey
         JOIN nation n   ON s.s_nationkey = n.n_nationkey
         JOIN region r   ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = 'ASIA'
-          AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n.n_name
     """)
 
@@ -117,8 +117,8 @@ def olap_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -271,9 +271,9 @@ ORACLES = {
                        AND c.c_nationkey = s.s_nationkey
         JOIN nation n   ON s.s_nationkey = n.n_nationkey
         JOIN region r   ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = 'ASIA'
-          AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n.n_name
     """,
     "olap_revenue_forecast": """
@@ -282,8 +282,8 @@ ORACLES = {
                     AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
     """,
