@@ -421,9 +421,9 @@ ORACLES = {
                          AND x.doc_id < y.doc_id
         )
         SELECT id_a, id_b,
-               list_sum(list_transform(range(1, {SIMHASH_BITS + 1}),
+               CAST(list_sum(list_transform(range(1, {SIMHASH_BITS + 1}),
                    i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
-                             THEN 0 ELSE 1 END)) AS hamming
+                             THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
         FROM cand
         WHERE list_sum(list_transform(range(1, {SIMHASH_BITS + 1}),
                   i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)

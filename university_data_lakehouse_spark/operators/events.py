@@ -162,7 +162,7 @@ _SESSION_SQL = f"""
                                  ROWS UNBOUNDED PRECEDING) AS session_num
         FROM flagged
     )
-    SELECT user_id, session_num,
+    SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
