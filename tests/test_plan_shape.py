@@ -1,0 +1,100 @@
+"""Plan-shape regression tests (SURVEY §5.6).
+
+At 100 TB the difference between a broadcast-hash join and a
+sort-merge join on a dim table, or between a pushed-down filter and a
+full scan, is the difference between minutes and hours. These tests
+pin the physical-plan properties the scale design (SURVEY §6) relies
+on, so a refactor that silently regresses them fails CI.
+"""
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from university_data_lakehouse_spark.operators import silver, gold, olap, events
+
+
+def _plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def _tree(plan: str) -> str:
+    """Just the operator tree (before the per-node details)."""
+    return plan.split("\n\n", 1)[0]
+
+
+# ---------------------------------------------------------------- joins
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        silver.silver_dim_customers,
+        silver.silver_dim_suppliers,
+        silver.silver_fact_orders,
+        silver.silver_fact_contacts,
+        gold.gold_order_metrics,
+        olap.olap_shipping_priority,
+        olap.olap_local_supplier_volume,
+    ],
+)
+def test_dim_joins_are_broadcast(spark, sf_dir, fn):
+    """Every dim-sided join must be a broadcast-hash join — no
+    sort-merge (full shuffle of the fact side) may appear."""
+    tree = _tree(_plan(fn(spark, sf_dir)))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+# ---------------------------------------------------------- pushdown
+
+
+@pytest.mark.parametrize(
+    "fn,pushed_col",
+    [
+        (olap.olap_pricing_summary, "l_shipdate"),
+        (olap.olap_revenue_forecast, "l_shipdate"),
+        (olap.olap_shipping_priority, "o_orderdate"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, sf_dir, fn, pushed_col):
+    plan = _plan(fn(spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(pushed_col in p for p in pushed), plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """Q6 projects 4 columns; the parquet ReadSchema must not contain
+    untouched wide columns like l_comment."""
+    plan = _plan(olap.olap_revenue_forecast(spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("l_comment" not in s for s in schemas), plan
+
+
+# ------------------------------------------------------- shuffle count
+
+
+def test_q1_single_exchange(spark, sf_dir):
+    """Q1 is scan → partial agg → ONE exchange → final agg. A second
+    exchange means partial aggregation was lost."""
+    tree = _tree(_plan(olap.olap_pricing_summary(spark, sf_dir)))
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree
+
+
+def test_sessionize_single_shuffle_per_window_chain(spark, sf_dir):
+    """lag + cumulative sum + groupBy all share (user_id) partitioning;
+    the plan must reuse one hash exchange, not re-shuffle per step."""
+    tree = _tree(_plan(events.events_sessionize(spark, sf_dir)))
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    tree = _tree(_plan(events.events_asof_join(spark, sf_dir)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
