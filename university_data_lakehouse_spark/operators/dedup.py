@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import TOKEN_RE, shingles, tokens
 from ..functions.vector import as_double_vec, dot
-from ..sources.loader import load_table
+from ..sources.loader import load_table, scatter
 
 NGRAM_TAU = 0.5          # jaccard threshold for near-dup pairs
 MINHASH_K = 9            # minhash signature length
@@ -31,26 +31,46 @@ SIMHASH_MAX_HAMMING = 6
 COSINE_TAU = 0.4
 
 
-def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the shared first stage.
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ss: distinct-shingle array, n: set size) — the shared
+    first stage, computed in ONE narrow map stage per doc.
 
-    Cached: signatures, set sizes, and candidate verification all
-    reuse it; without persistence Spark re-explodes+re-deduplicates
-    the corpus once per branch (at 100 TB this intermediate would be
-    written to a bucketed table instead, same idea)."""
-    doc = load_table(spark, sf_dir, "documents")
-    # Materialize the token array BEFORE shingling: the shingle
-    # expression references the array O(3×positions) times, and
-    # inlining the regexp into each reference re-runs it per element
-    # (measured 10× slowdown). localCheckpoint cuts the lineage so
-    # Catalyst cannot collapse the projection back into the consumer.
+    Array-native on purpose: the exploded formulation needs a
+    distinct shuffle + a groupBy shuffle just to rebuild per-doc
+    state, while a doc's shingle set is bounded by the doc's own
+    length, so it fits in a row. At 100 TB this stage is
+    embarrassingly parallel and shuffle-free.
+
+    localCheckpoint cuts the lineage so Catalyst cannot collapse the
+    tokenize+shingle expression into every downstream reference
+    (signature exprs would otherwise re-run the regexp per minhash
+    seed; measured 10× slowdown). The checkpointed rows are one
+    array per doc — far smaller than a cached exploded table — and
+    are reclaimed by the ContextCleaner when the DF goes out of
+    scope; at 100 TB you would write this stage to a table instead.
+    """
+    doc = scatter(load_table(spark, sf_dir, "documents"))
+    # Materialize the token array BEFORE shingling: shingles()
+    # references the token array ~3× per element, and inlining the
+    # regexp into each reference re-runs it per element (measured
+    # 10× slowdown). localCheckpoint cuts the lineage so Catalyst
+    # cannot collapse the projection back into the consumer.
     toks = doc.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=True)
+    sets = toks.select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("toks"), 3)).alias("ss"),
+    ).withColumn("n", F.size("ss"))
+    return sets.localCheckpoint(eager=False)
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded distinct (doc_id, shingle) pairs, for operators that
+    genuinely need shingle-keyed joins (n-gram candidate generation)."""
     return (
-        toks.select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("s"))
-        .distinct()
-        .cache()
+        _doc_shingle_sets(spark, sf_dir)
+        .select("doc_id", F.explode("ss").alias("s"))
     )
 
 
@@ -69,23 +89,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle-set
-    intersection counts (verification runs only on candidates)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc_id").alias("id_b2"), F.col("s").alias("s_b"))
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("id_b2")) & (F.col("s_a") == F.col("s_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+def _jaccard_on_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs.
+
+    Joins the candidate pairs against the per-doc shingle-set table
+    and computes |A∩B| with array_intersect — two hash joins and a
+    projection, versus the exploded-shingle formulation's join +
+    groupBy + two more joins. Candidates after LSH are sparse, so
+    AQE broadcasts the pair side at runtime."""
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("ss").alias("ss_a"), F.col("n").alias("n_a")
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("ss").alias("ss_b"), F.col("n").alias("n_b")
+    )
+    n_common = F.size(F.array_intersect("ss_a", "ss_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", n_common)
         .select(
             "id_a",
             "id_b",
@@ -101,7 +123,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle explode → shingle-bucket self-join → exact
     Jaccard ≥ τ pairs. The self-join is bucketed by shingle (no
     crossJoin anywhere); frequent-shingle skew → AQE skew-join."""
-    sh = _shingle_sets(spark, sf_dir)
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sh = sets.select("doc_id", F.explode("ss").alias("s"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     inter = (
@@ -109,9 +132,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    na = sets.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sets.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     jac = (
         F.col("n_common").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -124,21 +146,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """K lexicographic-min seeded-md5 minhashes per doc — one groupBy,
-    K aggregates, all JVM-side."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
+def _minhash_signatures(sets: DataFrame) -> DataFrame:
+    """K lexicographic-min seeded-md5 minhashes per doc, computed
+    array-natively (array_min over a transform of the shingle-set
+    array) — a narrow per-row projection with NO shuffle, versus the
+    exploded groupBy's full-corpus shuffle. Docs with an empty
+    shingle set get null minhashes and are dropped (the exploded
+    formulation never produced rows for them)."""
+    def seeded(j: int):
+        # One-parameter lambda on purpose: a second Python parameter
+        # (even a default like ``j=j``) makes PySpark bind the
+        # (element, index) binary-lambda form, turning the seed into
+        # the array-index Column and the lit into its repr string.
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    mh = [
+        F.array_min(F.transform("ss", seeded(j))).alias(f"mh{j}")
         for j in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sets.where(F.col("n") > 0).select("doc_id", *mh)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH: signature → band hashes → bucket join for
     candidates → exact-Jaccard verify (only on candidates)."""
-    sh = _shingle_sets(spark, sf_dir)
-    sig = _minhash_signatures(sh)
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sig = _minhash_signatures(sets)
     r = MINHASH_K // LSH_BANDS
     band_cols = [
         F.md5(
@@ -176,44 +209,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    return _jaccard_on_pairs(cand, sh).where(F.col("jaccard") >= NGRAM_TAU)
+    return _jaccard_on_pairs(cand, sets).where(F.col("jaccard") >= NGRAM_TAU)
 
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash: each bit is the majority vote over distinct
-    tokens of the high bit of one md5 hex nibble (hex char >= '8')."""
+    tokens of the high bit of one md5 hex nibble (hex char >= '8').
+
+    Array-native: token md5s are materialized once per doc (the
+    localCheckpoint stops Catalyst re-inlining the regexp+md5 into
+    all 32 bit expressions), then each bit is an ``aggregate`` fold
+    over that array — a shuffle-free per-row projection, versus the
+    exploded formulation's tokens × 32 blow-up plus two groupBy
+    shuffles. At 100 TB the signature stage is then map-only."""
     doc = load_table(spark, sf_dir, "documents")
-    ut = doc.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
-    )
-    votes = (
-        ut.select("doc_id", F.md5("t").alias("h"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("i"),
-            "h",
+    hs = doc.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.col("text"))), lambda t: F.md5(t)
+        ).alias("hs"),
+    ).localCheckpoint(eager=False)
+    bit = lambda i: F.when(  # noqa: E731
+        F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1),
         )
-        .select(
-            "doc_id",
-            "i",
-            F.when(F.expr("substring(h, i, 1) >= '8'"), 1).otherwise(-1).alias("v"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.sum("v").alias("vote"))
-    )
-    bit = F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0"))
-    return (
-        votes.select("doc_id", "i", bit.alias("bit"))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "bit"))),
-                    lambda x: x["bit"],
-                ),
-                "",
-            ).alias("simhash")
-        )
+        > 0,
+        F.lit("1"),
+    ).otherwise(F.lit("0"))
+    return hs.where(F.size("hs") > 0).select(
+        "doc_id",
+        F.concat(*[bit(i) for i in range(1, SIMHASH_BITS + 1)]).alias("simhash"),
     )
 
 

@@ -40,6 +40,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scatter(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Raise the partition count of a compute-dense input to the
+    cluster's parallelism.
+
+    Byte-based file splitting (``spark.sql.files.maxPartitionBytes``)
+    under-partitions tables that are small on disk but expensive per
+    row (regexp tokenization, per-row hashing, vector math): a 1 MB
+    parquet arrives as ONE partition and the whole map stage runs on
+    one core. The round-robin shuffle this adds is proportional to
+    the (small) input, and it only fires when the scan yields fewer
+    partitions than the session's parallelism — at 100 TB the file
+    count already gives natural parallelism and this is a no-op.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
