@@ -25,18 +25,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SOURCE_REGISTRY:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
-    # truncate to microseconds — same floor DuckDB applies — JVM-side
-    # integer `div` (no double round-trip: ns epochs exceed 2^53).
+    # Normalize timestamp physical encodings to session-tz (UTC)
+    # TIMESTAMP so downstream exprs (unix_micros, window ranges) see
+    # one type regardless of how the parquet writer encoded time:
+    #  - TIMESTAMP(NANOS) arrives as long (nanosAsLong conf); integer
+    #    `div 1000` floors to micros — same floor DuckDB applies —
+    #    without a double round-trip (ns epochs exceed 2^53).
+    #  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    #    TIMESTAMP_NTZ; with the session pinned UTC the cast is a
+    #    zero-cost reinterpretation of the same micros value.
     expected = SOURCE_REGISTRY[name].columns
     for f in df.schema.fields:
-        if expected.get(f.name) == "timestamp" and f.dataType.simpleString() == "bigint":
+        if expected.get(f.name) != "timestamp":
+            continue
+        kind = f.dataType.simpleString()
+        if kind == "bigint":
             from pyspark.sql import functions as F  # noqa: PLC0415
 
             df = df.withColumn(
                 f.name,
                 F.timestamp_micros(F.expr(f"`{f.name}` div 1000")),
             )
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(f.name, df[f.name].cast("timestamp"))
     return df
 
 
@@ -54,6 +65,13 @@ def scatter(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     count already gives natural parallelism and this is a no-op.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    # The getNumPartitions probe costs one driver-side plan conversion
+    # (~ms) but is load-bearing: it makes scatter a guaranteed no-op on
+    # already-wide inputs. An unconditional repartition(n) would add a
+    # full round-robin shuffle at 100 TB (explicit repartition is not
+    # AQE-coalescible), and a conf floor (files.minPartitionNum) cannot
+    # split single-row-group small files, which are the whole reason
+    # scatter exists.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
