@@ -12,7 +12,13 @@ import re
 
 import pytest
 
+from university_data_lakehouse_spark.functions.joins import (
+    maybe_broadcast,
+    parse_bytes,
+    plan_size_estimate,
+)
 from university_data_lakehouse_spark.operators import silver, gold, olap, events
+from university_data_lakehouse_spark.sources.loader import load_table
 
 
 def _plan(df) -> str:
@@ -36,19 +42,58 @@ def _tree(plan: str) -> str:
     [
         silver.silver_dim_customers,
         silver.silver_dim_suppliers,
+        olap.olap_local_supplier_volume,
+    ],
+)
+def test_bounded_dim_joins_are_broadcast(spark, sf_dir, fn):
+    """Joins against schema-bounded dims (nation <= 25 rows,
+    region <= 5) must be broadcast-hash at ANY scale factor — these
+    are the only joins where an unconditional broadcast is safe."""
+    tree = _tree(_plan(fn(spark, sf_dir)))
+    assert "BroadcastHashJoin" in tree, tree
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
         silver.silver_fact_orders,
         silver.silver_fact_contacts,
         gold.gold_order_metrics,
         olap.olap_shipping_priority,
-        olap.olap_local_supplier_volume,
     ],
 )
-def test_dim_joins_are_broadcast(spark, sf_dir, fn):
-    """Every dim-sided join must be a broadcast-hash join — no
-    sort-merge (full shuffle of the fact side) may appear."""
+def test_gated_customer_joins_broadcast_at_test_sf(spark, sf_dir, fn):
+    """Customer-sided joins are size-gated (maybe_broadcast): at test
+    SFs the estimate fits the threshold so the hint applies and no
+    sort-merge of the fact side appears. At 100 TB the same code path
+    returns the frame unhinted (see test_maybe_broadcast_gate)."""
     tree = _tree(_plan(fn(spark, sf_dir)))
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_maybe_broadcast_gate(spark, sf_dir):
+    """The size gate must refuse to hint a frame whose estimate
+    exceeds the threshold — this is the 100 TB safety property."""
+    cust = load_table(spark, sf_dir, "customer")
+    est = plan_size_estimate(cust)
+    assert est > 0
+    # under the gate: hint applied (plan carries a broadcast hint)
+    hinted = maybe_broadcast(cust, max_bytes=est + 1)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # over the gate: frame returned unhinted
+    unhinted = maybe_broadcast(cust, max_bytes=est - 1)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    # threshold disabled (-1): never hint
+    disabled = maybe_broadcast(cust, max_bytes=-1)
+    assert "ResolvedHint" not in disabled._jdf.queryExecution().analyzed().toString()
+
+
+def test_parse_bytes():
+    assert parse_bytes("10485760") == 10 << 20
+    assert parse_bytes("10MB") == 10 << 20
+    assert parse_bytes("1g") == 1 << 30
+    assert parse_bytes("-1") == -1
 
 
 # ---------------------------------------------------------- pushdown

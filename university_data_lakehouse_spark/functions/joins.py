@@ -1,0 +1,76 @@
+"""Join-side sizing policy.
+
+At 100 TB an unconditional ``F.broadcast(dim)`` hint is the most
+dangerous line in a pipeline: a table that is dim-sized at test scale
+(customer at sf0.1: 15k rows) is fact-scale in production (~10^10
+rows at sf1e5), and a forced broadcast OOMs the driver and every
+executor. Two tiers:
+
+- ``broadcast_bounded(df)`` — for relations whose cardinality is
+  bounded by SCHEMA SEMANTICS rather than data volume (nation <= 25
+  rows, region <= 5, one-row scalar aggregates, #years x #priorities
+  budget grids). The always-hint is safe at any scale factor.
+- ``maybe_broadcast(df)`` — for data-proportional tables (customer,
+  part, supplier): hint broadcast only when the optimizer's own size
+  estimate for the (filtered, pruned) plan fits under
+  ``spark.sql.autoBroadcastJoinThreshold``; otherwise return the
+  frame unhinted and let AQE pick the runtime join strategy from
+  actual shuffle statistics.
+
+``maybe_broadcast`` reads the estimate from the optimized logical
+plan, so upstream filters/projections are accounted for — a
+segment-filtered customer slice can still broadcast even when the
+full table cannot.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def parse_bytes(conf_value: str) -> int:
+    """Parse Spark byte-conf strings: '10485760', '10MB', '1g', '-1'."""
+    m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", str(conf_value))
+    if not m:
+        raise ValueError(f"unparseable byte conf {conf_value!r}")
+    n = int(m.group(1))
+    unit = m.group(2).lower().rstrip("b") or "b"
+    return n * _UNITS.get(unit[:1], 1)
+
+
+def plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the optimized plan."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(stats.sizeInBytes())
+
+
+def broadcast_bounded(df: DataFrame) -> DataFrame:
+    """Broadcast hint for schema-bounded relations only (see module
+    docstring). Use for nation/region/1-row aggregates — never for
+    anything whose row count grows with data volume."""
+    return F.broadcast(df)
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint for data-proportional tables.
+
+    Hints broadcast iff the optimizer's size estimate for ``df`` is
+    within ``max_bytes`` (default: the session's
+    autoBroadcastJoinThreshold). Above the gate the frame is returned
+    unhinted so AQE can choose from runtime shuffle stats.
+    """
+    if max_bytes is None:
+        conf = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        max_bytes = parse_bytes(conf or "10485760")
+    if max_bytes <= 0:  # threshold disabled => never hint
+        return df
+    if plan_size_estimate(df) <= max_bytes:
+        return F.broadcast(df)
+    return df

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.joins import broadcast_bounded, maybe_broadcast
 from ..functions.money import DEC
 from ..sources.loader import load_table
 
@@ -37,7 +38,7 @@ def gold_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
 
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        maybe_broadcast(cust), orders.o_custkey == cust.c_custkey
     )
     n_cust = F.countDistinct("o_custkey")
     return (
@@ -98,8 +99,8 @@ def gold_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
     return (
-        fe.join(F.broadcast(cust), fe.o_custkey == cust.c_custkey)
-        .join(F.broadcast(budget), fe.ship_year == budget.yr, "left")
+        fe.join(maybe_broadcast(cust), fe.o_custkey == cust.c_custkey)
+        .join(broadcast_bounded(budget), fe.ship_year == budget.yr, "left")
         .groupBy(
             "ship_year",
             F.col("c_mktsegment").alias("segment"),
@@ -158,7 +159,7 @@ def gold_status_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("term_code", F.lit("Current"))
     )
-    return funnel.crossJoin(F.broadcast(top_segment))
+    return funnel.crossJoin(broadcast_bounded(top_segment))
 
 
 QUERIES = {

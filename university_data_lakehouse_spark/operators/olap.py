@@ -6,10 +6,12 @@ groupBy, selective multi-way joins, top-N, windowed ranking, ROLLUP
 grouping sets, and pivot-style conditional aggregation.
 
 Scale notes (SURVEY §6): filters are expressed on scan columns so
-Catalyst pushes them into the parquet reader (PushedFilters); dims
-are broadcast; aggregates are decimal-exact with map-side partials;
-top-N uses ORDER BY + LIMIT which Spark executes as TakeOrdered
-(per-partition heap, no global sort materialization).
+Catalyst pushes them into the parquet reader (PushedFilters);
+schema-bounded dims broadcast unconditionally while customer-sized
+tables go through the size-gated ``maybe_broadcast``; aggregates are
+decimal-exact with map-side partials; top-N uses ORDER BY + LIMIT
+which Spark executes as TakeOrdered (per-partition heap, no global
+sort materialization).
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.joins import maybe_broadcast
 from ..functions.money import DEC, DEC_FACTOR, DEC_FACTOR2, DEC_PRICE
 from ..sources.loader import load_table
 
@@ -73,7 +76,7 @@ def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") > cutoff)
         .join(orders.where(F.col("o_orderdate") < cutoff),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+        .join(maybe_broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
@@ -147,7 +150,7 @@ def olap_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select(
@@ -195,7 +198,7 @@ def olap_market_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
     aggs = [
         F.sum(
             F.when(F.col("c_mktsegment") == s, F.col("o_totalprice")).cast(DEC)

@@ -9,11 +9,13 @@ Schema mapping per SURVEY §2: students→customer, courses→part,
 employees→supplier, cost_centers→nation/region, enrollments→lineitem,
 general_ledger→orders, CRM contacts→customer×orders.
 
-Scale notes (SURVEY §6): dimension sides (nation, region, customer at
-dim scale) are broadcast explicitly — the fact side never shuffles for
-these joins. The fact-fact composite-key join (silver_fact_lineitems)
-shuffles on its key and relies on AQE; at 100 TB the landing tables
-would be written bucketed on the join key (sources.write_bucketed).
+Scale notes (SURVEY §6): schema-bounded dimensions (nation <= 25,
+region <= 5 rows) are broadcast unconditionally; data-proportional
+tables (customer) go through the size-gated ``maybe_broadcast`` so
+they broadcast at test SFs but fall back to shuffle+AQE at 100 TB.
+The fact-fact composite-key join (silver_fact_lineitems) shuffles on
+its key and relies on AQE; at 100 TB the landing tables would be
+written bucketed on the join key (sources.write_bucketed).
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.joins import broadcast_bounded, maybe_broadcast
 from ..functions.keys import surrogate_key
 from ..sources.loader import load_table
 
@@ -36,7 +39,7 @@ def silver_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = orders.select("o_custkey").distinct()
     return (
         cust.join(
-            F.broadcast(nation),
+            broadcast_bounded(nation),
             cust.c_nationkey == nation.n_nationkey,
             "left",
         )
@@ -74,8 +77,8 @@ def silver_dim_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey, "left")
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        sup.join(broadcast_bounded(nation), sup.s_nationkey == nation.n_nationkey, "left")
+        .join(broadcast_bounded(region), nation.n_regionkey == region.r_regionkey, "left")
         .select(
             surrogate_key("s_suppkey").alias("supplier_key"),
             F.col("s_suppkey").alias("suppkey"),
@@ -123,11 +126,12 @@ def silver_fact_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 def silver_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fact_financial_transactions parity
     (defs/silver_transforms/defs.yaml:158-171): fact LEFT JOIN dim for
-    two enrichment columns. Customer is dim-sized → broadcast."""
+    two enrichment columns. Customer grows with data volume, so the
+    broadcast is size-gated: hinted at test SFs, shuffle+AQE at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
         .select(
             surrogate_key("o_orderkey").alias("transaction_key"),
             F.col("o_orderkey").alias("orderkey"),
