@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from university_data_lakehouse_spark.operators.dedup import (
     NGRAM_TAU,
+    dedup_embedding_cosine,
+    dedup_embedding_lsh,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
@@ -65,6 +67,28 @@ def test_simhash_finds_near_duplicates(spark, sf_dir, jaccard_pairs):
     strong = {p for p, j in jaccard_pairs.items() if j >= 0.95}
     if strong:  # simhash is coarser; require non-trivial overlap
         assert len(strong & sim) / len(strong) >= 0.5
+
+
+def test_embedding_lsh_recall_on_strong_pairs(spark, sf_dir):
+    """The bucketed embedding dedup must (a) be a subset of the exact
+    all-pairs result with identical cosines, and (b) recover nearly
+    all STRONG pairs (cos >= 0.8: collision prob ~1-(1-p^4)^6 ~ 0.95
+    with p = 1 - theta/pi ~ 0.8)."""
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for p, c in lsh.items():
+        assert exact[p] == c
+    strong = {p for p, c in exact.items() if c >= 0.8}
+    if strong:
+        recall = len(strong & set(lsh)) / len(strong)
+        assert recall >= 0.9, (recall, strong - set(lsh))
 
 
 def test_knn_lsh_subset_of_bruteforce_scores(spark, sf_dir):

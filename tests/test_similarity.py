@@ -1,0 +1,123 @@
+"""Recall + candidate-bound tests for the ANN path (SURVEY §5.5).
+
+The LSH kNN is the only approximate operator in the suite, so its
+quality gate lives here instead of the DuckDB oracle: on a corpus
+with PLANTED near-duplicates (cosine ~= 0.93 to their query), the
+banded LSH must recover >= 0.9 of the exact brute-force top-k, while
+generating materially fewer candidate pairs than the brute-force
+cross product — both properties together are what "approximate but
+useful" means.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from university_data_lakehouse_spark.operators import similarity
+from university_data_lakehouse_spark.operators.similarity import (
+    QUERY_MOD,
+    TOP_K,
+    lsh_candidates,
+    lsh_signature,
+    sim_knn_bruteforce,
+    sim_knn_lsh,
+)
+
+N_QUERIES = 5
+N_PLANTED = TOP_K          # planted near-dups per query
+N_NOISE = 400              # random background vectors
+DIM = similarity.EMB_DIM
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """Corpus with known structure: for each query vector (vec_id a
+    multiple of QUERY_MOD), N_PLANTED noisy copies (cos ~= 0.93 — a
+    64-dim standard-normal noise vector has norm ~= 8 x its scale)
+    plus a random background. Written as an embeddings.parquet dir so the
+    operators run on it unchanged."""
+    rng = np.random.default_rng(7)
+    rows = []
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    noise_id = 1_000_000  # far from any query-id residue class
+    for k in range(N_QUERIES):
+        qid = (k + 1) * QUERY_MOD
+        qv = unit(rng.standard_normal(DIM))
+        rows.append((qid, qv))
+        for j in range(N_PLANTED):
+            nv = unit(qv + 0.06 * rng.standard_normal(DIM))
+            rows.append((qid + 1 + j, nv))
+    for i in range(N_NOISE):
+        vid = noise_id + i
+        if vid % QUERY_MOD == 0:
+            vid += 1
+        rows.append((vid, unit(rng.standard_normal(DIM))))
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [int(r[0]) for r in rows],
+            "embedding": [r[1].astype(np.float32).tolist() for r in rows],
+            "label": [0] * len(rows),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    sdf = spark.createDataFrame(pdf)
+    sdf = sdf.withColumn(
+        "embedding", sdf["embedding"].cast("array<float>")
+    )
+    sdf.write.mode("overwrite").parquet(os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_lsh_recall_at_k(spark, planted_dir):
+    exact = _topk_sets(sim_knn_bruteforce(spark, planted_dir))
+    approx = _topk_sets(sim_knn_lsh(spark, planted_dir))
+    assert set(approx) <= set(exact)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.9, f"recall@{TOP_K} = {recall:.3f}"
+
+
+def test_lsh_candidate_bound(spark, planted_dir):
+    """OR-amplified banding must still prune: candidate pairs well
+    under the brute-force queries x corpus cross product."""
+    v = similarity._vectors(spark, planted_dir).withColumn(
+        "sig", lsh_signature(similarity.F.col("v"))
+    )
+    q = v.where(similarity.F.col("vec_id") % QUERY_MOD == 0).select(
+        similarity.F.col("vec_id").alias("query_id"),
+        similarity.F.col("sig").alias("sig_q"),
+    )
+    n_corpus = v.count()
+    n_queries = q.count()
+    n_cands = lsh_candidates(v, q).count()
+    assert n_queries == N_QUERIES
+    # every planted near-dup should almost surely be a candidate, so
+    # the floor is ~N_QUERIES * N_PLANTED; the ceiling is the pruning
+    # claim: under half the brute-force pair count.
+    assert n_cands < 0.5 * n_queries * n_corpus, (n_cands, n_queries * n_corpus)
+    assert n_cands >= n_queries * N_PLANTED * 0.9
+
+
+def test_lsh_runs_on_testdata(spark, sf_dir):
+    """Smoke on the driver testdata: non-empty, schema matches the
+    brute-force baseline."""
+    lsh = sim_knn_lsh(spark, sf_dir)
+    bf = sim_knn_bruteforce(spark, sf_dir)
+    assert lsh.columns == bf.columns
+    assert lsh.count() > 0

@@ -299,8 +299,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ τ. Exact all-pairs here
-    (correctness baseline); the LSH-bucketed scale path is
-    similarity.sim_knn_lsh. Deterministic left-fold dot product."""
+    (the oracle-checked correctness baseline, O(n²) by definition —
+    never the production path); the bucketed scale path is
+    dedup_embedding_lsh below. Deterministic left-fold dot product."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
@@ -321,12 +322,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding dedup: random-hyperplane band buckets →
+    exact-cosine verify on candidates only (same candidates→verify
+    shape as dedup_minhash_lsh; fixes the all-pairs scale-killer of
+    dedup_embedding_cosine at the cost of banded-LSH recall).
+
+    A pair is a candidate iff ANY of the b=6 4-bit signature bands
+    matches; the band table carries only (vec_id, band, bsig) — the
+    vectors are re-joined only for candidate pairs. Because the
+    hyperplanes are deterministic (md5-seeded ±1), the full pipeline
+    is reproducible in SQL, so this operator is ORACLE-CHECKED even
+    though it is approximate relative to the exact baseline.
+    """
+    from .similarity import band_signatures, lsh_signature  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    sig = v.select("vec_id", lsh_signature(F.col("v")).alias("sig"))
+    bands = sig.select(
+        "vec_id", F.posexplode(band_signatures(F.col("sig"))).alias("band", "bsig")
+    )
+    a = bands.select(F.col("vec_id").alias("id_a"), "band", F.col("bsig").alias("bsig_a"))
+    b = bands.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bsig").alias("bsig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bsig_a") == F.col("bsig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_TAU)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
@@ -359,6 +412,24 @@ _DOT = (
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
     "(x, y) -> x + y)"
 )
+
+
+def _emb_lsh_sig_sql() -> str:
+    """DuckDB twin of similarity.lsh_signature: the hyperplanes are
+    deterministic (md5-seeded ±1), so their literals are embedded and
+    the sign-bit fold replays Spark's left-fold dot exactly."""
+    from .similarity import _hyperplanes  # noqa: PLC0415
+
+    bits = []
+    for row in _hyperplanes():
+        lst = "[" + ", ".join(f"{float(x):.1f}" for x in row) + "]"
+        d = (
+            "list_reduce(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lst})[i]), "
+            "(x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {d} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
 _SELF_DOT = (
     "list_reduce(list_transform(range(1, 65), "
     "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
@@ -468,3 +539,34 @@ ORACLES = {
         WHERE {_DOT} / (a.nrm * b.nrm) >= {COSINE_TAU}
     """,
 }
+
+
+def _emb_lsh_oracle() -> str:
+    from .similarity import LSH_BAND_ROWS, LSH_BANDS as EMB_BANDS  # noqa: PLC0415
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings
+        ),
+        sig AS (SELECT vec_id, {_emb_lsh_sig_sql()} AS sig FROM v),
+        melted AS (
+            SELECT vec_id, j AS band_idx,
+                   substr(sig, j * {LSH_BAND_ROWS} + 1, {LSH_BAND_ROWS}) AS band
+            FROM sig, (SELECT unnest(range(0, {EMB_BANDS})) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM melted x
+            JOIN melted y ON x.band_idx = y.band_idx AND x.band = y.band
+                         AND x.vec_id < y.vec_id
+        )
+        SELECT c.id_a, c.id_b, {_DOT} / (a.nrm * b.nrm) AS cosine
+        FROM cand c
+        JOIN v a ON a.vec_id = c.id_a
+        JOIN v b ON b.vec_id = c.id_b
+        WHERE {_DOT} / (a.nrm * b.nrm) >= {COSINE_TAU}
+    """
+
+
+ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()

@@ -27,7 +27,9 @@ from ..sources.loader import load_table
 
 TOP_K = 10
 QUERY_MOD = 100          # vec_id % 100 == 0 → query set
-LSH_PLANES = 8           # hyperplane signature bits
+LSH_PLANES = 24          # hyperplane signature bits (bands * rows)
+LSH_BAND_ROWS = 4        # AND-amplification within a band
+LSH_BANDS = LSH_PLANES // LSH_BAND_ROWS  # OR-amplification across bands
 EMB_DIM = 64
 
 
@@ -84,11 +86,47 @@ def lsh_signature(vec_col: F.Column) -> F.Column:
     return F.concat(*bits)
 
 
+def band_signatures(sig_col: F.Column) -> F.Column:
+    """Split the full bit-string into LSH_BANDS substrings of
+    LSH_BAND_ROWS bits each (classic b x r banding)."""
+    return F.array(
+        *[
+            F.substring(sig_col, b * LSH_BAND_ROWS + 1, LSH_BAND_ROWS)
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def lsh_candidates(v_sig: DataFrame, q_sig: DataFrame) -> DataFrame:
+    """(query_id, vec_id) candidate pairs: a pair is a candidate iff
+    ANY of the b bands matches (OR-amplification). The corpus side
+    carries only (vec_id, band, band_sig) through the explode — never
+    the vector — so the widened stage is ~b small rows per vector; the
+    query side is broadcast. Collision probability for a neighbor at
+    angle theta is 1-(1-p^r)^b with p = 1 - theta/pi, e.g. ~0.95 at
+    cos 0.8 (vs ~0.27 for the old single-band full-signature match)."""
+    v_b = v_sig.select(
+        "vec_id", F.posexplode(band_signatures(F.col("sig"))).alias("band", "bsig")
+    )
+    q_b = q_sig.select(
+        "query_id",
+        F.posexplode(band_signatures(F.col("sig_q"))).alias("band", "bsig"),
+    )
+    return (
+        v_b.join(F.broadcast(q_b), ["band", "bsig"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates share the full LSH signature
-    bucket with the query; exact cosine re-rank within the bucket.
-    Approximate by construction → driver rows-only check; recall is
-    pytest-asserted against brute force (tests/test_similarity.py)."""
+    """Approximate top-k via banded random-hyperplane LSH: candidates
+    are the union of per-band bucket matches (lsh_candidates), then an
+    exact cosine re-rank touches ONLY candidate vectors. Approximate
+    by construction -> driver rows-only check; recall@k vs brute force
+    and the candidate-count bound are asserted in
+    tests/test_similarity.py."""
     v = _vectors(spark, sf_dir).withColumn("sig", lsh_signature(F.col("v")))
     q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -96,13 +134,14 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("n_q"),
         F.col("sig").alias("sig_q"),
     )
+    cands = lsh_candidates(v, q)
     cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
     return (
-        F.broadcast(q)
-        .join(v, (F.col("sig") == F.col("sig_q")) & (F.col("vec_id") != F.col("query_id")))
+        cands.join(v.select("vec_id", "v", "nrm"), "vec_id")
+        .join(F.broadcast(q.select("query_id", "v_q", "n_q")), "query_id")
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
