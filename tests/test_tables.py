@@ -1,0 +1,163 @@
+"""Managed-table layer tests: commit protocol, time travel, schema
+evolution, MERGE upsert, and medallion wiring (SURVEY §2.10 +
+VERDICT r1 item 1).
+
+Parity target: the reference materializes every asset as an Iceberg
+table (trino_iceberg_transform_component.py:116-129); these tests pin
+the equivalent guarantees of tables/format.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from university_data_lakehouse_spark.plans.medallion import (
+    incremental_fact_orders,
+    medallion_graph,
+)
+from university_data_lakehouse_spark.tables import (
+    CommitConflict,
+    ManagedTable,
+    TableCatalog,
+)
+from university_data_lakehouse_spark.tables.format import SchemaMismatch
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return TableCatalog(str(tmp_path / "warehouse"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(id=i, val=v) for i, v in rows])
+
+
+def test_write_read_roundtrip_and_versions(spark, catalog):
+    t = catalog.table("t1")
+    v1 = t.write(_df(spark, [(1, "a"), (2, "b")]))
+    assert v1 == 1
+    v2 = t.write(_df(spark, [(3, "c")]), mode="append")
+    assert v2 == 2
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # overwrite supersedes
+    t.write(_df(spark, [(9, "z")]), mode="overwrite")
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {(9, "z")}
+
+
+def test_time_travel(spark, catalog):
+    t = catalog.table("t2")
+    t.write(_df(spark, [(1, "a")]))
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")
+    assert {r.id for r in t.read(spark, version=1).collect()} == {1}
+    assert {r.id for r in t.read(spark, version=2).collect()} == {2}
+    ops = [m["operation"] for m in t.history()]
+    assert ops == ["overwrite", "overwrite"]
+
+
+def test_staged_files_invisible_until_commit(spark, catalog):
+    """Reader works off the manifest, not directory listing: files
+    staged without a commit (a crashed writer) must be invisible."""
+    t = catalog.table("t3")
+    t.write(_df(spark, [(1, "a")]))
+    t._stage(_df(spark, [(99, "ghost")]))  # crash before commit
+    assert {r.id for r in t.read(spark).collect()} == {1}
+
+
+def test_commit_conflict(spark, catalog):
+    t = catalog.table("t4")
+    t.write(_df(spark, [(1, "a")]))
+    staged = t._stage(_df(spark, [(2, "b")]))
+    manifest = {
+        "version": 2, "ts": 0, "operation": "append",
+        "schema": t.manifest()["schema"], "files": staged,
+    }
+    t._commit(2, manifest)
+    with pytest.raises(CommitConflict):
+        t._commit(2, manifest)
+
+
+def test_schema_evolution(spark, catalog):
+    t = catalog.table("t5")
+    t.write(_df(spark, [(1, "a")]))
+    wider = spark.createDataFrame([Row(id=2, val="b", extra=1.5)])
+    with pytest.raises(SchemaMismatch):
+        t.write(wider, mode="append")
+    t.write(wider, mode="append", evolve=True)
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "val", "extra"}
+    rows = {r.id: r.extra for r in got.collect()}
+    assert rows[2] == 1.5 and rows[1] is None  # old files null-fill
+    # type change is always refused
+    with pytest.raises(SchemaMismatch):
+        t.write(spark.createDataFrame([Row(id="not-an-int", val="x")]),
+                mode="append", evolve=True)
+
+
+def test_merge_upsert(spark, catalog):
+    t = catalog.table("t6")
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src = _df(spark, [(2, "B*"), (4, "d")])
+    v = t.merge(src, keys=["id"])
+    assert v == 2
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B*"), (3, "c"), (4, "d")}
+    # prior version untouched (time travel across a merge)
+    old = {(r.id, r.val) for r in t.read(spark, version=1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_delete_unmatched(spark, catalog):
+    t = catalog.table("t7")
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(_df(spark, [(2, "B*")]), keys=["id"],
+            when_not_matched_by_source="delete")
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {(2, "B*")}
+
+
+def test_medallion_materializes_tables(spark, sf_dir, catalog):
+    g = medallion_graph()
+    results = g.materialize(
+        spark, sf_dir,
+        keys=["silver/fact_orders", "gold/status_funnel"],
+        catalog=catalog,
+    )
+    assert all(r.status == "ok" for r in results.values()), results
+    names = catalog.tables()
+    assert "silver/fact_orders" in names and "gold/status_funnel" in names
+    t = catalog.table("silver/fact_orders")
+    assert t.read(spark).count() == results["silver/fact_orders"].rows
+
+
+def test_incremental_fact_orders_merge(spark, sf_dir, catalog):
+    g = medallion_graph()
+    g.materialize(spark, sf_dir, keys=["silver/fact_orders"], catalog=catalog)
+    t = catalog.table("silver/fact_orders")
+    before = t.read(spark).count()
+    max_key = t.read(spark).agg(F.max("orderkey")).collect()[0][0]
+    # cursor at the middle: merge upserts the tail slice idempotently
+    v = incremental_fact_orders(spark, sf_dir, catalog,
+                                since_orderkey=max_key // 2)
+    assert v == t.latest_version()
+    assert t.read(spark).count() == before  # same keys -> pure update
+    assert t.manifest()["operation"] == "merge"
+
+
+def test_failed_check_not_committed(spark, sf_dir, catalog, tmp_path):
+    """A check-failed asset must not publish a new table version."""
+    from university_data_lakehouse_spark.plans.assets import Asset, AssetGraph
+
+    bad = Asset(
+        key="silver/bad",
+        fn=lambda spark, sf_dir: spark.range(3).select(
+            F.lit(None).cast("string").alias("pk")
+        ),
+        checks=(("not_null_pk", lambda df: (
+            df.where(F.col("pk").isNull()).count() == 0, {})),),
+    )
+    res = AssetGraph([bad]).materialize(spark, str(tmp_path), catalog=catalog)
+    assert res["silver/bad"].status == "check_failed"
+    assert not catalog.table("silver/bad").exists()

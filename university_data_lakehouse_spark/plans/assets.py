@@ -93,9 +93,17 @@ class AssetGraph:
         spark: SparkSession,
         sf_dir: str,
         keys: Iterable[str] | None = None,
+        catalog=None,
     ) -> dict[str, AssetResult]:
         """Run assets in dependency order; a failed blocking check
-        skips everything downstream (reference blocking semantics)."""
+        skips everything downstream (reference blocking semantics).
+
+        With a ``catalog`` (tables.TableCatalog), every asset that
+        passes its checks is committed as a managed-table version —
+        the engine's twin of the reference's per-asset Iceberg CTAS
+        (``trino_iceberg_transform_component.py:116``). Check-failed
+        assets are NOT committed, so the published table always holds
+        the last good version."""
         order = self.toposort(keys)
         results: dict[str, AssetResult] = {}
         materialized: dict[str, DataFrame] = {}
@@ -125,5 +133,7 @@ class AssetGraph:
                 results[key] = AssetResult(key, "check_failed", rows, check_outcomes)
                 blocked |= self.downstream_of(key)
             else:
+                if catalog is not None:
+                    catalog.write(key, df, mode="overwrite")
                 results[key] = AssetResult(key, "ok", rows, check_outcomes)
         return results

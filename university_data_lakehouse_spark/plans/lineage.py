@@ -50,13 +50,13 @@ SILVER_LINEAGE: dict[str, list[dict]] = {
         {"name": "extended_price", "type": "double",
          "sources": ["bronze/lineitem.l_extendedprice"]},
         {"name": "return_flag", "type": "string", "sources": ["bronze/lineitem.l_returnflag"]},
-        {"name": "ship_date", "type": "timestamp_ntz", "sources": ["bronze/lineitem.l_shipdate"]},
+        {"name": "ship_date", "type": "timestamp", "sources": ["bronze/lineitem.l_shipdate"]},
         {"name": "order_total", "type": "double", "sources": ["bronze/orders.o_totalprice"]},
     ],
     "silver_fact_orders": [
         {"name": "transaction_key", "type": "string", "sources": []},
         {"name": "orderkey", "type": "bigint", "sources": ["bronze/orders.o_orderkey"]},
-        {"name": "posting_date", "type": "timestamp_ntz", "sources": ["bronze/orders.o_orderdate"]},
+        {"name": "posting_date", "type": "timestamp", "sources": ["bronze/orders.o_orderdate"]},
         {"name": "status", "type": "string", "sources": ["bronze/orders.o_orderstatus"]},
         {"name": "priority", "type": "string", "sources": ["bronze/orders.o_orderpriority"]},
         {"name": "amount", "type": "double", "sources": ["bronze/orders.o_totalprice"]},

@@ -64,6 +64,27 @@ def _gold_asset(key: str, fn, deps: tuple[str, ...], complete_col: str) -> Asset
     )
 
 
+def incremental_fact_orders(spark: SparkSession, sf_dir: str, catalog,
+                            since_orderkey: int | None = None) -> int:
+    """MERGE-based incremental materialization for silver/fact_orders
+    (the reference's sensor-driven re-materialization, but as an
+    upsert instead of a full CTAS): recompute only the slice of the
+    fact with orderkey > cursor and MERGE it into the managed table
+    on the surrogate key. Returns the committed version.
+
+    At 100 TB the source slice comes from the landing cursor
+    (streaming/ingestion.py); the merge shuffles only slice + table,
+    never recomputes history.
+    """
+    full = silver_ops.silver_fact_orders(spark, sf_dir)
+    src = full if since_orderkey is None else full.where(
+        full.orderkey > since_orderkey
+    )
+    return catalog.table("silver/fact_orders").merge(
+        src, keys=["transaction_key"]
+    )
+
+
 def medallion_graph() -> AssetGraph:
     bronze = [_bronze_asset(n) for n in _BRONZE]
     silver = [

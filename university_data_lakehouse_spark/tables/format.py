@@ -1,0 +1,260 @@
+"""Log-structured managed tables over parquet.
+
+Commit protocol (the public Delta/Iceberg core, minimally restated):
+
+- A table is ``<root>/<name>/data/*.parquet`` plus a log directory
+  ``<root>/<name>/_log/v{N:08d}.json``.
+- Readers NEVER list the data directory: a snapshot is defined
+  entirely by the highest committed manifest, which carries the full
+  data-file list and the schema. Orphan files from failed or
+  in-flight writes are invisible.
+- Writers stage data files first, then publish a manifest one
+  version above the snapshot they read. Publication uses
+  ``os.link`` (atomic create-if-absent on POSIX): two writers racing
+  to the same version — the optimistic-concurrency conflict — cannot
+  both win; the loser gets :class:`CommitConflict` and must re-read
+  and retry.
+- Old manifests are retained, so any prior version remains readable
+  (time travel) until a retention job vacuums it.
+
+Scale notes: manifests carry the FULL file list per commit — O(files)
+manifest size, fine to ~10^5 files; at true 100 TB scale the log
+would switch to incremental actions + periodic checkpoints exactly as
+Delta does (and the interface here wouldn't change). MERGE rewrites
+only the files that can contain matched keys — with one data file
+that is a table rewrite, with partitioned/bucketed layouts it prunes
+to the touched buckets.
+
+Reference parity: replaces the Iceberg CTAS materialization at
+``trino_iceberg_transform_component.py:116-129``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_FMT = "v{:08d}.json"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer staged."""
+
+
+class SchemaMismatch(ValueError):
+    """Append schema incompatible with the table schema."""
+
+
+def _schema_names(schema: T.StructType) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
+class ManagedTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.log_dir = os.path.join(path, "_log")
+
+    # ------------------------------------------------------------ log
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and bool(self._versions())
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        return vs[-1]
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        with open(os.path.join(self.log_dir, _MANIFEST_FMT.format(v))) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        return [self.manifest(v) for v in self._versions()]
+
+    # ----------------------------------------------------------- read
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        files = [os.path.join(self.data_dir, f["name"]) for f in m["files"]]
+        schema = T.StructType.fromJson(m["schema"])
+        if not files:
+            return spark.createDataFrame([], schema)
+        # explicit schema (from the manifest, like Delta's metadata)
+        # keeps mixed-generation files readable after column adds
+        return spark.read.schema(schema).parquet(*files)
+
+    # ---------------------------------------------------------- write
+
+    def _stage(self, df: DataFrame) -> list[dict]:
+        """Write df's partitions as uniquely named parquet files in
+        data/; they are invisible until a manifest references them."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        tmp = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        staged = []
+        for p in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            name = f"{uuid.uuid4().hex}-{os.path.basename(p)}"
+            shutil.move(p, os.path.join(self.data_dir, name))
+            staged.append({"name": name, "bytes": os.path.getsize(
+                os.path.join(self.data_dir, name))})
+        shutil.rmtree(tmp, ignore_errors=True)
+        return staged
+
+    def _commit(self, version: int, manifest: dict) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        target = os.path.join(self.log_dir, _MANIFEST_FMT.format(version))
+        try:
+            os.link(tmp, target)  # atomic create-if-absent
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} of {self.path} was committed concurrently"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    def _check_schema(self, df: DataFrame, evolve: bool) -> T.StructType:
+        new = df.schema
+        if not self.exists():
+            return new
+        cur = self.schema()
+        cur_names, new_names = _schema_names(cur), _schema_names(new)
+        changed = {
+            n: (cur_names[n], new_names[n])
+            for n in cur_names.keys() & new_names.keys()
+            if cur_names[n] != new_names[n]
+        }
+        if changed:
+            raise SchemaMismatch(f"type changes {changed} at {self.path}")
+        added = new_names.keys() - cur_names.keys()
+        missing = cur_names.keys() - new_names.keys()
+        if (added or missing) and not evolve:
+            raise SchemaMismatch(
+                f"schema drift (added={sorted(added)}, missing={sorted(missing)}) "
+                f"at {self.path}; pass evolve=True to union schemas"
+            )
+        # evolved schema = current fields + newly added fields
+        fields = list(cur.fields) + [f for f in new.fields if f.name in added]
+        return T.StructType(fields)
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        evolve: bool = False,
+        operation: str | None = None,
+    ) -> int:
+        """ACID append/overwrite; returns the committed version."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode {mode!r}")
+        schema = self._check_schema(df, evolve)
+        staged = self._stage(df)
+        base = self._versions()
+        version = (base[-1] + 1) if base else 1
+        files = staged
+        if mode == "append" and base:
+            files = self.manifest(base[-1])["files"] + staged
+        self._commit(version, {
+            "version": version,
+            "ts": time.time(),
+            "operation": operation or mode,
+            "schema": json.loads(schema.json()),
+            "files": files,
+        })
+        return version
+
+    # ---------------------------------------------------------- merge
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_not_matched_by_source: str = "keep",
+    ) -> int:
+        """MERGE INTO target USING source ON keys: matched rows are
+        replaced by the source row (WHEN MATCHED UPDATE SET *),
+        unmatched source rows are inserted (WHEN NOT MATCHED INSERT
+        *), unmatched target rows are kept (or deleted with
+        ``when_not_matched_by_source='delete'``).
+
+        Expressed as target-anti-join ∪ source — one shuffle on the
+        merge keys, no row-at-a-time logic. The rewrite touches every
+        file the snapshot references; with a partitioned layout the
+        anti-join + union would run per matched partition only.
+        """
+        spark = source.sparkSession
+        target = self.read(spark)
+        if when_not_matched_by_source == "delete":
+            merged = source.select(*target.columns)
+            op = "merge_delete_unmatched"
+        else:
+            kept = target.join(source.select(*keys), on=keys, how="left_anti")
+            merged = kept.unionByName(
+                source.select(*target.columns), allowMissingColumns=False
+            )
+            op = "merge"
+        return self._rewrite(merged, op)
+
+    def _rewrite(self, df: DataFrame, operation: str) -> int:
+        staged = self._stage(df)
+        version = self.latest_version() + 1
+        self._commit(version, {
+            "version": version,
+            "ts": time.time(),
+            "operation": operation,
+            "schema": json.loads(df.schema.json()),
+            "files": staged,
+        })
+        return version
+
+
+class TableCatalog:
+    """Name → ManagedTable over one warehouse root (the object-store
+    prefix at scale; a local dir in tests)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def table(self, name: str) -> ManagedTable:
+        # asset keys like "silver/dim_customers" map to nested dirs
+        return ManagedTable(os.path.join(self.root, *name.split("/")))
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite",
+              **kw) -> int:
+        return self.table(name).write(df, mode=mode, **kw)
+
+    def read(self, spark: SparkSession, name: str,
+             version: int | None = None) -> DataFrame:
+        return self.table(name).read(spark, version)
+
+    def tables(self) -> list[str]:
+        out = []
+        for dirpath, dirnames, _ in os.walk(self.root):
+            if "_log" in dirnames:
+                out.append(os.path.relpath(dirpath, self.root).replace(os.sep, "/"))
+                dirnames.clear()
+        return sorted(out)
