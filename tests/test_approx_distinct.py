@@ -1,0 +1,54 @@
+"""approx_count_distinct option (SURVEY §6, VERDICT r1 item 7):
+the HLL++ path must track the exact path within sketch error on the
+driver testdata, and the default path must remain exact."""
+
+from __future__ import annotations
+
+from university_data_lakehouse_spark.operators.events import events_user_stats
+from university_data_lakehouse_spark.operators.gold import gold_order_metrics
+
+RSD = 0.05
+
+
+def _rel_err(exact: float, approx: float) -> float:
+    return abs(approx - exact) / exact if exact else float(approx != exact)
+
+
+def test_gold_order_metrics_approx_tracks_exact(spark, sf_dir):
+    keys = ["order_year", "segment", "status"]
+    exact = {
+        tuple(r[k] for k in keys): r["total_customers"]
+        for r in gold_order_metrics(spark, sf_dir).collect()
+    }
+    approx = {
+        tuple(r[k] for k in keys): r["total_customers"]
+        for r in gold_order_metrics(
+            spark, sf_dir, approx_distinct=True, rsd=RSD
+        ).collect()
+    }
+    assert set(exact) == set(approx)  # grouping unaffected
+    worst = max(_rel_err(exact[k], approx[k]) for k in exact)
+    # HLL++ guarantees ~rsd standard error; 4x headroom kills flake
+    assert worst <= 4 * RSD, worst
+
+
+def test_events_user_stats_approx_tracks_exact(spark, sf_dir):
+    exact = {
+        r["user_id"]: r["n_event_types"]
+        for r in events_user_stats(spark, sf_dir).collect()
+    }
+    approx = {
+        r["user_id"]: r["n_event_types"]
+        for r in events_user_stats(
+            spark, sf_dir, approx_distinct=True, rsd=RSD
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    worst = max(_rel_err(exact[u], approx[u]) for u in exact)
+    assert worst <= 4 * RSD, worst
+    # non-distinct aggregates must be untouched by the option
+    ex_rows = events_user_stats(spark, sf_dir).select("user_id", "n_events")
+    ap_rows = events_user_stats(spark, sf_dir, approx_distinct=True).select(
+        "user_id", "n_events"
+    )
+    assert {tuple(r) for r in ex_rows.collect()} == {tuple(r) for r in ap_rows.collect()}

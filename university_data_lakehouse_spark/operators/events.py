@@ -124,14 +124,19 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_user_stats(spark: SparkSession, sf_dir: str,
+                      approx_distinct: bool = False,
+                      rsd: float = 0.05) -> DataFrame:
     """Per-user activity profile: distinct types, span, exact value
-    stats. (approx_count_distinct is exposed in streaming/ where
-    exactness is not oracle-gated.)"""
+    stats. ``approx_distinct=True`` switches the distinct to a
+    HyperLogLog++ sketch (SURVEY §6 high-cardinality option; the
+    oracle-gated default stays exact)."""
+    cd = (lambda c: F.approx_count_distinct(c, rsd)) if approx_distinct \
+        else F.countDistinct
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("event_type").alias("n_event_types"),
+        cd("event_type").alias("n_event_types"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),

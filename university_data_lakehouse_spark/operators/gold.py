@@ -27,20 +27,31 @@ from ..functions.money import DEC
 from ..sources.loader import load_table
 
 
-def gold_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gold_order_metrics(spark: SparkSession, sf_dir: str,
+                       approx_distinct: bool = False,
+                       rsd: float = 0.05) -> DataFrame:
     """enrollment_metrics parity (defs/gold_analytics/defs.yaml:24-40):
     3-key GROUP BY over a 3-way join; COUNT(DISTINCT), decimal-exact
     SUM, fan-out AVG, conditional-distinct ratio (retention_rate
     analog), conditional distinct count, COUNT(*)/COUNT(DISTINCT)
-    ratio, NULLIF guards."""
+    ratio, NULLIF guards.
+
+    ``approx_distinct=True`` swaps every COUNT(DISTINCT) for
+    HyperLogLog++ ``approx_count_distinct`` at relative error ``rsd``
+    (SURVEY §6): each distinct becomes a mergeable fixed-size sketch,
+    so at 100 TB the multi-distinct expand + two-phase shuffle
+    collapses to one pass with map-side partials. The oracle-gated
+    default stays exact."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
 
+    cd = (lambda c: F.approx_count_distinct(c, rsd)) if approx_distinct \
+        else F.countDistinct
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         maybe_broadcast(cust), orders.o_custkey == cust.c_custkey
     )
-    n_cust = F.countDistinct("o_custkey")
+    n_cust = cd("o_custkey")
     return (
         joined.groupBy(
             F.year("o_orderdate").alias("order_year"),
@@ -55,17 +66,17 @@ def gold_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("avg_acctbal"),
             (
-                F.countDistinct(
+                cd(
                     F.when(F.col("l_returnflag") == "R", F.col("o_custkey"))
                 ).cast("double")
                 / F.nullif(n_cust, F.lit(0))
             ).alias("return_rate"),
-            F.countDistinct(
+            cd(
                 F.when(F.col("c_acctbal") > 0, F.col("o_custkey"))
             ).alias("funded_customers"),
             (
                 F.count(F.lit(1)).cast("double")
-                / F.nullif(F.countDistinct("l_partkey"), F.lit(0))
+                / F.nullif(cd("l_partkey"), F.lit(0))
             ).alias("avg_lines_per_part"),
         )
     )
