@@ -3,7 +3,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Timing is end-to-end per query (plan + execute + count-style action),
-after a warmup query amortizes JVM/session startup.
+after a warmup query amortizes JVM/session startup. Each query runs
+REPEATS times and reports the MEDIAN, so round-over-round deltas
+reflect plan changes rather than JIT/IO jitter. Shared-stage caches
+(the dedup shingle stage) are cleared between repeats so every run
+pays the query's full cost.
 """
 
 from __future__ import annotations
@@ -32,9 +36,13 @@ HEADLINE = [
     "events_asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "sim_knn_bruteforce",
+    "sim_knn_lsh",
     "text_quality_score",
 ]
+
+REPEATS = 3
 
 
 def main() -> None:
@@ -52,11 +60,17 @@ def main() -> None:
         fn = queries.get(key)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[key] = round(time.perf_counter() - t0, 3)
-        print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(REPEATS):
+            spark.catalog.clearCache()  # pay shared-stage cost every run
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(sorted(runs)[len(runs) // 2], 3)
+        print(f"# {key}: {timings[key]}s median of "
+              f"{[round(r, 3) for r in runs]} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

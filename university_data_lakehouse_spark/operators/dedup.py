@@ -41,28 +41,31 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, so it fits in a row. At 100 TB this stage is
     embarrassingly parallel and shuffle-free.
 
-    localCheckpoint cuts the lineage so Catalyst cannot collapse the
-    tokenize+shingle expression into every downstream reference
-    (signature exprs would otherwise re-run the regexp per minhash
-    seed; measured 10× slowdown). The checkpointed rows are one
-    array per doc — far smaller than a cached exploded table — and
-    are reclaimed by the ContextCleaner when the DF goes out of
-    scope; at 100 TB you would write this stage to a table instead.
+    cache() interposes an InMemoryRelation so Catalyst cannot
+    collapse the tokenize+shingle expression into every downstream
+    reference (signature exprs would otherwise re-run the regexp per
+    minhash seed; measured 10× slowdown). Unlike localCheckpoint it
+    has no accumulator lifecycle (the checkpoint variant spammed
+    benign-but-noisy DAGScheduler accumulator errors), and the
+    CacheManager keys on the canonicalized plan, so every dedup/text
+    operator in a session shares ONE materialization of this stage.
+    The cached rows are one array per doc; at 100 TB you would write
+    this stage to a table instead.
     """
     doc = scatter(load_table(spark, sf_dir, "documents"))
     # Materialize the token array BEFORE shingling: shingles()
     # references the token array ~3× per element, and inlining the
     # regexp into each reference re-runs it per element (measured
-    # 10× slowdown). localCheckpoint cuts the lineage so Catalyst
-    # cannot collapse the projection back into the consumer.
+    # 10× slowdown). The cache barrier stops Catalyst collapsing the
+    # projection back into the consumer.
     toks = doc.select(
         "doc_id", tokens(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=True)
+    ).cache()
     sets = toks.select(
         "doc_id",
         F.array_distinct(shingles(F.col("toks"), 3)).alias("ss"),
     ).withColumn("n", F.size("ss"))
-    return sets.localCheckpoint(eager=False)
+    return sets.cache()
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +220,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens of the high bit of one md5 hex nibble (hex char >= '8').
 
     Array-native: token md5s are materialized once per doc (the
-    localCheckpoint stops Catalyst re-inlining the regexp+md5 into
+    cache barrier stops Catalyst re-inlining the regexp+md5 into
     all 32 bit expressions), then each bit is an ``aggregate`` fold
     over that array — a shuffle-free per-row projection, versus the
     exploded formulation's tokens × 32 blow-up plus two groupBy
@@ -228,7 +231,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_distinct(tokens(F.col("text"))), lambda t: F.md5(t)
         ).alias("hs"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     bit = lambda i: F.when(  # noqa: E731
         F.aggregate(
             "hs",
@@ -338,10 +341,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import band_signatures, lsh_signature  # noqa: PLC0415
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # cache: vectors feed both verify sides, signatures feed both
+    # band sides — materialize each once (table writes at 100 TB)
     v = emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    sig = v.select("vec_id", lsh_signature(F.col("v")).alias("sig"))
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).cache()
+    sig = v.select("vec_id", lsh_signature(F.col("v")).alias("sig")).cache()
     bands = sig.select(
         "vec_id", F.posexplode(band_signatures(F.col("sig"))).alias("band", "bsig")
     )

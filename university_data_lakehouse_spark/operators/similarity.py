@@ -127,7 +127,14 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction -> driver rows-only check; recall@k vs brute force
     and the candidate-count bound are asserted in
     tests/test_similarity.py."""
-    v = _vectors(spark, sf_dir).withColumn("sig", lsh_signature(F.col("v")))
+    # cache: the signature stage (24 higher-order-function folds per
+    # row) feeds the corpus band table, the query side, AND the
+    # re-rank; the InMemoryRelation barrier materializes it once.
+    # At 100 TB signatures would be a written table (computed once,
+    # reused across query batches).
+    v = _vectors(spark, sf_dir).withColumn(
+        "sig", lsh_signature(F.col("v"))
+    ).cache()
     q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("v_q"),
