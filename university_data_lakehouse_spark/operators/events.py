@@ -145,11 +145,48 @@ def events_user_stats(spark: SparkSession, sf_dir: str,
     )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user retention: of the distinct users active in
+    week w, how many are also active in w+1. The (user, week)
+    distinct is the only wide stage (one shuffle); the self-join runs
+    on the ALREADY-distinct table — #users × #weeks rows, not raw
+    events — and shares its (user_id) shuffle key with the distinct.
+    Both engines truncate weeks to the ISO Monday."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        # stay TIMESTAMP (both engines' date_trunc yields one; DATE
+        # maps to different pandas dtypes per engine)
+        F.date_trunc("week", "ts").alias("week"),
+    ).distinct()
+    nxt = uw.select(
+        F.col("user_id").alias("n_user"),
+        (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("prev_week"),
+    )
+    return (
+        uw.join(
+            nxt,
+            (uw.user_id == nxt.n_user) & (uw.week == nxt.prev_week),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("n_user").alias("retained_next_week"),
+            (
+                F.count("n_user").cast("double")
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+            ).alias("retention_rate"),
+        )
+    )
+
+
 QUERIES = {
     "events_windowed_agg": events_windowed_agg,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_user_stats": events_user_stats,
+    "events_retention": events_retention,
 }
 
 _SESSION_SQL = f"""
@@ -196,6 +233,22 @@ ORACLES = {
         FROM events e
         ASOF LEFT JOIN ord d
              ON e.user_id = d.user_id AND e.ts >= d.order_ts
+    """,
+    "events_retention": """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', ts) AS week
+            FROM events
+        )
+        SELECT a.week,
+               COUNT(*) AS active_users,
+               COUNT(b.user_id) AS retained_next_week,
+               CAST(COUNT(b.user_id) AS DOUBLE)
+                   / NULLIF(COUNT(*), 0) AS retention_rate
+        FROM uw a
+        LEFT JOIN uw b ON b.user_id = a.user_id
+                      AND a.week = b.week - INTERVAL 7 DAY
+        GROUP BY a.week
     """,
     "events_user_stats": """
         SELECT user_id,

@@ -213,6 +213,82 @@ def olap_market_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative revenue per priority by month: pre-aggregate
+    to (priority, month) FIRST — the window then runs over ~#months
+    rows per priority instead of the raw fact, so the sort under the
+    cumulative sum is trivial at any scale. Decimal-exact: monthly
+    sums are exact decimals and the running sum adds a bounded count
+    of them, so both engines agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            # stay TIMESTAMP: both engines' date_trunc yields one, and
+            # a DATE cast maps to different pandas dtypes per engine
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("monthly_dec"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "priority",
+        "month",
+        F.col("monthly_dec").cast("double").alias("monthly_revenue"),
+        F.sum("monthly_dec").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+INACTIVE_CUTOFF = "2000-01-01"  # orders span 1995..2001 (TESTDATA.md)
+
+
+def olap_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders since the cutoff
+    (churned customers). The date filter is pushed into the orders
+    scan BEFORE the anti join; the join shuffles both sides on
+    custkey once (or broadcasts the filtered key set when it fits);
+    no fan-out, no post-filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(INACTIVE_CUTOFF).cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+def olap_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (p25/p50/p75/p90) of order value per
+    priority, via Spark's exact ``percentile`` aggregate (sort-based
+    within group). At 100 TB the documented switch is
+    ``approx_percentile`` (t-digest sketch, mergeable, single pass) —
+    exact here because the oracle gate demands it."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))"
+    )
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            pct.getItem(0).alias("p25"),
+            pct.getItem(1).alias("p50"),
+            pct.getItem(2).alias("p75"),
+            pct.getItem(3).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": olap_pricing_summary,
     "olap_shipping_priority": olap_shipping_priority,
@@ -221,6 +297,9 @@ QUERIES = {
     "olap_top_k_per_group": olap_top_k_per_group,
     "olap_rollup_revenue": olap_rollup_revenue,
     "olap_market_pivot": olap_market_pivot,
+    "olap_running_revenue": olap_running_revenue,
+    "olap_inactive_customers": olap_inactive_customers,
+    "olap_price_percentiles": olap_price_percentiles,
 }
 
 ORACLES = {
@@ -311,6 +390,39 @@ ORACLES = {
                     + GROUPING(o_orderstatus) AS INTEGER) AS grouping_lvl
         FROM orders
         GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS VARCHAR), o_orderstatus)
+    """,
+    "olap_running_revenue": """
+        WITH monthly AS (
+            SELECT o_orderpriority AS priority,
+                   date_trunc('month', o_orderdate) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monthly_dec
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT priority, month,
+               CAST(monthly_dec AS DOUBLE) AS monthly_revenue,
+               CAST(SUM(monthly_dec) OVER (
+                   PARTITION BY priority ORDER BY month
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+        FROM monthly
+    """,
+    "olap_inactive_customers": f"""
+        SELECT c.c_custkey AS custkey, c.c_name AS name,
+               c.c_mktsegment AS segment, c.c_acctbal AS acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{INACTIVE_CUTOFF} 00:00:00'
+        )
+    """,
+    "olap_price_percentiles": """
+        SELECT o_orderpriority AS priority,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
     """,
     "olap_market_pivot": """
         SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
