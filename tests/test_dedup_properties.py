@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from university_data_lakehouse_spark.operators.dedup import (
     NGRAM_TAU,
+    dedup_cluster_canonical,
     dedup_embedding_cosine,
     dedup_embedding_lsh,
     dedup_exact,
@@ -67,6 +68,27 @@ def test_simhash_finds_near_duplicates(spark, sf_dir, jaccard_pairs):
     strong = {p for p, j in jaccard_pairs.items() if j >= 0.95}
     if strong:  # simhash is coarser; require non-trivial overlap
         assert len(strong & sim) / len(strong) >= 0.5
+
+
+def test_cluster_canonical_is_component_min(spark, sf_dir):
+    """Connected-component invariants: both endpoints of every
+    near-dup pair share a canonical id; the canonical id is the
+    component's minimum member; exactly one member per component is
+    flagged canonical."""
+    pairs = [(r.id_a, r.id_b)
+             for r in dedup_minhash_lsh(spark, sf_dir).collect()]
+    labels = {r.doc_id: (r.canonical_id, r.is_canonical)
+              for r in dedup_cluster_canonical(spark, sf_dir).collect()}
+    # every doc in a pair got a label, endpoints agree
+    for a, b in pairs:
+        assert labels[a][0] == labels[b][0], (a, b)
+    # canonical = min of its member set; one canonical per component
+    members: dict[int, set[int]] = {}
+    for doc, (canon, _) in labels.items():
+        members.setdefault(canon, set()).add(doc)
+    for canon, docs in members.items():
+        assert canon == min(docs)
+        assert sum(1 for d in docs if labels[d][1]) == 1
 
 
 def test_embedding_lsh_recall_on_strong_pairs(spark, sf_dir):

@@ -19,8 +19,10 @@ def test_oracle_parity(spark, sf_dir, key):
 
 def test_every_query_has_oracle_or_is_declared_rows_only():
     rows_only = {k for k in QUERIES if k not in ORACLES}
-    # keys intentionally without oracle (approximate by construction)
-    allowed = {"sim_knn_lsh"}
+    # keys intentionally without oracle (approximate by construction;
+    # sim_knn_ivf additionally has float-sum-order-dependent centroid
+    # means) — each carries a pytest recall gate instead
+    allowed = {"sim_knn_lsh", "sim_knn_ivf"}
     assert rows_only <= allowed, f"missing oracles for: {rows_only - allowed}"
 
 

@@ -24,6 +24,7 @@ from university_data_lakehouse_spark.operators.similarity import (
     lsh_candidates,
     lsh_signature,
     sim_knn_bruteforce,
+    sim_knn_ivf,
     sim_knn_lsh,
 )
 
@@ -112,6 +113,30 @@ def test_lsh_candidate_bound(spark, planted_dir):
     # claim: under half the brute-force pair count.
     assert n_cands < 0.5 * n_queries * n_corpus, (n_cands, n_queries * n_corpus)
     assert n_cands >= n_queries * N_PLANTED * 0.9
+
+
+def test_ivf_recall_at_k(spark, planted_dir):
+    """IVF with nprobe=2: a near-duplicate (cos ~0.93) of a query
+    almost always shares the query's nearest or second-nearest
+    coarse cell, so planted neighbors must be recovered."""
+    exact = _topk_sets(sim_knn_bruteforce(spark, planted_dir))
+    approx = _topk_sets(sim_knn_ivf(spark, planted_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.9, f"ivf recall@{TOP_K} = {recall:.3f}"
+
+
+def test_ivf_runs_on_testdata(spark, sf_dir):
+    ivf = sim_knn_ivf(spark, sf_dir)
+    bf = sim_knn_bruteforce(spark, sf_dir)
+    assert ivf.columns == bf.columns
+    # cosines of shared pairs match the exact computation bit-for-bit
+    bf_scores = {(r.query_id, r.neighbor_id): r.cosine for r in bf.collect()}
+    rows = ivf.collect()
+    assert len(rows) > 0
+    for r in rows:
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert bf_scores[(r.query_id, r.neighbor_id)] == r.cosine
 
 
 def test_lsh_runs_on_testdata(spark, sf_dir):

@@ -378,6 +378,81 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs via min-label
+    propagation: every doc in a component converges to the
+    component's minimum doc_id as its canonical id.
+
+    Iterative (non-SQL-expressible): each round joins the current
+    labels with the edge list and takes the min over neighbors —
+    one shuffle per round on doc_id, converging in O(component
+    diameter) rounds (near-dup components are shallow: dup clusters
+    are cliques or short chains, so 2-3 rounds in practice; the
+    driver-side loop only inspects a 1-row convergence count, the
+    data never leaves executors). The label frame is cached per
+    round and the previous round unpersisted — at 100 TB each round
+    would checkpoint to a table instead.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("canonical_id", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "canonical_id", F.coalesce("nbr_min", "canonical_id")
+                ).alias("canonical_id"),
+            )
+            .cache()
+        )
+        changed = (
+            updated.join(
+                labels.select("doc_id", F.col("canonical_id").alias("old")),
+                "doc_id",
+            )
+            .where(F.col("canonical_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc assignment for the whole near-dup graph: MinHash
+    LSH pairs as edges, connected components via min-label
+    propagation, canonical = min doc_id per component. The end-to-end
+    shape of a production dedup pass: candidates → verify → cluster →
+    keep one per cluster. Iterative ⇒ rows-only driver check;
+    component-correctness is property-tested in
+    tests/test_dedup_properties.py."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return cluster_pairs(pairs).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("canonical_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -385,6 +460,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
 }
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
@@ -441,6 +517,41 @@ _SELF_DOT = (
     "(x, y) -> x + y)"
 )
 
+# the MinHash-LSH candidate/verify pipeline as composable CTEs so the
+# pair oracle and the cluster oracle share one definition
+_MINHASH_CTES = f"""
+    {_SH_CTE},
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    banded AS (SELECT doc_id, {_BAND_COLS} FROM sig),
+    melted AS (
+        SELECT doc_id, j AS band_idx, {_BAND_CASE} AS band_hash
+        FROM banded, (SELECT unnest(range(0, {LSH_BANDS})) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM melted x
+        JOIN melted y ON x.band_idx = y.band_idx
+                     AND x.band_hash = y.band_hash
+                     AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+        GROUP BY 1, 2
+    ),
+    mh_pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes na ON id_a = na.doc_id
+        JOIN sizes nb ON id_b = nb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= {NGRAM_TAU}
+    )
+"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT doc_id,
@@ -465,34 +576,25 @@ ORACLES = {
         WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= {NGRAM_TAU}
     """,
     "dedup_minhash_lsh": f"""
-        WITH {_SH_CTE},
-        sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
-        banded AS (SELECT doc_id, {_BAND_COLS} FROM sig),
-        melted AS (
-            SELECT doc_id, j AS band_idx, {_BAND_CASE} AS band_hash
-            FROM banded, (SELECT unnest(range(0, {LSH_BANDS})) AS j)
+        WITH {_MINHASH_CTES}
+        SELECT id_a, id_b, jaccard FROM mh_pairs
+    """,
+    "dedup_cluster_canonical": f"""
+        WITH RECURSIVE {_MINHASH_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM mh_pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM mh_pairs
         ),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-            FROM melted x
-            JOIN melted y ON x.band_idx = y.band_idx
-                         AND x.band_hash = y.band_hash
-                         AND x.doc_id < y.doc_id
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        inter AS (
-            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-            FROM cand c
-            JOIN sh x ON x.doc_id = c.id_a
-            JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
-            GROUP BY 1, 2
+        reach(doc_id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.doc_id
         )
-        SELECT id_a, id_b,
-               CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
-        FROM inter
-        JOIN sizes na ON id_a = na.doc_id
-        JOIN sizes nb ON id_b = nb.doc_id
-        WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= {NGRAM_TAU}
+        SELECT doc_id,
+               MIN(r) AS canonical_id,
+               doc_id = MIN(r) AS is_canonical
+        FROM reach GROUP BY doc_id
     """,
     "dedup_simhash": f"""
         WITH ut AS (

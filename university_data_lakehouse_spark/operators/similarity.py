@@ -156,9 +156,114 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16           # coarse-quantizer centroids
+IVF_NPROBE = 2           # cells probed per query
+IVF_ITERS = 2            # Lloyd refinement rounds
+
+
+def _centroid_scores(centroids: list[list[float]]) -> F.Column:
+    """Array of (cosine-to-centroid, cell-idx) structs for column v.
+    Centroids are pre-normalized driver-side, so the score is one dot
+    per cell — all JVM expressions."""
+    return F.array(
+        *[
+            F.struct(
+                dot(
+                    F.col("v"), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _ivf_centroids(v: DataFrame) -> list[list[float]]:
+    """Deterministic coarse quantizer: seed cells with the IVF_CELLS
+    vectors of smallest md5(vec_id) (engine-independent pseudorandom
+    pick), then IVF_ITERS Lloyd rounds — assignment is a map stage
+    with broadcast centroid literals, the centroid update is ONE
+    shuffle (groupBy cell, 64 column means). Only the K x 64 centroid
+    matrix ever reaches the driver; the corpus never does."""
+    seeds = (
+        v.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(IVF_CELLS)
+        .collect()
+    )
+    centroids = [_normalize([float(x) for x in r["v"]]) for r in seeds]
+    for _ in range(IVF_ITERS):
+        assigned = v.withColumn(
+            "cell", F.array_max(_centroid_scores(centroids)).getField("cell")
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(EMB_DIM)])
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["cell"]] = _normalize([float(r[f"d{i}"]) for i in range(EMB_DIM)])
+        centroids = new
+    return centroids
+
+
+def _normalize(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [x / n for x in vec]
+
+
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning: a
+    deterministic-seeded k-means coarse quantizer buckets the corpus
+    into IVF_CELLS cells; each query probes its IVF_NPROBE nearest
+    cells and exact-cosine re-ranks ONLY the vectors in those cells —
+    the classic cells x nprobe/K cost model (~nprobe/K of the corpus
+    scanned per query vs all of it for brute force).
+
+    Approximate by construction ⇒ rows-only driver check (centroid
+    means also float-sum-order dependent, harmless for ANN); recall
+    vs brute force is pytest-gated in tests/test_similarity.py.
+    """
+    v = _vectors(spark, sf_dir).cache()
+    centroids = _ivf_centroids(v)
+    corpus = v.withColumn(
+        "cell", F.array_max(_centroid_scores(centroids)).getField("cell")
+    )
+    q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("v_q"),
+        F.col("nrm").alias("n_q"),
+        F.col("v").alias("v"),  # for _centroid_scores
+    )
+    probes = q.select(
+        "query_id", "v_q", "n_q",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_centroid_scores(centroids))),
+                1, IVF_NPROBE,
+            ).getField("cell")
+        ).alias("cell"),
+    ).drop("v")
+    cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 QUERIES = {
     "sim_knn_bruteforce": sim_knn_bruteforce,
     "sim_knn_lsh": sim_knn_lsh,
+    "sim_knn_ivf": sim_knn_ivf,
 }
 
 _DOT_QV = (
