@@ -24,7 +24,10 @@ from university_data_lakehouse_spark.streaming.ingestion import (
     landing_stream,
 )
 from university_data_lakehouse_spark.streaming.stateful import sessionize_stream
-from university_data_lakehouse_spark.streaming.windowed import tumbling_counts
+from university_data_lakehouse_spark.streaming.windowed import (
+    streaming_dedup,
+    tumbling_counts,
+)
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
@@ -111,6 +114,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     w8 = [r for r in rows if r.window_start.hour == 8]
     assert w8, rows
     assert all(r.total_value <= 2.0 for r in w8), w8
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replays of an already-seen
+    event_id within the watermark horizon are discarded; distinct
+    ids all pass through."""
+    src = str(tmp_path / "dd_src")
+    chk = str(tmp_path / "dd_chk")
+    _write_batch(spark, src, [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(1), 1, "view", 2.0),
+    ])
+    stream = landing_stream(spark, src, EVENT_SCHEMA).drop(
+        "_ingested_at", "_source_file"
+    )
+    deduped = streaming_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # replay event 1 (same id, later arrival) + one new event
+        _write_batch(spark, src, [
+            (1, _ts(10), 1, "click", 1.0),
+            (3, _ts(11), 2, "view", 3.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT event_id, count(*) AS n FROM dd_out "
+                     "GROUP BY event_id").collect()
+    got = {r.event_id: r.n for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1}, got
 
 
 def test_stateful_sessionize(spark, tmp_path):

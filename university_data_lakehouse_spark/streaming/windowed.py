@@ -41,6 +41,24 @@ def tumbling_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.dedup_exact``:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and discards replays that arrive within the watermark horizon.
+    The watermark bounds the dedup state exactly like it bounds
+    window state — keys older than the horizon are evicted, so state
+    is O(keys per watermark window), not O(stream length). This is
+    the at-least-once → effectively-once repair stage a landing
+    pipeline runs before bronze."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def sliding_value_sum(
     events: DataFrame,
     window_len: str = "1 hour",
