@@ -90,6 +90,25 @@ def test_maybe_broadcast_gate(spark, sf_dir):
     assert "ResolvedHint" not in disabled._jdf.queryExecution().analyzed().toString()
 
 
+def test_salted_join_matches_unsalted(spark, sf_dir):
+    """salted_join must be result-identical to the plain join while
+    spreading each key over n_salts reducers."""
+    from university_data_lakehouse_spark.functions.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = orders.join(cust, "c_custkey")
+    salted = salted_join(orders, cust, ["c_custkey"], n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+
+
 def test_parse_bytes():
     assert parse_bytes("10485760") == 10 << 20
     assert parse_bytes("10MB") == 10 << 20

@@ -56,6 +56,37 @@ def broadcast_bounded(df: DataFrame) -> DataFrame:
     return F.broadcast(df)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster for shuffle joins on hot keys (SURVEY §6).
+
+    The big side gets a deterministic pseudo-random salt in
+    [0, n_salts); the small side is replicated once per salt value.
+    A key that would land its entire partition on one reducer is
+    split across n_salts reducers, at the cost of shuffling the
+    small side n_salts times — use when AQE's skew-join (which
+    splits oversized partitions post-hoc) isn't available or the
+    skew is in an aggregation-feeding join. Result is identical to
+    the unsalted join (pytest-pinned).
+
+    The salt hashes the whole row (all of the big side's columns),
+    so duplicate rows of one hot key still spread: two identical
+    rows share a salt, but real skew comes from many distinct rows
+    per key, which fan out uniformly.
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    small_s = small.withColumn("__salt", F.explode(salts))
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")
+
+
 def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Size-gated broadcast hint for data-proportional tables.
 

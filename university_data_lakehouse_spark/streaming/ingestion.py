@@ -34,9 +34,12 @@ def landing_stream(
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(landing_dir).withColumn(
-        "_ingested_at", F.current_timestamp()
-    ).withColumn("_source_file", F.input_file_name())
+    return (
+        reader.load(landing_dir)
+        .withColumn("_ingested_at", F.current_timestamp())
+        .withColumn("_ingest_date", F.current_date())
+        .withColumn("_source_file", F.input_file_name())
+    )
 
 
 def ingest_available_now(
@@ -45,10 +48,14 @@ def ingest_available_now(
     checkpoint_dir: str,
 ) -> StreamingQuery:
     """One sensor tick: process every not-yet-seen landing file
-    (checkpoint = cursor), append to bronze, stop."""
+    (checkpoint = cursor), append to bronze, stop. The sink
+    partitions by ingest date so bronze scans prune to the days they
+    touch (the 100 TB day-scan-vs-history-scan difference)."""
+    writer = stream_df.writeStream.format("parquet")
+    if "_ingest_date" in stream_df.columns:
+        writer = writer.partitionBy("_ingest_date")
     return (
-        stream_df.writeStream.format("parquet")
-        .option("path", bronze_dir)
+        writer.option("path", bronze_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
