@@ -133,3 +133,23 @@ def test_lineage_edges_shape():
     edges = lineage_edges(SILVER_LINEAGE)
     assert ("bronze/customer.c_name", "silver_dim_customers.full_name") in edges
     assert all(src.startswith("bronze/") for src, _ in edges)
+
+
+def test_catalog_lineage_push():
+    """Table-level lineage export in the reference's catalog REST
+    shape (gold_analytics_component.py:288-308), via a recording
+    transport."""
+    from university_data_lakehouse_spark.plans.lineage import push_lineage
+    from university_data_lakehouse_spark.plans.medallion import medallion_graph
+
+    graph = medallion_graph()
+    sent: list[dict] = []
+    n = push_lineage(graph, sent.append)
+    assert n == len(sent) > 0
+    fqns = {(p["edge"]["fromEntity"]["fqn"], p["edge"]["toEntity"]["fqn"])
+            for p in sent}
+    assert ("bronze.customer", "silver.dim_customers") in fqns
+    assert ("silver.fact_contacts", "gold.status_funnel") in fqns
+    for p in sent:
+        assert p["edge"]["fromEntity"]["type"] == "table"
+        assert p["edge"]["toEntity"]["type"] == "table"

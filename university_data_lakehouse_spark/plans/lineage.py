@@ -127,3 +127,33 @@ def lineage_edges(registry: dict[str, list[dict]]) -> list[tuple[str, str]]:
             for src in col["sources"]:
                 edges.append((src, f"{table}.{col['name']}"))
     return edges
+
+
+def catalog_lineage_payloads(graph) -> list[dict]:
+    """Table-level lineage edges in the catalog REST shape the
+    reference pushes (``gold_analytics_component.py:288-308``:
+    ``PUT /api/v1/lineage`` with ``{"edge": {"fromEntity",
+    "toEntity"}}`` per dependency). One payload per (dep → asset)
+    edge of the asset graph, fqn = asset key with '/' → '.'."""
+    payloads = []
+    for key in sorted(graph.assets):
+        for dep in graph.assets[key].deps:
+            payloads.append({
+                "edge": {
+                    "fromEntity": {"type": "table",
+                                   "fqn": dep.replace("/", ".")},
+                    "toEntity": {"type": "table",
+                                 "fqn": key.replace("/", ".")},
+                }
+            })
+    return payloads
+
+
+def push_lineage(graph, transport) -> int:
+    """Push every lineage edge through ``transport(payload)`` — a
+    callable so tests record, and production PUTs to the catalog's
+    REST endpoint. Returns the number of edges pushed."""
+    payloads = catalog_lineage_payloads(graph)
+    for p in payloads:
+        transport(p)
+    return len(payloads)
