@@ -126,3 +126,19 @@ def test_knn_lsh_subset_of_bruteforce_scores(spark, sf_dir):
         assert r.rank <= TOP_K
         if (r.query_id, r.neighbor_id) in bf:
             assert bf[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_cluster_pairs_raises_on_non_convergence(spark):
+    """ADVICE r3: a component whose diameter exceeds max_iters must
+    raise instead of returning partial (wrong) canonical labels."""
+    from university_data_lakehouse_spark.operators.dedup import cluster_pairs
+
+    # a 6-node chain needs ~5 propagation rounds; cap at 1
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(chain, max_iters=1)
+    # with enough rounds the same chain converges to min-label 0
+    labels = cluster_pairs(chain, max_iters=20)
+    assert {r.canonical_id for r in labels.collect()} == {0}

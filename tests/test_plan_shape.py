@@ -109,6 +109,27 @@ def test_salted_join_matches_unsalted(spark, sf_dir):
     assert a == b
 
 
+def test_salted_join_left_identity_and_refused_types(spark):
+    """left joins (unmatched BIG rows) stay identical under salting;
+    right/full are refused — the small side's unmatched rows would
+    replicate once per salt (ADVICE r3)."""
+    import pytest as _pytest
+
+    from university_data_lakehouse_spark.functions.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w")], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (9, "unmatched")],
+                                  ["k", "dim"])
+    plain = big.join(small, "k", "left")
+    salted = salted_join(big, small, ["k"], n_salts=4, how="left")
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, ["k"], how=bad)
+
+
 def test_parse_bytes():
     assert parse_bytes("10485760") == 10 << 20
     assert parse_bytes("10MB") == 10 << 20

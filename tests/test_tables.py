@@ -118,6 +118,45 @@ def test_merge_delete_unmatched(spark, catalog):
     assert {(r.id, r.val) for r in t.read(spark).collect()} == {(2, "B*")}
 
 
+def test_merge_loses_race_to_concurrent_commit(spark, catalog):
+    """ADVICE r3: a rewrite derived from a stale snapshot must raise
+    CommitConflict (commit at snapshot+1 collides), never silently
+    supersede the concurrent writer."""
+    t = catalog.table("t8")
+    t.write(_df(spark, [(1, "a")]))            # v1
+    snapshot = t.latest_version()
+    t.write(_df(spark, [(2, "b")]), mode="append")  # concurrent writer -> v2
+    with pytest.raises(CommitConflict):
+        t._rewrite(_df(spark, [(1, "A*")]), "merge", base_version=snapshot)
+    # the concurrent commit survived untouched
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {(1, "a"), (2, "b")}
+
+
+def test_merge_refuses_type_change_and_duplicate_keys(spark, catalog):
+    """ADVICE r3: merge goes through the same schema gate as write(),
+    and assert_unique_keys fails fast on a duplicate-key source."""
+    t = catalog.table("t9")
+    t.write(_df(spark, [(1, "a")]))
+    retyped = spark.createDataFrame([Row(id=1, val=2.5)])  # val str -> double
+    with pytest.raises(SchemaMismatch):
+        t.merge(retyped, keys=["id"])
+    dup_src = _df(spark, [(2, "x"), (2, "y")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup_src, keys=["id"], assert_unique_keys=True)
+    # documented default: duplicates insert as-is
+    t.merge(dup_src, keys=["id"])
+    assert t.read(spark).where("id = 2").count() == 2
+
+
+def test_incremental_bootstrap_without_table(spark, sf_dir, catalog):
+    """ADVICE r3: incremental merge into a never-materialized table
+    bootstraps with a full overwrite instead of failing mid-merge."""
+    v = incremental_fact_orders(spark, sf_dir, catalog, since_orderkey=0)
+    t = catalog.table("silver/fact_orders")
+    assert v == 1 and t.manifest()["operation"] == "bootstrap"
+    assert t.read(spark).count() > 0
+
+
 def test_medallion_materializes_tables(spark, sf_dir, catalog):
     g = medallion_graph()
     results = g.materialize(

@@ -72,13 +72,24 @@ def salted_join(
     small side n_salts times — use when AQE's skew-join (which
     splits oversized partitions post-hoc) isn't available or the
     skew is in an aggregation-feeding join. Result is identical to
-    the unsalted join (pytest-pinned).
+    the unsalted join (pytest-pinned) for the supported join types
+    only — inner/left/left_semi/left_anti. For right/full joins the
+    small side's unmatched rows would appear once per salt (the
+    explode replicates them), so those types are refused.
 
     The salt hashes the whole row (all of the big side's columns),
     so duplicate rows of one hot key still spread: two identical
     rows share a salt, but real skew comes from many distinct rows
     per key, which fan out uniformly.
     """
+    safe = {"inner", "left", "leftouter", "semi", "leftsemi",
+            "anti", "leftanti"}
+    if how.lower().replace("_", "") not in safe:
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left/left_semi/left_anti "
+            "are result-identical to the unsalted join (unmatched small-side "
+            "rows replicate once per salt under right/full)"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     big_s = big.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))

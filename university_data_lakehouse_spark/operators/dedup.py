@@ -436,6 +436,13 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        # partial labels would silently split one component into
+        # several canonicals — refuse rather than return wrong output
+        raise RuntimeError(
+            f"cluster_pairs did not converge within {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels
 
 

@@ -75,14 +75,37 @@ def incremental_fact_orders(spark: SparkSession, sf_dir: str, catalog,
     At 100 TB the source slice comes from the landing cursor
     (streaming/ingestion.py); the merge shuffles only slice + table,
     never recomputes history.
+
+    A never-materialized table bootstraps with a full overwrite (a
+    MERGE into nothing is just the initial load) instead of failing
+    mid-merge on a missing manifest.
     """
     full = silver_ops.silver_fact_orders(spark, sf_dir)
+    table = catalog.table("silver/fact_orders")
+    if not table.exists():
+        return table.write(full, mode="overwrite", operation="bootstrap")
     src = full if since_orderkey is None else full.where(
         full.orderkey > since_orderkey
     )
-    return catalog.table("silver/fact_orders").merge(
-        src, keys=["transaction_key"]
+    return table.merge(src, keys=["transaction_key"])
+
+
+def incremental_fact_lineitems(spark: SparkSession, sf_dir: str, catalog,
+                               since_orderkey: int | None = None) -> int:
+    """Composite-key MERGE incremental for silver/fact_lineitems: the
+    lineitem grain's natural key is (orderkey, linenumber), so the
+    upsert anti-joins on BOTH columns — one shuffle on the composite
+    key, exactly the multi-key MERGE tables/format.py already
+    supports. Same bootstrap-on-first-run semantics as
+    incremental_fact_orders."""
+    full = silver_ops.silver_fact_lineitems(spark, sf_dir)
+    table = catalog.table("silver/fact_lineitems")
+    if not table.exists():
+        return table.write(full, mode="overwrite", operation="bootstrap")
+    src = full if since_orderkey is None else full.where(
+        full.orderkey > since_orderkey
     )
+    return table.merge(src, keys=["orderkey", "linenumber"])
 
 
 def medallion_graph() -> AssetGraph:

@@ -194,6 +194,7 @@ class ManagedTable:
         source: DataFrame,
         keys: list[str],
         when_not_matched_by_source: str = "keep",
+        assert_unique_keys: bool = False,
     ) -> int:
         """MERGE INTO target USING source ON keys: matched rows are
         replaced by the source row (WHEN MATCHED UPDATE SET *),
@@ -205,9 +206,27 @@ class ManagedTable:
         merge keys, no row-at-a-time logic. The rewrite touches every
         file the snapshot references; with a partitioned layout the
         anti-join + union would run per matched partition only.
+
+        The source is expected key-unique: a source with duplicate
+        merge keys inserts one row per duplicate (where Delta/Iceberg
+        MERGE would error on multiple matches); pass
+        ``assert_unique_keys=True`` to pay one extra aggregate and
+        fail fast instead.
         """
         spark = source.sparkSession
-        target = self.read(spark)
+        snapshot_version = self.latest_version()
+        if assert_unique_keys:
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            dup = (
+                source.groupBy(*keys).count()
+                .where(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge source has duplicate keys {keys} at {self.path}"
+                )
+        target = self.read(spark, snapshot_version)
         if when_not_matched_by_source == "delete":
             merged = source.select(*target.columns)
             op = "merge_delete_unmatched"
@@ -217,16 +236,30 @@ class ManagedTable:
                 source.select(*target.columns), allowMissingColumns=False
             )
             op = "merge"
-        return self._rewrite(merged, op)
+        return self._rewrite(merged, op, base_version=snapshot_version)
 
-    def _rewrite(self, df: DataFrame, operation: str) -> int:
+    def _rewrite(self, df: DataFrame, operation: str,
+                 base_version: int | None = None) -> int:
+        """Full-snapshot rewrite committed at ``base_version + 1``.
+
+        The base version is the snapshot the rewrite was DERIVED from
+        (captured at merge() entry): a concurrent commit landing after
+        that snapshot was read makes os.link collide and raises
+        CommitConflict, so the losing writer re-reads and retries —
+        rather than silently superseding the concurrent commit.
+        Rewrites go through the same ``_check_schema`` gate as
+        write(), so a merge cannot smuggle in a type change or column
+        drop that an append would refuse."""
+        schema = self._check_schema(df, evolve=False)
         staged = self._stage(df)
-        version = self.latest_version() + 1
+        if base_version is None:
+            base_version = self.latest_version()
+        version = base_version + 1
         self._commit(version, {
             "version": version,
             "ts": time.time(),
             "operation": operation,
-            "schema": json.loads(df.schema.json()),
+            "schema": json.loads(schema.json()),
             "files": staged,
         })
         return version
