@@ -502,22 +502,6 @@ _DOT = (
 )
 
 
-def _emb_lsh_sig_sql() -> str:
-    """DuckDB twin of similarity.lsh_signature: the hyperplanes are
-    deterministic (md5-seeded ±1), so their literals are embedded and
-    the sign-bit fold replays Spark's left-fold dot exactly."""
-    from .similarity import _hyperplanes  # noqa: PLC0415
-
-    bits = []
-    for row in _hyperplanes():
-        lst = "[" + ", ".join(f"{float(x):.1f}" for x in row) + "]"
-        d = (
-            "list_reduce(list_transform(range(1, 65), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lst})[i]), "
-            "(x, y) -> x + y)"
-        )
-        bits.append(f"(CASE WHEN {d} > 0 THEN '1' ELSE '0' END)")
-    return " || ".join(bits)
 _SELF_DOT = (
     "list_reduce(list_transform(range(1, 65), "
     "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
@@ -656,17 +640,20 @@ ORACLES = {
 
 
 def _emb_lsh_oracle() -> str:
-    from .similarity import LSH_BAND_ROWS, LSH_BANDS as EMB_BANDS  # noqa: PLC0415
+    from .similarity import (  # noqa: PLC0415
+        BAND_SQL,
+        LSH_BANDS as EMB_BANDS,
+        lsh_sig_sql,
+    )
 
     return f"""
         WITH v AS (
             SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm
             FROM embeddings
         ),
-        sig AS (SELECT vec_id, {_emb_lsh_sig_sql()} AS sig FROM v),
+        sig AS (SELECT vec_id, {lsh_sig_sql()} AS sig FROM v),
         melted AS (
-            SELECT vec_id, j AS band_idx,
-                   substr(sig, j * {LSH_BAND_ROWS} + 1, {LSH_BAND_ROWS}) AS band
+            SELECT vec_id, j AS band_idx, {BAND_SQL} AS band
             FROM sig, (SELECT unnest(range(0, {EMB_BANDS})) AS j)
         ),
         cand AS (
