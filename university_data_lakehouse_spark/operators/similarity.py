@@ -18,6 +18,7 @@ per-bucket joins.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -223,10 +224,21 @@ def _centroid_scores(centroids: list[list[float]]) -> F.Column:
 def _ivf_centroids(v: DataFrame) -> list[list[float]]:
     """Deterministic coarse quantizer: seed cells with the IVF_CELLS
     vectors of smallest md5(vec_id) (engine-independent pseudorandom
-    pick), then IVF_ITERS Lloyd rounds — assignment is a map stage
-    with broadcast centroid literals, the centroid update is ONE
-    shuffle (groupBy cell, 64 column means). Only the K x 64 centroid
-    matrix ever reaches the driver; the corpus never does."""
+    pick), then IVF_ITERS Lloyd-style rounds — assignment is a map
+    stage with broadcast centroid literals; the update is ONE shuffle
+    (groupBy cell). Only the K x 64 centroid matrix ever reaches the
+    driver; the corpus never does.
+
+    The update is MEDOID-style: each cell's new centroid is the
+    normalized member vector best aligned with the old centroid
+    (max_by on (score, vec_id)). Unlike a float mean — whose value
+    depends on partition summation order, and whose decimal-exact
+    rewrite is not cross-engine-stable (double→decimal casts round
+    shortest-repr HALF_UP in Spark vs true-binary half-even in
+    DuckDB, see functions/money.py) — max_by is exact and
+    order-independent, so the whole quantizer replays bit-for-bit in
+    the DuckDB oracle. It is also the cheaper agg at 100 TB: max_by
+    keeps one 64-float buffer per cell vs collect-or-mean state."""
     seeds = (
         v.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h")
@@ -235,23 +247,28 @@ def _ivf_centroids(v: DataFrame) -> list[list[float]]:
     )
     centroids = [_normalize([float(x) for x in r["v"]]) for r in seeds]
     for _ in range(IVF_ITERS):
-        assigned = v.withColumn(
-            "cell", F.array_max(_centroid_scores(centroids)).getField("cell")
+        best = F.array_max(_centroid_scores(centroids))
+        assigned = v.select(
+            "vec_id", "v",
+            best.getField("cell").alias("cell"),
+            best.getField("score").alias("score"),
         )
-        means = (
+        reps = (
             assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(EMB_DIM)])
+            .agg(F.max_by("v", F.struct("score", "vec_id")).alias("rep"))
             .collect()
         )
         new = list(centroids)
-        for r in means:
-            new[r["cell"]] = _normalize([float(r[f"d{i}"]) for i in range(EMB_DIM)])
+        for r in reps:  # cells with no members keep their centroid
+            new[r["cell"]] = _normalize([float(x) for x in r["rep"]])
         centroids = new
     return centroids
 
 
 def _normalize(vec: list[float]) -> list[float]:
-    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    # math.sqrt (correctly-rounded IEEE) + left-fold sum, so the same
+    # expression replays exactly as sqrt(list_reduce(...)) in DuckDB
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
     return [x / n for x in vec]
 
 
@@ -263,9 +280,12 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic cells x nprobe/K cost model (~nprobe/K of the corpus
     scanned per query vs all of it for brute force).
 
-    Approximate by construction ⇒ rows-only driver check (centroid
-    means also float-sum-order dependent, harmless for ANN); recall
-    vs brute force is pytest-gated in tests/test_similarity.py.
+    Approximate RELATIVE TO brute force, but — with the medoid-style
+    centroid update (_ivf_centroids) — fully deterministic and exact
+    in every arithmetic step, so the entire quantizer + probe + re-rank
+    pipeline replays in DuckDB SQL and the operator is ORACLE-CHECKED.
+    Recall vs brute force is additionally pytest-gated in
+    tests/test_similarity.py.
     """
     v = _vectors(spark, sf_dir).cache()
     centroids = _ivf_centroids(v)
@@ -377,3 +397,102 @@ def _knn_lsh_oracle() -> str:
 
 
 ORACLES["sim_knn_lsh"] = _knn_lsh_oracle()
+
+
+def _knn_ivf_oracle() -> str:
+    """Replay of sim_knn_ivf: seed pick by md5 order, IVF_ITERS
+    unrolled assignment/medoid-update rounds, final cell assignment,
+    nprobe probes per query, exact cosine re-rank. Every float op is a
+    left fold / IEEE div / sqrt — bit-identical to the Spark+Python
+    pipeline (see _ivf_centroids)."""
+
+    def fold(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_transform(range(1, 65), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    def sq(l: str) -> str:
+        return f"list_reduce(list_transform({l}, x -> x * x), (x, y) -> x + y)"
+
+    def unit(l: str) -> str:
+        n = f"(CASE WHEN sqrt({sq(l)}) = 0 THEN 1.0 ELSE sqrt({sq(l)}) END)"
+        return f"list_transform({l}, x -> x / {n})"
+
+    vv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    ctes = [f"""
+        v AS (
+            SELECT vec_id, {vv} AS vv, sqrt({sq(vv)}) AS nrm
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vv, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
+            FROM v
+        ),
+        c0 AS (
+            SELECT cell, {unit('vv')} AS c
+            FROM seeds WHERE cell < {IVF_CELLS}
+        )"""]
+    for r in range(1, IVF_ITERS + 1):
+        prev = f"c{r - 1}"
+        ctes.append(f"""
+        a{r} AS (
+            SELECT vec_id, vv, cell, score FROM (
+                SELECT v.vec_id, v.vv, c.cell,
+                       {fold('v.vv', 'c.c')} AS score,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {fold('v.vv', 'c.c')} DESC, c.cell DESC
+                       ) AS rn
+                FROM v, {prev} c
+            ) WHERE rn = 1
+        ),
+        rep{r} AS (
+            SELECT cell, vv FROM (
+                SELECT cell, vv, ROW_NUMBER() OVER (PARTITION BY cell
+                           ORDER BY score DESC, vec_id DESC) AS rn
+                FROM a{r}
+            ) WHERE rn = 1
+        ),
+        c{r} AS (
+            SELECT p.cell, COALESCE({unit(f'rep{r}.vv')}, p.c) AS c
+            FROM {prev} p LEFT JOIN rep{r} ON rep{r}.cell = p.cell
+        )""")
+    final = f"c{IVF_ITERS}"
+    tail = f"""
+        corpus AS (
+            SELECT vec_id, vv, nrm, cell FROM (
+                SELECT v.vec_id, v.vv, v.nrm, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {fold('v.vv', 'c.c')} DESC, c.cell DESC
+                       ) AS rn
+                FROM v, {final} c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cell FROM (
+                SELECT v.vec_id AS query_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {fold('v.vv', 'c.c')} DESC, c.cell DESC
+                       ) AS rn
+                FROM v, {final} c
+                WHERE v.vec_id % {QUERY_MOD} = 0
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, t.vec_id AS neighbor_id,
+                   {fold('q.vv', 't.vv')} / (q.nrm * t.nrm) AS cosine
+            FROM probes p
+            JOIN corpus t ON t.cell = p.cell AND t.vec_id <> p.query_id
+            JOIN v q ON q.vec_id = p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}"""
+    return "WITH " + ",".join(ctes) + "," + tail
+
+
+ORACLES["sim_knn_ivf"] = _knn_ivf_oracle()
