@@ -80,3 +80,57 @@ def test_landing_to_silver_incremental(spark, sf_dir, rig):
     # freshness: just-ingested bronze passes the erp SLA
     fresh = landing.freshness("erp")
     assert fresh["orders"]["passed"], fresh
+
+
+def test_full_graph_merge_both_facts_and_gold_time_travel(spark, sf_dir, rig):
+    """The whole medallion loop with MERGE incrementality on BOTH fact
+    tables and gold published through the managed-table layer: tick →
+    bronze cursor advance, bootstrap-then-MERGE for fact_orders
+    (single key) and fact_lineitems (composite key), gold snapshots
+    readable at their previous version after a re-publish."""
+    from university_data_lakehouse_spark.plans.medallion import (
+        incremental_fact_lineitems,
+        incremental_fact_orders,
+        medallion_graph,
+    )
+
+    landing, catalog = rig
+
+    # --- landing tick: orders (erp) + lineitem (sis) reach bronze
+    for source, table in (("erp", "orders"), ("sis", "lineitem")):
+        d = landing.landing_dir(source, table)
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(os.path.join(sf_dir, f"{table}.parquet"),
+                    os.path.join(d, "data_001.parquet"))
+        assert landing.tick(source)[table] > 0
+
+    # --- bootstrap both facts (v1), then MERGE a tail slice (v2)
+    assert incremental_fact_orders(spark, sf_dir, catalog) == 1
+    assert incremental_fact_lineitems(spark, sf_dir, catalog) == 1
+    fo, fl = (catalog.table("silver/fact_orders"),
+              catalog.table("silver/fact_lineitems"))
+    n_orders, n_items = fo.read(spark).count(), fl.read(spark).count()
+    mid = fo.read(spark).agg(F.max("orderkey")).collect()[0][0] // 2
+    assert incremental_fact_orders(spark, sf_dir, catalog,
+                                   since_orderkey=mid) == 2
+    assert incremental_fact_lineitems(spark, sf_dir, catalog,
+                                      since_orderkey=mid) == 2
+    # same keys -> pure update; composite-key merge kept the grain
+    assert fo.read(spark).count() == n_orders
+    assert fl.read(spark).count() == n_items
+    assert fl.manifest()["operation"] == "merge"
+
+    # --- gold publishes through the catalog; re-publish + time travel
+    g = medallion_graph()
+    keys = ["gold/order_metrics", "gold/status_funnel"]
+    res1 = g.materialize(spark, sf_dir, keys=keys, catalog=catalog)
+    assert all(r.status == "ok" for r in res1.values()), res1
+    gm = catalog.table("gold/order_metrics")
+    v_first = gm.latest_version()
+    res2 = g.materialize(spark, sf_dir, keys=keys, catalog=catalog)
+    assert all(r.status == "ok" for r in res2.values())
+    assert gm.latest_version() == v_first + 1
+    # previous gold snapshot still readable with identical contents
+    prev = gm.read(spark, version=v_first)
+    assert prev.count() == gm.read(spark).count()
+    assert set(prev.columns) == set(gm.read(spark).columns)
