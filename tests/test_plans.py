@@ -153,3 +153,36 @@ def test_catalog_lineage_push():
     for p in sent:
         assert p["edge"]["fromEntity"]["type"] == "table"
         assert p["edge"]["toEntity"]["type"] == "table"
+
+
+def test_catalog_lineage_push_carries_column_edges():
+    """VERDICT r3 item 7: edge payloads render per-column lineage
+    (reference analog: _build_column_lineage at
+    trino_iceberg_transform_component.py:304)."""
+    from university_data_lakehouse_spark.plans.lineage import push_lineage
+    from university_data_lakehouse_spark.plans.medallion import medallion_graph
+
+    sent: list[dict] = []
+    push_lineage(medallion_graph(), sent.append)
+    by_edge = {(p["edge"]["fromEntity"]["fqn"], p["edge"]["toEntity"]["fqn"]): p
+               for p in sent}
+
+    # silver edge: bronze columns feed silver columns directly
+    cl = by_edge[("bronze.customer", "silver.dim_customers")][
+        "edge"]["lineageDetails"]["columnsLineage"]
+    pairs = {(tuple(c["fromColumns"]), c["toColumn"]) for c in cl}
+    assert (("bronze.customer.c_mktsegment",),
+            "silver.dim_customers.segment") in pairs
+    assert (("bronze.customer.c_name", "bronze.customer.c_mktsegment"),
+            "silver.dim_customers.full_name") in pairs
+    # columns from OTHER bronze deps don't leak onto this edge
+    assert all(f.startswith("bronze.customer.")
+               for c in cl for f in c["fromColumns"])
+
+    # gold edge from a SILVER dep: bronze roots translate through the
+    # dep's own registry (l_quantity -> fact_lineitems.quantity)
+    cl = by_edge[("silver.fact_lineitems", "gold.order_metrics")][
+        "edge"]["lineageDetails"]["columnsLineage"]
+    by_to = {c["toColumn"]: c["fromColumns"] for c in cl}
+    assert "silver.fact_lineitems.quantity" in by_to[
+        "gold.order_metrics.total_qty"]

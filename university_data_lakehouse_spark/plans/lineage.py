@@ -129,23 +129,75 @@ def lineage_edges(registry: dict[str, list[dict]]) -> list[tuple[str, str]]:
     return edges
 
 
+def _registry_for(asset_key: str) -> list[dict] | None:
+    """Asset key ('silver/dim_customers') → its column registry
+    ('silver_dim_customers' in SILVER_LINEAGE/GOLD_LINEAGE)."""
+    name = asset_key.replace("/", "_")
+    return SILVER_LINEAGE.get(name) or GOLD_LINEAGE.get(name)
+
+
+def column_lineage_for_edge(dep: str, asset_key: str) -> list[dict]:
+    """Per-column lineage entries for ONE (dep → asset) table edge:
+    ``{"fromColumns": [...], "toColumn": ...}`` with '.'-separated
+    fqns (the catalog's columnsLineage shape; reference analog:
+    ``trino_iceberg_transform_component.py:304``
+    ``_build_column_lineage``).
+
+    Silver assets record bronze-column sources directly. Gold assets
+    also record bronze roots, so a gold edge from a SILVER dep is
+    derived transitively: the dep's columns whose own bronze sources
+    intersect the gold column's roots are the fromColumns."""
+    cols = _registry_for(asset_key)
+    if not cols:
+        return []
+    out = []
+    to_prefix = asset_key.replace("/", ".")
+    if dep.startswith("bronze/"):
+        for col in cols:
+            froms = [s.replace("/", ".") for s in col["sources"]
+                     if s.startswith(dep + ".")]
+            if froms:
+                out.append({"fromColumns": froms,
+                            "toColumn": f"{to_prefix}.{col['name']}"})
+    else:
+        dep_cols = _registry_for(dep) or []
+        dep_prefix = dep.replace("/", ".")
+        for col in cols:
+            roots = set(col["sources"])
+            froms = [f"{dep_prefix}.{dc['name']}" for dc in dep_cols
+                     if roots & set(dc["sources"])]
+            if froms:
+                out.append({"fromColumns": froms,
+                            "toColumn": f"{to_prefix}.{col['name']}"})
+    return out
+
+
 def catalog_lineage_payloads(graph) -> list[dict]:
-    """Table-level lineage edges in the catalog REST shape the
-    reference pushes (``gold_analytics_component.py:288-308``:
-    ``PUT /api/v1/lineage`` with ``{"edge": {"fromEntity",
-    "toEntity"}}`` per dependency). One payload per (dep → asset)
-    edge of the asset graph, fqn = asset key with '/' → '.'."""
+    """Lineage edges in the catalog REST shape the reference pushes
+    (``gold_analytics_component.py:288-308``: ``PUT /api/v1/lineage``
+    with ``{"edge": {"fromEntity", "toEntity"}}`` per dependency).
+    One payload per (dep → asset) edge of the asset graph, fqn =
+    asset key with '/' → '.'; edges whose endpoints have column
+    registries additionally carry ``lineageDetails.columnsLineage``
+    (the reference attaches the same per-column ``sources`` edges to
+    asset metadata via ``_build_column_lineage``)."""
     payloads = []
     for key in sorted(graph.assets):
         for dep in graph.assets[key].deps:
-            payloads.append({
+            payload = {
                 "edge": {
                     "fromEntity": {"type": "table",
                                    "fqn": dep.replace("/", ".")},
                     "toEntity": {"type": "table",
                                  "fqn": key.replace("/", ".")},
                 }
-            })
+            }
+            columns = column_lineage_for_edge(dep, key)
+            if columns:
+                payload["edge"]["lineageDetails"] = {
+                    "columnsLineage": columns
+                }
+            payloads.append(payload)
     return payloads
 
 
