@@ -27,7 +27,7 @@ def _registries():
 
     modules = [silver]
     for name in ("gold", "quality", "olap", "events", "dedup",
-                 "similarity", "text", "multimodal"):
+                 "similarity", "text", "multimodal", "pipeline"):
         try:
             mod = __import__(
                 f"university_data_lakehouse_spark.operators.{name}",

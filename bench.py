@@ -32,14 +32,19 @@ HEADLINE = [
     "olap_pricing_summary",
     "olap_local_supplier_volume",
     "olap_top_k_per_group",
+    "olap_price_percentiles",
     "events_sessionize",
     "events_asof_join",
+    "events_retention",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "dedup_cluster_canonical",
     "sim_knn_bruteforce",
     "sim_knn_lsh",
+    "sim_knn_ivf",
     "text_quality_score",
+    "multimodal_decoded",
 ]
 
 REPEATS = 3

@@ -18,12 +18,10 @@ def test_oracle_parity(spark, sf_dir, key):
 
 
 def test_every_query_has_oracle_or_is_declared_rows_only():
+    """Since r4 every key — including the approximate ANN paths,
+    which are deterministic and replayed in SQL — has an oracle."""
     rows_only = {k for k in QUERIES if k not in ORACLES}
-    # keys intentionally without oracle (approximate by construction;
-    # sim_knn_ivf additionally has float-sum-order-dependent centroid
-    # means) — each carries a pytest recall gate instead
-    allowed = {"sim_knn_lsh", "sim_knn_ivf"}
-    assert rows_only <= allowed, f"missing oracles for: {rows_only - allowed}"
+    assert rows_only == set(), f"missing oracles for: {rows_only}"
 
 
 def test_entry_smoke(spark):

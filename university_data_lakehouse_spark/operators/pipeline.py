@@ -1,0 +1,265 @@
+"""Corpus-construction operators for training-data pipelines
+(SURVEY §2.12): deterministic stratified sampling, token-budget
+packing, benchmark decontamination, and PII redaction.
+
+These are the steps between "raw deduped documents" and "training
+shards": choose a per-domain mixture, pack documents into
+context-length bins, drop eval-set contamination, scrub PII. All four
+are pure JVM expressions / window functions (zero Python UDFs) and
+all four are oracle-checked.
+
+Scale notes (SURVEY §6):
+- sampling + PII are narrow map stages — embarrassingly parallel;
+- the sampling decision is a pure hash of the row key, so re-runs
+  and backfills pick the SAME rows (no RNG state, no seed file);
+- packing windows are PARTITIONED (by lang here, by shard key at
+  100 TB) — no global sort, one shuffle per partition column;
+- decontamination reuses the cached shingle stage of the dedup suite
+  and keeps only (doc_id, shingle) through its one join; the
+  benchmark side is distinct-projected first (small — benchmark
+  suites are tiny next to a corpus), so AQE broadcasts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import TOKEN_RE
+from ..sources.loader import load_table
+from .dedup import _SH_CTE, _doc_shingle_sets
+
+# --- stratified sampling -------------------------------------------------
+# Per-stratum keep rates expressed as exact 32-bit hex thresholds: a row
+# is kept iff the first 8 hex chars of md5('sample:' || doc_id) sort
+# below the stratum threshold. Fixed-width lowercase hex compares
+# lexicographically == numerically, so the SAME predicate runs in Spark
+# and DuckDB with no float or integer-parsing dialect hazards.
+SAMPLE_RATE_HEX = {"en": "80000000"}      # 0.5 for the dominant stratum
+SAMPLE_DEFAULT_HEX = "40000000"           # 0.25 elsewhere
+
+PACK_BUDGET = 256                         # tokens per packed bin
+
+CONTAM_BENCH_MOD = 10                     # doc_id % 10 == 0 -> benchmark
+CONTAM_TAU = 0.5                          # shingle-overlap flag threshold
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain-mixture
+    weighting): keep a doc iff its salted content-key hash falls under
+    the stratum's rate threshold. Hash-gated sampling is the 100 TB
+    answer to `df.sample()` — no RNG state, stable under re-runs,
+    partitioning, AND late-arriving data (a doc's fate never depends
+    on what else is in its partition)."""
+    doc = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thresh = F.lit(SAMPLE_DEFAULT_HEX)
+    for lang, hx in SAMPLE_RATE_HEX.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(thresh)
+    return (
+        doc.select("doc_id", "lang", key.alias("sample_key"))
+        .where(F.col("sample_key") < thresh)
+    )
+
+
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential token-budget packing: within each lang partition,
+    docs are laid out in doc_id order and cut into bins of
+    PACK_BUDGET tokens — bin_id = floor(tokens-before-this-doc /
+    budget), the contiguous-fill packing a shard writer uses. The
+    window is PARTITIONED (lang here, shard key at scale) so there is
+    no global sort; token counts are ints, so the running sum is
+    exact in any engine."""
+    doc = load_table(spark, sf_dir, "documents")
+    from ..functions.textfns import tokens  # noqa: PLC0415
+
+    nt = F.size(tokens(F.col("text")))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    counted = doc.select("doc_id", "lang", nt.alias("n_tokens"))
+    binned = counted.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            / F.lit(PACK_BUDGET)
+        ),
+    )
+    w2 = Window.partitionBy("lang", "bin_id").orderBy("doc_id")
+    return binned.withColumn("pos_in_bin", F.row_number().over(w2))
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram
+    shingles overlap the held-out benchmark set (doc_id %
+    CONTAM_BENCH_MOD == 0 plays the benchmark here). The join carries
+    only (doc_id, shingle) against the distinct-projected benchmark
+    shingle set — at 100 TB the benchmark side is tiny and
+    broadcasts; training docs never join each other."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sh = sets.select("doc_id", F.explode("ss").alias("s"))
+    bench = (
+        sh.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("s").distinct()
+    )
+    hits = (
+        sh.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    doc = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % CONTAM_BENCH_MOD != 0
+    )
+    ratio = F.coalesce(
+        F.col("n_hits").cast("double") / F.nullif(F.col("n"), F.lit(0)),
+        F.lit(0.0),
+    )
+    return (
+        doc.select("doc_id")
+        .join(sets.select("doc_id", "n"), "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated"),
+            ratio.alias("contamination_ratio"),
+            (ratio >= CONTAM_TAU).alias("is_contaminated"),
+        )
+    )
+
+
+def _augmented_text() -> F.Column:
+    """Documents with synthetic PII appended (deterministic function
+    of doc_id, same construction replayed in the oracle): docs get an
+    email + phone (doc_id % 4 == 0), a phone only (% 4 == 1), or
+    nothing. The testdata contains no organic PII, so — as with
+    multimodal payloads — the operator's detect/scrub mechanics run
+    on bytes it genuinely has to find."""
+    email = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return (
+        F.when(F.col("doc_id") % 4 == 0, F.concat("text", email, phone))
+        .when(F.col("doc_id") % 4 == 1, F.concat("text", phone))
+        .otherwise(F.col("text"))
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email/phone patterns (dialect-
+    portable character-class regexes — no backrefs/lookarounds, so
+    Java regex and RE2 agree). One narrow map stage; the redacted
+    text is fingerprinted (md5) so the output stays thin."""
+    doc = load_table(spark, sf_dir, "documents")
+    aug = _augmented_text()
+    clean = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return doc.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "pack_token_bins": pack_token_bins,
+    "text_contamination": text_contamination,
+    "text_pii_redact": text_pii_redact,
+}
+
+_THRESH_SQL = "CASE WHEN lang = 'en' THEN '{en}' ELSE '{other}' END".format(
+    en=SAMPLE_RATE_HEX["en"], other=SAMPLE_DEFAULT_HEX
+)
+
+_AUG_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com' || ' call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "WHEN doc_id % 4 = 1 THEN text || ' call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "ELSE text END"
+)
+
+ORACLES = {
+    "sample_stratified": f"""
+        SELECT doc_id, lang, sample_key FROM (
+            SELECT doc_id, lang,
+                   substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS sample_key
+            FROM documents
+        ) WHERE sample_key < {_THRESH_SQL}
+    """,
+    "pack_token_bins": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '{TOKEN_RE}')) AS INTEGER) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang
+                                       ORDER BY doc_id) AS cum
+            FROM t
+        ),
+        b AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE)
+                              / {PACK_BUDGET}) AS BIGINT) AS bin_id
+            FROM c
+        )
+        SELECT doc_id, lang, n_tokens, bin_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin_id
+                                       ORDER BY doc_id) AS INTEGER)
+                   AS pos_in_bin
+        FROM b
+    """,
+    "text_contamination": f"""
+        WITH {_SH_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        bench AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT sh.doc_id, COUNT(*) AS n_hits
+            FROM sh JOIN bench USING (s)
+            WHERE sh.doc_id % {CONTAM_BENCH_MOD} <> 0
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(sizes.n, 0) AS n_shingles,
+               COALESCE(hits.n_hits, 0) AS n_contaminated,
+               COALESCE(CAST(hits.n_hits AS DOUBLE) / NULLIF(sizes.n, 0),
+                        0.0) AS contamination_ratio,
+               COALESCE(CAST(hits.n_hits AS DOUBLE) / NULLIF(sizes.n, 0),
+                        0.0) >= {CONTAM_TAU} AS is_contaminated
+        FROM documents d
+        LEFT JOIN sizes ON sizes.doc_id = d.doc_id
+        LEFT JOIN hits ON hits.doc_id = d.doc_id
+        WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
+    """,
+    "text_pii_redact": f"""
+        WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{EMAIL_RE}'))
+                    AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '{PHONE_RE}'))
+                    AS INTEGER) AS n_phones,
+               md5(regexp_replace(regexp_replace(aug, '{EMAIL_RE}',
+                       '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'))
+                   AS clean_md5
+        FROM a
+    """,
+}
