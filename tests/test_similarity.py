@@ -146,3 +146,24 @@ def test_lsh_runs_on_testdata(spark, sf_dir):
     bf = sim_knn_bruteforce(spark, sf_dir)
     assert lsh.columns == bf.columns
     assert lsh.count() > 0
+
+
+def test_signature_udf_matches_expression_fold(spark, sf_dir):
+    """The Arrow/numpy signature kernel must be BIT-IDENTICAL to the
+    definitional JVM left-fold expression on every row — the exactness
+    contract that keeps the LSH operators oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.similarity import (
+        lsh_signature_expr,
+    )
+
+    v = similarity._vectors(spark, sf_dir)
+    neq = (
+        v.select(
+            (lsh_signature(F.col("v")) == lsh_signature_expr(F.col("v"))).alias("e")
+        )
+        .where(~F.col("e"))
+        .count()
+    )
+    assert neq == 0

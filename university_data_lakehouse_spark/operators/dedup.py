@@ -331,14 +331,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as dedup_minhash_lsh; fixes the all-pairs scale-killer of
     dedup_embedding_cosine at the cost of banded-LSH recall).
 
-    A pair is a candidate iff ANY of the b=6 4-bit signature bands
-    matches; the band table carries only (vec_id, band, bsig) — the
+    A pair is a candidate iff ANY of the b=16 8-bit signature bands
+    matches (see similarity.py for the pruning-vs-recall tuning); the
+    band table carries only (vec_id, band, bsig) — the
     vectors are re-joined only for candidate pairs. Because the
     hyperplanes are deterministic (md5-seeded ±1), the full pipeline
     is reproducible in SQL, so this operator is ORACLE-CHECKED even
     though it is approximate relative to the exact baseline.
     """
-    from .similarity import band_signatures, lsh_signature  # noqa: PLC0415
+    from .similarity import lsh_signature  # noqa: PLC0415
 
     emb = load_table(spark, sf_dir, "embeddings")
     # cache: vectors feed both verify sides, signatures feed both
@@ -348,7 +349,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).cache()
     sig = v.select("vec_id", lsh_signature(F.col("v")).alias("sig")).cache()
     bands = sig.select(
-        "vec_id", F.posexplode(band_signatures(F.col("sig"))).alias("band", "bsig")
+        "vec_id", F.posexplode(F.col("sig")).alias("band", "bsig")
     )
     a = bands.select(F.col("vec_id").alias("id_a"), "band", F.col("bsig").alias("bsig_a"))
     b = bands.select(
@@ -407,33 +408,37 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("canonical_id", F.col("doc_id"))
         .cache()
     )
+    prev = labels                  # cached frame the current labels live on
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("canonical_id").alias("nbr_min"))
         )
-        updated = (
+        # ONE join per round: the convergence probe and the label
+        # update are two projections of the same cached joined frame
+        # (labels only ever decrease, so changed == some nbr_min
+        # undercuts the current label)
+        joined = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    "canonical_id", F.coalesce("nbr_min", "canonical_id")
-                ).alias("canonical_id"),
+                "canonical_id",
+                F.coalesce("nbr_min", "canonical_id").alias("nbr_min"),
             )
             .cache()
         )
         changed = (
-            updated.join(
-                labels.select("doc_id", F.col("canonical_id").alias("old")),
-                "doc_id",
-            )
-            .where(F.col("canonical_id") != F.col("old"))
+            joined.where(F.col("nbr_min") < F.col("canonical_id"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = updated
+        prev.unpersist()           # joined is materialized; drop last round
+        prev = joined
+        labels = joined.select(
+            "doc_id",
+            F.least("canonical_id", "nbr_min").alias("canonical_id"),
+        )
         if changed == 0:
             break
     else:
@@ -643,15 +648,17 @@ def _emb_lsh_oracle() -> str:
     from .similarity import (  # noqa: PLC0415
         BAND_SQL,
         LSH_BANDS as EMB_BANDS,
-        lsh_sig_sql,
+        lsh_band_sql_cols,
     )
 
     return f"""
         WITH v AS (
-            SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm
+            SELECT vec_id, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+                   sqrt({_SELF_DOT}) AS nrm
             FROM embeddings
         ),
-        sig AS (SELECT vec_id, {lsh_sig_sql()} AS sig FROM v),
+        sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
         melted AS (
             SELECT vec_id, j AS band_idx, {BAND_SQL} AS band
             FROM sig, (SELECT unnest(range(0, {EMB_BANDS})) AS j)

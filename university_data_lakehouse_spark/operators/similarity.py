@@ -20,16 +20,28 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from ..functions.vector import as_double_vec, dot
 from ..sources.loader import load_table
 
 TOP_K = 10
 QUERY_MOD = 100          # vec_id % 100 == 0 → query set
-LSH_PLANES = 24          # hyperplane signature bits (bands * rows)
-LSH_BAND_ROWS = 4        # AND-amplification within a band
+# Banding tuned for PRUNING, not just recall: with b bands of r bits,
+# a random pair (cos ~ 0) collides with prob ~ b * 2^-r while a strong
+# pair (cos 0.8, p = 1 - theta/pi ~ 0.795) survives with
+# 1-(1-p^r)^b. r3's b=6 x r=4 had 0.95 recall but let ~37% of ALL
+# pairs through as candidates — the verify stage, not the signature,
+# was the cost. b=16 x r=8 keeps recall(0.8) ~ 0.94 and recall(0.93)
+# ~ 0.999 while cutting the random-collision rate to 16/256 ~ 6%.
+LSH_PLANES = 128         # hyperplane signature bits (bands * rows)
+LSH_BAND_ROWS = 8        # AND-amplification within a band
 LSH_BANDS = LSH_PLANES // LSH_BAND_ROWS  # OR-amplification across bands
 EMB_DIM = 64
 
@@ -78,63 +90,93 @@ def _hyperplanes() -> list[list[int]]:
     return planes
 
 
-def lsh_signature(vec_col: F.Column) -> F.Column:
-    """Packed BIGINT signature: bit j = sign of <v, plane_j>.
-
-    Bit-packing (vs the r3 '0'/'1' string concat) keeps the whole
-    signature in one fixed-width integer — no string allocation per
-    row, and band extraction is a shift+mask instead of substring
-    (~40% faster signature stage measured at sf0.1). The dot products
-    stay strict left folds so the sign — and therefore the packed
-    value — is replayable bit-for-bit in DuckDB (lsh_sig_sql)."""
-    bits = []
-    for j, row in enumerate(_hyperplanes()):
-        plane = F.array(*[F.lit(float(x)) for x in row])
-        bits.append(
-            F.when(dot(vec_col, plane) > 0, F.lit(1 << j).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
-def band_signatures(sig_col: F.Column) -> F.Column:
-    """Array of LSH_BANDS band values, each the LSH_BAND_ROWS-bit
-    slice of the packed signature (classic b x r banding, extracted
-    with shift+mask)."""
-    mask = (1 << LSH_BAND_ROWS) - 1
-    return F.array(
-        *[
-            F.shiftright(sig_col, b * LSH_BAND_ROWS).bitwiseAND(F.lit(mask))
-            for b in range(LSH_BANDS)
-        ]
-    )
+def lsh_signature_expr(vec_col: F.Column) -> F.Column:
+    """JVM-expression signature (strict left-fold dots) — the
+    definitional reference implementation. Interpreter-bound at 128
+    planes (~1 ms/row: Spark higher-order functions do not codegen),
+    so the hot path uses the Arrow/numpy twin ``lsh_signature`` below;
+    tests pin the two bit-identical (test_similarity)."""
+    planes = _hyperplanes()
+    bands = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for i in range(LSH_BAND_ROWS):
+            row = planes[b * LSH_BAND_ROWS + i]
+            plane = F.array(*[F.lit(float(x)) for x in row])
+            bits.append(
+                F.when(dot(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            )
+        val = bits[0]
+        for x in bits[1:]:
+            val = val + x
+        bands.append(val)
+    return F.array(*bands)
 
 
-def lsh_sig_sql(vec_expr: str = "embedding") -> str:
-    """DuckDB twin of lsh_signature: the hyperplanes are deterministic
-    (md5-seeded ±1) so their literals embed directly, and the sign-bit
-    fold replays Spark's strict left-fold dot exactly; bit j
-    contributes 2^j to the same packed BIGINT."""
-    terms = []
-    for j, row in enumerate(_hyperplanes()):
-        lst = "[" + ", ".join(f"{float(x):.1f}" for x in row) + "]"
-        d = (
-            "list_reduce(list_transform(range(1, 65), "
-            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lst})[i]), "
-            "(x, y) -> x + y)"
-        )
-        terms.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << j} AS BIGINT) "
-                     "ELSE CAST(0 AS BIGINT) END)")
-    return " + ".join(terms)
+@pandas_udf(ArrayType(IntegerType()))
+def lsh_signature(v: pd.Series) -> pd.Series:
+    """Band-packed signature: array of LSH_BANDS ints, band b's value
+    packing the signs of planes [b*r, (b+1)*r) as bits (bit i = sign
+    of <v, plane_{b*r+i}>).
+
+    Arrow-batched numpy kernel — the one place a Pandas UDF beats the
+    built-ins: 128 dense 64-dim dots/row are ~1 ms in Spark's
+    interpreted higher-order functions vs ~1 µs vectorized. The
+    summation REPLAYS THE STRICT LEFT FOLD bit-for-bit: acc starts at
+    0.0 and gains v[k]*s[k] one k at a time (vectorized across
+    (rows × planes), sequential over k — the same IEEE operation
+    order as F.aggregate and as the oracle's 0.0 + vv[1] - vv[2] ...
+    chains; products by ±1.0 are exact sign flips). Signs, hence
+    band values, are therefore identical to lsh_signature_expr and
+    to DuckDB (pytest-pinned + oracle-checked)."""
+    mat = np.array(_hyperplanes(), dtype=np.float64)      # (P, 64) of ±1
+    weights = 1 << np.arange(LSH_BAND_ROWS)
+    out = []
+    vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
+    if len(vecs) == 0:
+        return pd.Series([], dtype=object)
+    acc = np.zeros((len(vecs), LSH_PLANES))
+    for k in range(EMB_DIM):                              # left fold over k
+        acc += vecs[:, k:k + 1] * mat[:, k][None, :]
+    bits = (acc > 0).astype(np.int64)                     # (N, P)
+    bands = (bits.reshape(len(vecs), LSH_BANDS, LSH_BAND_ROWS)
+             * weights).sum(axis=2)
+    for row in bands:
+        out.append(row.astype("int32").tolist())
+    return pd.Series(out)
+
+
+def lsh_band_sql_cols(vec_expr: str = "vv") -> str:
+    """DuckDB twin of lsh_signature: one ``... AS b{j}`` select-list
+    expression per band, over a pre-cast double list column
+    (``vv``). Because the planes are ±1, each dot is emitted as a
+    direct left-associated ``0.0 + vv[i] - vv[j] ...`` chain — the
+    bit-identical IEEE replay of Spark's strict left fold
+    (``x * ±1.0 ≡ ±x``, ``a - b ≡ a + (-b)``) that DuckDB can
+    vectorize, instead of 128 interpreter-bound list_reduce lambdas
+    (~20x faster oracle)."""
+    planes = _hyperplanes()
+    cols = []
+    for b in range(LSH_BANDS):
+        terms = []
+        for i in range(LSH_BAND_ROWS):
+            row = planes[b * LSH_BAND_ROWS + i]
+            d = "0.0" + "".join(
+                f" {'+' if s > 0 else '-'} {vec_expr}[{k + 1}]"
+                for k, s in enumerate(row)
+            )
+            terms.append(f"(CASE WHEN ({d}) > 0 THEN {1 << i} ELSE 0 END)")
+        cols.append("(" + " + ".join(terms) + f") AS b{b}")
+    return ", ".join(cols)
 
 
 # band melt shared by the sim_knn_lsh / dedup_embedding_lsh oracles:
-# band j of a packed signature is (sig >> j*r) & (2^r - 1)
-BAND_MASK = (1 << LSH_BAND_ROWS) - 1
-BAND_SQL = f"(sig >> (j * {LSH_BAND_ROWS})) & {BAND_MASK}"
+# unnest j over range(0, LSH_BANDS), value = CASE j WHEN 0 THEN b0 ...
+BAND_SQL = (
+    "CASE j "
+    + " ".join(f"WHEN {b} THEN b{b}" for b in range(LSH_BANDS))
+    + " END"
+)
 
 
 def lsh_candidates(v_sig: DataFrame, q_sig: DataFrame) -> DataFrame:
@@ -143,14 +185,13 @@ def lsh_candidates(v_sig: DataFrame, q_sig: DataFrame) -> DataFrame:
     carries only (vec_id, band, band_sig) through the explode — never
     the vector — so the widened stage is ~b small rows per vector; the
     query side is broadcast. Collision probability for a neighbor at
-    angle theta is 1-(1-p^r)^b with p = 1 - theta/pi, e.g. ~0.95 at
-    cos 0.8 (vs ~0.27 for the old single-band full-signature match)."""
+    angle theta is 1-(1-p^r)^b with p = 1 - theta/pi: ~0.94 at
+    cos 0.8, ~0.999 at cos 0.93, vs ~6% for a random pair."""
     v_b = v_sig.select(
-        "vec_id", F.posexplode(band_signatures(F.col("sig"))).alias("band", "bsig")
+        "vec_id", F.posexplode(F.col("sig")).alias("band", "bsig")
     )
     q_b = q_sig.select(
-        "query_id",
-        F.posexplode(band_signatures(F.col("sig_q"))).alias("band", "bsig"),
+        "query_id", F.posexplode(F.col("sig_q")).alias("band", "bsig")
     )
     return (
         v_b.join(F.broadcast(q_b), ["band", "bsig"])
@@ -205,18 +246,33 @@ IVF_ITERS = 2            # Lloyd refinement rounds
 
 
 def _centroid_scores(centroids: list[list[float]]) -> F.Column:
-    """Array of (cosine-to-centroid, cell-idx) structs for column v.
+    """Array of (score-to-centroid, cell-idx) structs for column v.
     Centroids are pre-normalized driver-side, so the score is one dot
-    per cell — all JVM expressions."""
+    per cell.
+
+    The K dense dots ride the same Arrow/numpy left-fold kernel as
+    lsh_signature (sequential accumulation over k — bit-identical to
+    F.aggregate and to the oracle's SQL folds); the struct array is
+    then assembled JVM-side from the materialized score array so the
+    existing array_max / array_sort tie-break semantics (max score,
+    ties → max cell) are untouched."""
+    mat = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def scores_np(v: pd.Series) -> pd.Series:
+        vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        acc = np.zeros((len(vecs), mat.shape[0]))
+        for k in range(EMB_DIM):                          # left fold over k
+            acc += vecs[:, k:k + 1] * mat[:, k][None, :]
+        return pd.Series([row.tolist() for row in acc])
+
+    scores = scores_np(F.col("v"))
     return F.array(
         *[
-            F.struct(
-                dot(
-                    F.col("v"), F.array(*[F.lit(float(x)) for x in c])
-                ).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
+            F.struct(scores[i].alias("score"), F.lit(i).alias("cell"))
+            for i in range(len(centroids))
         ]
     )
 
@@ -367,9 +423,12 @@ def _knn_lsh_oracle() -> str:
     the same (cosine DESC, neighbor_id) tie-break."""
     return f"""
         WITH v AS (
-            SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm FROM embeddings
+            SELECT vec_id, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+                   sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings
         ),
-        sig AS (SELECT vec_id, {lsh_sig_sql()} AS sig FROM v),
+        sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
         melted AS (
             SELECT vec_id, j AS band, {BAND_SQL} AS bsig
             FROM sig, (SELECT unnest(range(0, {LSH_BANDS})) AS j)

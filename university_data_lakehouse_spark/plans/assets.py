@@ -108,6 +108,19 @@ class AssetGraph:
         results: dict[str, AssetResult] = {}
         materialized: dict[str, DataFrame] = {}
         blocked: set[str] = set()
+        try:
+            self._run(spark, sf_dir, order, results, materialized,
+                      blocked, catalog)
+        finally:
+            # release the per-run caches: leaked InMemoryRelations
+            # would otherwise shadow parquet scans (and their filter
+            # pushdown) for every later query in the session
+            for df in materialized.values():
+                df.unpersist()
+        return results
+
+    def _run(self, spark, sf_dir, order, results, materialized, blocked,
+             catalog) -> None:
         for key in order:
             if key in blocked:
                 results[key] = AssetResult(key, "skipped")
@@ -136,4 +149,3 @@ class AssetGraph:
                 if catalog is not None:
                     catalog.write(key, df, mode="overwrite")
                 results[key] = AssetResult(key, "ok", rows, check_outcomes)
-        return results
