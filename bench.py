@@ -33,6 +33,8 @@ HEADLINE = [
     "olap_local_supplier_volume",
     "olap_top_k_per_group",
     "olap_price_percentiles",
+    "olap_min_cost_supplier",
+    "olap_market_share",
     "events_sessionize",
     "events_asof_join",
     "events_retention",

@@ -289,6 +289,95 @@ def olap_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp table, so lineitem plays
+    the supply relation): for each qualifying part, the supplier(s)
+    whose line offers the MINIMUM extended price — the correlated
+    "= (SELECT min(...))" subquery pattern, expressed as a per-part
+    min aggregate joined back on (partkey, price). Ties keep all
+    suppliers, exactly like Q2.
+
+    Scale shape: one shuffle for the per-part min (map-side partial),
+    join-back co-partitioned on the same key (no extra exchange),
+    part/supplier/nation dims broadcast."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") % 5 == 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    min_price = (
+        li.join(maybe_broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .select(F.col("l_partkey").alias("mp_partkey"), "min_price")
+    )
+    offers = (
+        li.join(
+            min_price,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(F.col("l_partkey").alias("partkey"), "l_suppkey", "min_price")
+        .distinct()
+    )
+    return (
+        offers.join(maybe_broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "partkey",
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").alias("supplier_acctbal"),
+            "min_price",
+        )
+    )
+
+
+MARKET_NATION = "GERMANY"
+MARKET_REGION = "EUROPE"
+
+
+def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share within its region
+    per order year — ratio of a conditional decimal sum over the
+    total, both exact, divided in double. Dims broadcast; the fact
+    shuffles once on the join key; the share is computed in the same
+    single aggregation pass (no second scan for the denominator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc = _disc_price()
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == MARKET_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    # conditional sum via null-else WHEN (SUM skips nulls) — identical
+    # CASE semantics in DuckDB; a year with zero nation revenue
+    # coalesces to 0.0 in both engines
+    nation_rev = F.coalesce(
+        F.sum(F.when(F.col("n_name") == MARKET_NATION, disc))
+        .cast("decimal(24,6)").cast("double"),
+        F.lit(0.0),
+    )
+    total_rev = F.sum(disc).cast("decimal(24,6)").cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            nation_rev.alias("nation_revenue"),
+            total_rev.alias("total_revenue"),
+            (nation_rev / total_rev).alias("market_share"),
+        )
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": olap_pricing_summary,
     "olap_shipping_priority": olap_shipping_priority,
@@ -300,9 +389,60 @@ QUERIES = {
     "olap_running_revenue": olap_running_revenue,
     "olap_inactive_customers": olap_inactive_customers,
     "olap_price_percentiles": olap_price_percentiles,
+    "olap_min_cost_supplier": olap_min_cost_supplier,
+    "olap_market_share": olap_market_share,
 }
 
 ORACLES = {
+    "olap_min_cost_supplier": """
+        WITH qual AS (SELECT * FROM part WHERE p_size % 5 = 0),
+        mins AS (
+            SELECT l.l_partkey, MIN(l.l_extendedprice) AS min_price
+            FROM lineitem l JOIN qual p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        ),
+        offers AS (
+            SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey, m.min_price
+            FROM lineitem l
+            JOIN mins m ON l.l_partkey = m.l_partkey
+                       AND l.l_extendedprice = m.min_price
+        )
+        SELECT o.partkey,
+               p.p_name AS part_name,
+               p.p_brand AS brand,
+               s.s_name AS supplier_name,
+               n.n_name AS nation,
+               s.s_acctbal AS supplier_acctbal,
+               o.min_price
+        FROM offers o
+        JOIN qual p ON o.partkey = p.p_partkey
+        JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    "olap_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               COALESCE(CAST(CAST(SUM(CASE WHEN n.n_name = 'GERMANY'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(24,4))
+                             * CAST(1 - l.l_discount AS DECIMAL(12,6)) END)
+                    AS DECIMAL(24,6)) AS DOUBLE), 0.0) AS nation_revenue,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(12,6)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS total_revenue,
+               COALESCE(CAST(CAST(SUM(CASE WHEN n.n_name = 'GERMANY'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(24,4))
+                             * CAST(1 - l.l_discount AS DECIMAL(12,6)) END)
+                    AS DECIMAL(24,6)) AS DOUBLE), 0.0)
+               / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(12,6)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS market_share
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1
+    """,
     "olap_pricing_summary": """
         SELECT l_returnflag AS return_flag,
                l_linestatus AS line_status,
