@@ -222,3 +222,65 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+# ------------------------------------------------- r4 operator plans
+
+
+def test_min_cost_supplier_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """Q2-shape: the min-agg join-back must stay an equi hash join
+    (no cartesian / nested-loop), and the part/supplier/nation dims
+    must broadcast at test SF."""
+    tree = _tree(_plan(olap.olap_min_cost_supplier(spark, sf_dir)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_market_share_single_aggregation_pass(spark, sf_dir):
+    """Q8-shape: nation revenue and total revenue come from ONE
+    aggregate (conditional sum), not two scans of the fact."""
+    plan = _plan(olap.olap_market_share(spark, sf_dir))
+    tree = _tree(plan)
+    assert tree.count("Scan parquet") <= 5, tree  # each table once
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination joins exploded train shingles against the
+    distinct-projected benchmark set — the benchmark side must hash-
+    or broadcast-join (never nested-loop), and the documents scan must
+    prune to the text/doc_id columns."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        text_contamination,
+    )
+
+    plan = _plan(text_contamination(spark, sf_dir))
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("source" not in s for s in schemas), plan
+
+
+def test_sampling_is_scan_plus_filter_only(spark, sf_dir):
+    """Hash-gated sampling must stay a narrow map: scan → project →
+    filter, zero exchanges."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        sample_stratified,
+    )
+
+    tree = _tree(_plan(sample_stratified(spark, sf_dir)))
+    assert "Exchange" not in tree, tree
+
+
+def test_pack_bins_partitioned_window_single_exchange(spark, sf_dir):
+    """Token packing windows are partitioned by lang: both window
+    steps and the row_number share ONE hash exchange on the partition
+    key (plus nothing else) — no global sort."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        pack_token_bins,
+    )
+
+    tree = _tree(_plan(pack_token_bins(spark, sf_dir)))
+    assert tree.count("Exchange") == 1, tree
