@@ -183,3 +183,45 @@ def test_stateful_sessionize(spark, tmp_path):
     }
     # the closed session for user 7 (2 events, value 3.0) must be emitted
     assert (7, 2, 3.0) in out, out
+
+
+def test_corpus_ops_compose_on_streams(spark, sf_dir, tmp_path):
+    """Batch/streaming unification: the corpus-construction narrow
+    maps (sample gate, PII scrub) are stateless transforms, so the
+    SAME functions run unchanged on a readStream of the documents
+    table and produce exactly the batch results."""
+    import os as _os
+
+    from university_data_lakehouse_spark.operators.pipeline import (
+        pii_scrub,
+        sample_gate,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    # file-source streams read directories; testdata ships one file
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    _os.symlink(_os.path.join(sf_dir, "documents.parquet"),
+                stream_dir / "part-0.parquet")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(str(stream_dir))
+    )
+
+    out = {}
+    for name, fn in (("samp", sample_gate), ("pii", pii_scrub)):
+        q = (
+            fn(stream_docs).writeStream.format("memory")
+            .queryName(f"corpus_{name}")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out[name] = {
+            tuple(r) for r in spark.sql(f"SELECT * FROM corpus_{name}").collect()
+        }
+    assert out["samp"] == {tuple(r) for r in sample_gate(batch_docs).collect()}
+    assert out["pii"] == {tuple(r) for r in pii_scrub(batch_docs).collect()}
+    assert len(out["pii"]) > 0

@@ -47,14 +47,10 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
 
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum downsampling (domain-mixture
-    weighting): keep a doc iff its salted content-key hash falls under
-    the stratum's rate threshold. Hash-gated sampling is the 100 TB
-    answer to `df.sample()` — no RNG state, stable under re-runs,
-    partitioning, AND late-arriving data (a doc's fate never depends
-    on what else is in its partition)."""
-    doc = load_table(spark, sf_dir, "documents")
+def sample_gate(doc: DataFrame) -> DataFrame:
+    """DataFrame-level stratified sample gate — a stateless narrow
+    map, so the SAME transform runs on a batch frame or a streaming
+    one (pytest: tests/test_streaming.py stream/batch equivalence)."""
     key = F.substring(
         F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
     )
@@ -65,6 +61,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.select("doc_id", "lang", key.alias("sample_key"))
         .where(F.col("sample_key") < thresh)
     )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain-mixture
+    weighting): keep a doc iff its salted content-key hash falls under
+    the stratum's rate threshold. Hash-gated sampling is the 100 TB
+    answer to `df.sample()` — no RNG state, stable under re-runs,
+    partitioning, AND late-arriving data (a doc's fate never depends
+    on what else is in its partition)."""
+    return sample_gate(load_table(spark, sf_dir, "documents"))
 
 
 def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,12 +160,10 @@ def _augmented_text() -> F.Column:
     )
 
 
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub: count and redact email/phone patterns (dialect-
-    portable character-class regexes — no backrefs/lookarounds, so
-    Java regex and RE2 agree). One narrow map stage; the redacted
-    text is fingerprinted (md5) so the output stays thin."""
-    doc = load_table(spark, sf_dir, "documents")
+def pii_scrub(doc: DataFrame) -> DataFrame:
+    """DataFrame-level PII detect + redact — stateless narrow map,
+    identical on batch and streaming frames (pytest: stream/batch
+    equivalence in tests/test_streaming.py)."""
     aug = _augmented_text()
     clean = F.regexp_replace(
         F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
@@ -170,6 +174,14 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email/phone patterns (dialect-
+    portable character-class regexes — no backrefs/lookarounds, so
+    Java regex and RE2 agree). One narrow map stage; the redacted
+    text is fingerprinted (md5) so the output stays thin."""
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
 QUERIES = {
