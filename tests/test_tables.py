@@ -200,3 +200,35 @@ def test_failed_check_not_committed(spark, sf_dir, catalog, tmp_path):
     res = AssetGraph([bad]).materialize(spark, str(tmp_path), catalog=catalog)
     assert res["silver/bad"].status == "check_failed"
     assert not catalog.table("silver/bad").exists()
+
+
+def test_merge_skips_files_outside_key_range(spark, catalog):
+    """Delta-style data skipping: a MERGE whose source keys fall
+    entirely in one file's range must carry every other file into the
+    new manifest untouched (same file name — never read or
+    rewritten), with footer stats recorded per staged file."""
+    t = catalog.table("t10")
+    low = spark.createDataFrame(
+        [Row(id=i, val=f"v{i}") for i in range(100)]).repartition(1)
+    high = spark.createDataFrame(
+        [Row(id=i, val=f"v{i}") for i in range(1000, 1100)]).repartition(1)
+    t.write(low)                      # v1: one low-range file
+    t.write(high, mode="append")      # v2: + one high-range file
+    before = t.manifest()["files"]
+    assert all(f["stats"].get("id") for f in before), before
+    low_names = {f["name"] for f in before if f["stats"]["id"][1] < 1000}
+    assert low_names
+
+    src = spark.createDataFrame(
+        [Row(id=1005, val="UPDATED"), Row(id=2000, val="NEW")])
+    t.merge(src, keys=["id"])
+    after = {f["name"] for f in t.manifest()["files"]}
+    assert low_names <= after         # untouched files carried over
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got[1005] == "UPDATED" and got[2000] == "NEW"
+    assert got[5] == "v5" and len(got) == 201
+
+    # empty source: nothing matches, nothing rewritten beyond an
+    # empty stage; table contents unchanged
+    t.merge(spark.createDataFrame([], t.read(spark).schema), keys=["id"])
+    assert t.read(spark).count() == 201

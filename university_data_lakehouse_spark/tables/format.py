@@ -20,10 +20,16 @@ Commit protocol (the public Delta/Iceberg core, minimally restated):
 Scale notes: manifests carry the FULL file list per commit — O(files)
 manifest size, fine to ~10^5 files; at true 100 TB scale the log
 would switch to incremental actions + periodic checkpoints exactly as
-Delta does (and the interface here wouldn't change). MERGE rewrites
-only the files that can contain matched keys — with one data file
-that is a table rewrite, with partitioned/bucketed layouts it prunes
-to the touched buckets.
+Delta does (and the interface here wouldn't change).
+
+Data skipping: every staged file records per-column min/max stats
+read from its parquet footer (int/float/string columns — the public
+Delta `stats` idea). MERGE uses them to split the snapshot into files
+whose key ranges overlap the source slice (rewritten through the
+anti-join) and files that cannot contain a matched key (carried into
+the new manifest untouched, never read, never rewritten) — so an
+incremental MERGE against a 100 TB table costs O(touched files +
+source), not O(table).
 
 Reference parity: replaces the Iceberg CTAS materialization at
 ``trino_iceberg_transform_component.py:116-129``.
@@ -42,6 +48,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _MANIFEST_FMT = "v{:08d}.json"
+
+
+def _footer_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] from the parquet footer, for top-level
+    int/float/string columns with statistics. One metadata read per
+    staged file — no data scan."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    skip: set[str] = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for i in range(group.num_columns):
+            col = group.column(i)
+            name = col.path_in_schema
+            if "." in name or name in skip:
+                continue
+            st = col.statistics
+            if (
+                st is None or not st.has_min_max
+                or not isinstance(st.min, (int, float, str))
+                or isinstance(st.min, bool)
+            ):
+                skip.add(name)
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    return {n: [mins[n], maxs[n]] for n in mins if n not in skip}
 
 
 class CommitConflict(RuntimeError):
@@ -116,9 +152,13 @@ class ManagedTable:
         staged = []
         for p in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
             name = f"{uuid.uuid4().hex}-{os.path.basename(p)}"
-            shutil.move(p, os.path.join(self.data_dir, name))
-            staged.append({"name": name, "bytes": os.path.getsize(
-                os.path.join(self.data_dir, name))})
+            dest = os.path.join(self.data_dir, name)
+            shutil.move(p, dest)
+            staged.append({
+                "name": name,
+                "bytes": os.path.getsize(dest),
+                "stats": _footer_stats(dest),
+            })
         shutil.rmtree(tmp, ignore_errors=True)
         return staged
 
@@ -212,12 +252,19 @@ class ManagedTable:
         MERGE would error on multiple matches); pass
         ``assert_unique_keys=True`` to pay one extra aggregate and
         fail fast instead.
+
+        Data skipping: snapshot files whose footer min/max on the
+        merge keys cannot overlap the source's key range are carried
+        into the new manifest UNREAD and UNREWRITTEN; only
+        potentially-matched files go through the anti-join. The
+        ``delete`` mode must see every target row, so it always
+        rewrites the full snapshot.
         """
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         spark = source.sparkSession
         snapshot_version = self.latest_version()
         if assert_unique_keys:
-            from pyspark.sql import functions as F  # noqa: PLC0415
-
             dup = (
                 source.groupBy(*keys).count()
                 .where(F.col("count") > 1).limit(1).count()
@@ -226,21 +273,64 @@ class ManagedTable:
                 raise ValueError(
                     f"merge source has duplicate keys {keys} at {self.path}"
                 )
-        target = self.read(spark, snapshot_version)
+        manifest = self.manifest(snapshot_version)
+        schema = T.StructType.fromJson(manifest["schema"])
         if when_not_matched_by_source == "delete":
+            target = self.read(spark, snapshot_version)
             merged = source.select(*target.columns)
-            op = "merge_delete_unmatched"
-        else:
-            kept = target.join(source.select(*keys), on=keys, how="left_anti")
-            merged = kept.unionByName(
-                source.select(*target.columns), allowMissingColumns=False
-            )
-            op = "merge"
-        return self._rewrite(merged, op, base_version=snapshot_version)
+            return self._rewrite(merged, "merge_delete_unmatched",
+                                 base_version=snapshot_version)
+        bounds_row = source.agg(
+            *[F.min(k).alias(f"mn_{k}") for k in keys],
+            *[F.max(k).alias(f"mx_{k}") for k in keys],
+        ).collect()[0]
+        touched, untouched = [], []
+        for f in manifest["files"]:
+            if self._may_contain(f, keys, bounds_row):
+                touched.append(f)
+            else:
+                untouched.append(f)
+        target = self._read_files(spark, touched, schema)
+        kept = target.join(source.select(*keys), on=keys, how="left_anti")
+        merged = kept.unionByName(
+            source.select(*[fld.name for fld in schema.fields]),
+            allowMissingColumns=False,
+        )
+        return self._rewrite(merged, "merge", base_version=snapshot_version,
+                             carry_files=untouched)
+
+    @staticmethod
+    def _may_contain(file_entry: dict, keys: list[str], bounds_row) -> bool:
+        """Can this file hold a row matching any source key? False
+        only when footer stats PROVE the ranges are disjoint for some
+        key (missing stats ⇒ conservative True; empty source ⇒ no
+        matches possible)."""
+        stats = file_entry.get("stats") or {}
+        for k in keys:
+            smin, smax = bounds_row[f"mn_{k}"], bounds_row[f"mx_{k}"]
+            if smin is None:          # empty source: nothing matches
+                return False
+            rng = stats.get(k)
+            if not rng:
+                continue              # no stats -> cannot prune on k
+            fmin, fmax = rng
+            if smin > fmax or smax < fmin:
+                return False
+        return True
+
+    def _read_files(self, spark: SparkSession, files: list[dict],
+                    schema: T.StructType) -> DataFrame:
+        paths = [os.path.join(self.data_dir, f["name"]) for f in files]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
 
     def _rewrite(self, df: DataFrame, operation: str,
-                 base_version: int | None = None) -> int:
-        """Full-snapshot rewrite committed at ``base_version + 1``.
+                 base_version: int | None = None,
+                 carry_files: list[dict] | None = None) -> int:
+        """Snapshot rewrite committed at ``base_version + 1``:
+        ``carry_files`` (stats-pruned untouched files) join the newly
+        staged files in the manifest without being read or rewritten.
 
         The base version is the snapshot the rewrite was DERIVED from
         (captured at merge() entry): a concurrent commit landing after
@@ -260,7 +350,7 @@ class ManagedTable:
             "ts": time.time(),
             "operation": operation,
             "schema": json.loads(schema.json()),
-            "files": staged,
+            "files": (carry_files or []) + staged,
         })
         return version
 
