@@ -232,3 +232,27 @@ def test_merge_skips_files_outside_key_range(spark, catalog):
     # empty stage; table contents unchanged
     t.merge(spark.createDataFrame([], t.read(spark).schema), keys=["id"])
     assert t.read(spark).count() == 201
+
+
+def test_compact_and_vacuum_lifecycle(spark, catalog):
+    """compact() bin-packs the snapshot into one file; vacuum() drops
+    unreferenced data files + expired manifests, keeps the newest
+    version readable, and respects the min-age safety horizon."""
+    t = catalog.table("t11")
+    t.write(_df(spark, [(1, "a")]).repartition(1))               # v1
+    t.write(_df(spark, [(2, "b")]).repartition(1), mode="append")  # v2
+    assert len(t.manifest()["files"]) == 2
+    v3 = t.compact(spark)
+    assert v3 == 3 and len(t.manifest()["files"]) == 1
+    assert t.manifest()["operation"] == "compact"
+    assert {r.id for r in t.read(spark).collect()} == {1, 2}
+    # pre-compact version still time-travelable until vacuumed
+    assert {r.id for r in t.read(spark, version=2).collect()} == {1, 2}
+
+    # min-age horizon: freshly staged (possibly in-flight) files survive
+    assert t.vacuum(keep_versions=1, min_age_seconds=3600) == []
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) == 2                      # v1+v2 data files gone
+    assert {r.id for r in t.read(spark).collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError):
+        t.manifest(2)                             # expired manifest

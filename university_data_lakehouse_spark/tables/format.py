@@ -355,6 +355,49 @@ class ManagedTable:
         return version
 
 
+    # ------------------------------------------------------ lifecycle
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Bin-pack the current snapshot into ``target_files`` data
+        files (the small-files problem after many incremental
+        MERGEs): a pure rewrite — same rows, new layout, new version;
+        prior versions stay time-travelable until vacuumed."""
+        df = self.read(spark).coalesce(target_files)
+        return self._rewrite(df, "compact")
+
+    def vacuum(self, keep_versions: int = 1,
+               min_age_seconds: float = 0.0) -> list[str]:
+        """Delete data files referenced by NO retained manifest, and
+        drop the manifests older than the newest ``keep_versions``
+        (after which those versions are no longer time-travelable).
+
+        ``min_age_seconds`` is the safety horizon for concurrent
+        writers (public Delta VACUUM semantics): a file younger than
+        the horizon may be a just-staged, not-yet-committed write, so
+        it is never deleted. Returns the deleted data-file names."""
+        vs = self._versions()
+        if not vs:
+            return []
+        retained = vs[-keep_versions:] if keep_versions > 0 else []
+        referenced: set[str] = set()
+        for v in retained:
+            referenced |= {f["name"] for f in self.manifest(v)["files"]}
+        removed = []
+        now = time.time()
+        for fname in os.listdir(self.data_dir) if os.path.isdir(
+                self.data_dir) else []:
+            full = os.path.join(self.data_dir, fname)
+            if fname in referenced or not os.path.isfile(full):
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            os.unlink(full)
+            removed.append(fname)
+        for v in vs[:len(vs) - len(retained)]:
+            os.unlink(os.path.join(self.log_dir, _MANIFEST_FMT.format(v)))
+        return removed
+
+
 class TableCatalog:
     """Name → ManagedTable over one warehouse root (the object-store
     prefix at scale; a local dir in tests)."""
