@@ -97,7 +97,15 @@ def incremental_fact_lineitems(spark: SparkSession, sf_dir: str, catalog,
     upsert anti-joins on BOTH columns — one shuffle on the composite
     key, exactly the multi-key MERGE tables/format.py already
     supports. Same bootstrap-on-first-run semantics as
-    incremental_fact_orders."""
+    incremental_fact_orders.
+
+    Scale note: merging on the NATURAL key also unlocks the table
+    layer's footer-stats data skipping — an orderkey-sloped slice
+    prunes to the tail files. fact_orders merges on its md5 surrogate
+    key, whose uniform distribution makes every file's range overlap
+    (skipping degrades to a full rewrite, correct but unpruned) —
+    the classic reason incremental upserts should key on natural or
+    monotonic columns."""
     full = silver_ops.silver_fact_lineitems(spark, sf_dir)
     table = catalog.table("silver/fact_lineitems")
     if not table.exists():
