@@ -38,6 +38,8 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_join",
     "events_retention",
+    "events_funnel",
+    "olap_late_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",

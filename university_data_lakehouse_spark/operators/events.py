@@ -181,8 +181,48 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel matching (view → click → purchase): per user,
+    the first view, the first click AT/AFTER that view, and the first
+    purchase at/after that click — the ordered-sequence pattern a
+    product-analytics funnel needs (each stage's timestamp must
+    respect the previous stage's, not just co-occur).
+
+    Shape: three conditional-min aggregates, all keyed on user_id —
+    the shuffles share one partitioning, and each stage joins the
+    PREVIOUS stage's 1-row-per-user table (never raw × raw events)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1).alias("reached_stage"),
+        )
+    )
+
+
 QUERIES = {
     "events_windowed_agg": events_windowed_agg,
+    "events_funnel": events_funnel,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_user_stats": events_user_stats,
@@ -212,6 +252,31 @@ _SESSION_SQL = f"""
 """
 
 ORACLES = {
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+                               AND e.ts >= v.t_view
+            WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+                               AND e.ts >= c.t_click
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                    WHEN c.t_click IS NOT NULL THEN 2
+                    ELSE 1 END AS reached_stage
+        FROM v
+        LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id
+    """,
     "events_windowed_agg": """
         SELECT date_trunc('hour', ts) AS window_start,
                event_type,

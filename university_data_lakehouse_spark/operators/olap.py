@@ -378,8 +378,27 @@ def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery as a LEFT SEMI join
+    — count orders per priority having AT LEAST ONE lineitem shipped
+    more than 30 days after the order date. The semi join never
+    duplicates orders (no post-join distinct needed) and shuffles
+    both sides once on the orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": olap_pricing_summary,
+    "olap_late_orders": olap_late_orders,
     "olap_shipping_priority": olap_shipping_priority,
     "olap_local_supplier_volume": olap_local_supplier_volume,
     "olap_revenue_forecast": olap_revenue_forecast,
@@ -394,6 +413,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "olap_late_orders": """
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        )
+        GROUP BY 1
+    """,
     "olap_min_cost_supplier": """
         WITH qual AS (SELECT * FROM part WHERE p_size % 5 = 0),
         mins AS (
