@@ -184,8 +184,53 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+QUALITY_TAU = 0.645     # documents' scores cluster 0.63-0.66; ~median
+
+
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus construction pass — the pipeline a shard
+    writer actually runs, composed from the individual operators:
+
+        exact-dedup canonicals → quality filter (score ≥ τ) →
+        stratified sample gate → token-budget bin packing
+
+    Each stage is the already-oracle-checked operator; composition
+    adds only doc_id equi-joins (which AQE broadcasts — the filter
+    stages emit thin key sets) and the final partitioned packing
+    window. The quality threshold comparison is cross-engine safe
+    because the score itself hash-matches DuckDB bit-for-bit."""
+    from .dedup import dedup_exact  # noqa: PLC0415
+    from .text import text_quality_score  # noqa: PLC0415
+    from ..functions.textfns import tokens  # noqa: PLC0415
+
+    doc = load_table(spark, sf_dir, "documents")
+    canon = dedup_exact(spark, sf_dir).where(~F.col("is_dup")).select("doc_id")
+    good = (
+        text_quality_score(spark, sf_dir)
+        .where(F.col("quality_score") >= QUALITY_TAU)
+        .select("doc_id")
+    )
+    survivors = doc.join(canon, "doc_id").join(good, "doc_id")
+    sampled = sample_gate(survivors).select("doc_id", "lang")
+    counted = (
+        sampled.join(doc.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    binned = counted.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            / F.lit(PACK_BUDGET)
+        ),
+    )
+    w2 = Window.partitionBy("lang", "bin_id").orderBy("doc_id")
+    return binned.withColumn("pos_in_bin", F.row_number().over(w2))
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "corpus_build": corpus_build,
     "pack_token_bins": pack_token_bins,
     "text_contamination": text_contamination,
     "text_pii_redact": text_pii_redact,
@@ -203,6 +248,60 @@ _AUG_SQL = (
     "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
     "ELSE text END"
 )
+
+def _corpus_build_oracle() -> str:
+    """Chained-CTE replay: each stage embeds the stage-operator's own
+    oracle (dedup_exact window, text_quality_score subquery, the
+    sample-gate predicate, the packing windows)."""
+    from .text import ORACLES as TEXT_ORACLES  # noqa: PLC0415
+
+    quality_sql = TEXT_ORACLES["text_quality_score"]
+    return f"""
+        WITH canon AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+                           AS is_dup
+                FROM documents
+            ) WHERE NOT is_dup
+        ),
+        good AS (
+            SELECT doc_id FROM ({quality_sql})
+            WHERE quality_score >= {QUALITY_TAU}
+        ),
+        samp AS (
+            SELECT d.doc_id, d.lang, d.text
+            FROM documents d
+            JOIN canon ON canon.doc_id = d.doc_id
+            JOIN good ON good.doc_id = d.doc_id
+            WHERE substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < {_THRESH_SQL}
+        ),
+        t AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '{TOKEN_RE}')) AS INTEGER) AS n_tokens
+            FROM samp
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang
+                                       ORDER BY doc_id) AS cum
+            FROM t
+        ),
+        b AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE)
+                              / {PACK_BUDGET}) AS BIGINT) AS bin_id
+            FROM c
+        )
+        SELECT doc_id, lang, n_tokens, bin_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin_id
+                                       ORDER BY doc_id) AS INTEGER)
+                   AS pos_in_bin
+        FROM b
+    """
+
 
 ORACLES = {
     "sample_stratified": f"""
@@ -275,3 +374,5 @@ ORACLES = {
         FROM a
     """,
 }
+
+ORACLES["corpus_build"] = _corpus_build_oracle()
