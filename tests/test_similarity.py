@@ -167,3 +167,46 @@ def test_signature_udf_matches_expression_fold(spark, sf_dir):
         .count()
     )
     assert neq == 0
+
+
+def test_ivf_probes_scan_fraction_of_corpus(spark, planted_dir):
+    """The IVF cost-model claim (SURVEY §2.6): each query's probes
+    cover ~IVF_NPROBE/IVF_CELLS of the corpus, so the re-rank touches
+    a small fraction of the vectors brute force would."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_NPROBE,
+        _centroid_scores,
+        _ivf_centroids,
+        _vectors,
+    )
+
+    v = _vectors(spark, planted_dir).cache()
+    centroids = _ivf_centroids(v)
+    corpus = v.withColumn(
+        "cell", F.array_max(_centroid_scores(centroids)).getField("cell")
+    )
+    cell_sizes = {r["cell"]: r["n"] for r in
+                  corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_corpus = sum(cell_sizes.values())
+    probes = (
+        v.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_scores(centroids))),
+                    1, IVF_NPROBE,
+                ).getField("cell")
+            ).alias("cell"),
+        )
+        .collect()
+    )
+    n_queries = len({r["query_id"] for r in probes})
+    scanned = sum(cell_sizes.get(r["cell"], 0) for r in probes)
+    frac = scanned / (n_queries * n_corpus)
+    # nominal nprobe/K = 2/16 = 0.125; allow skewed cells up to ~4x
+    assert frac < 4 * IVF_NPROBE / IVF_CELLS, frac
+    assert frac < 0.5  # always a real saving vs brute force
