@@ -220,9 +220,38 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average of event value per user — a
+    RANGE window frame (interval-bounded, peer-inclusive), the window
+    class ROWS frames can't express. Spark's rangeBetween needs a
+    numeric ordering, so the frame runs over epoch seconds
+    (equivalent to DuckDB's RANGE INTERVAL 1 HOUR PRECEDING — both
+    inclusive of boundary and ts-peers). The average is decimal-sum ÷
+    count so frame-internal float order can't differ between engines.
+    One shuffle on user_id, shared by both window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_value_1h"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
+
+
 QUERIES = {
     "events_windowed_agg": events_windowed_agg,
     "events_funnel": events_funnel,
+    "events_moving_avg": events_moving_avg,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_user_stats": events_user_stats,
@@ -252,6 +281,16 @@ _SESSION_SQL = f"""
 """
 
 ORACLES = {
+    "events_moving_avg": """
+        SELECT user_id, event_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS avg_value_1h,
+               COUNT(*) OVER w AS n_events_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
     "events_funnel": """
         WITH v AS (
             SELECT user_id, MIN(ts) AS t_view FROM events

@@ -190,6 +190,37 @@ def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (return_flag, line_status): all four grouping sets in one
+    pass — the full-lattice sibling of olap_rollup_revenue (ROLLUP
+    emits only the prefix hierarchy; CUBE also emits the
+    (ALL, line_status) slice). Catalyst expands the lattice map-side,
+    so it is still one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+            "l_extendedprice",
+        )
+        .cube("return_flag", "line_status")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.grouping("return_flag") * 2 + F.grouping("line_status")
+            ).cast("int").alias("grouping_lvl"),
+        )
+        .select(
+            F.coalesce("return_flag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("line_status", F.lit("ALL")).alias("line_status"),
+            "revenue",
+            "n_lines",
+            "grouping_lvl",
+        )
+    )
+
+
 def olap_market_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-style conditional aggregation: revenue per order-year ×
     market segment as columns (fixed segment list → static schema,
@@ -404,6 +435,7 @@ QUERIES = {
     "olap_revenue_forecast": olap_revenue_forecast,
     "olap_top_k_per_group": olap_top_k_per_group,
     "olap_rollup_revenue": olap_rollup_revenue,
+    "olap_cube_revenue": olap_cube_revenue,
     "olap_market_pivot": olap_market_pivot,
     "olap_running_revenue": olap_running_revenue,
     "olap_inactive_customers": olap_inactive_customers,
@@ -560,6 +592,17 @@ ORACLES = {
                     + GROUPING(o_orderstatus) AS INTEGER) AS grouping_lvl
         FROM orders
         GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS VARCHAR), o_orderstatus)
+    """,
+    "olap_cube_revenue": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+               COALESCE(l_linestatus, 'ALL') AS line_status,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lines,
+               CAST(GROUPING(l_returnflag) * 2
+                    + GROUPING(l_linestatus) AS INTEGER) AS grouping_lvl
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "olap_running_revenue": """
         WITH monthly AS (
