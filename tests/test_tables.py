@@ -250,9 +250,62 @@ def test_compact_and_vacuum_lifecycle(spark, catalog):
     assert {r.id for r in t.read(spark, version=2).collect()} == {1, 2}
 
     # min-age horizon: freshly staged (possibly in-flight) files survive
+    # — and the DEFAULT horizon is the Delta-style 7 days, so a bare
+    # vacuum() also deletes nothing on a fresh table
+    assert t.vacuum(keep_versions=1) == []
     assert t.vacuum(keep_versions=1, min_age_seconds=3600) == []
-    removed = t.vacuum(keep_versions=1)
+    # manifests whose data files the horizon protected must survive
+    # too: time travel to v2 still works after a no-op vacuum
+    assert {r.id for r in t.read(spark, version=2).collect()} == {1, 2}
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
     assert len(removed) == 2                      # v1+v2 data files gone
     assert {r.id for r in t.read(spark).collect()} == {1, 2}
     with pytest.raises(FileNotFoundError):
         t.manifest(2)                             # expired manifest
+
+
+def test_compact_loses_race_to_concurrent_commit(spark, catalog, monkeypatch):
+    """ADVICE r4: compact() pins its snapshot at entry, so a commit
+    landing while the rewrite job runs makes the compaction raise
+    CommitConflict instead of silently dropping the writer's rows."""
+    t = catalog.table("t12")
+    t.write(_df(spark, [(1, "a")]))                      # v1
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        staged = orig_stage(df)
+        # concurrent writer lands mid-compaction (during the rewrite job)
+        ManagedTable(t.path).write(_df(spark, [(2, "b")]), mode="append")
+        return staged
+
+    monkeypatch.setattr(t, "_stage", racing_stage)
+    with pytest.raises(CommitConflict):
+        t.compact(spark)
+    # the concurrent append survived untouched
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {(1, "a"), (2, "b")}
+
+
+def test_merge_float_key_with_nan_never_pruned(spark, catalog):
+    """ADVICE r4: parquet footer min/max EXCLUDE NaN, while Spark join
+    keys match NaN = NaN — so stats pruning on a float/double merge key
+    could classify a NaN-holding file as disjoint and leave the stale
+    NaN row alongside the newly merged one. Float keys never prune."""
+    import math
+
+    t = catalog.table("t13")
+    nan = float("nan")
+    schema = "k double, val string"
+    # file A: [1.0, NaN"old"] -> footer stats say [1.0, 1.0]
+    t.write(spark.createDataFrame([(1.0, "a"), (nan, "old")], schema)
+            .coalesce(1))
+    # file B: [5.0] (a second file so pruning has something to skip)
+    t.write(spark.createDataFrame([(5.0, "b")], schema).coalesce(1),
+            mode="append")
+    # source bounds = [2.0, NaN]: under naive pruning smin=2.0 > fmax=1.0
+    # would prune file A and orphan its stale NaN row
+    t.merge(spark.createDataFrame([(2.0, "two"), (nan, "NEW")], schema),
+            keys=["k"])
+    rows = t.read(spark).collect()
+    nan_rows = [r for r in rows if math.isnan(r.k)]
+    assert len(nan_rows) == 1 and nan_rows[0].val == "NEW"
+    assert {r.val for r in rows} == {"a", "b", "two", "NEW"}

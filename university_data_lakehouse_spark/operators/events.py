@@ -224,16 +224,19 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving average of event value per user — a
     RANGE window frame (interval-bounded, peer-inclusive), the window
     class ROWS frames can't express. Spark's rangeBetween needs a
-    numeric ordering, so the frame runs over epoch seconds
-    (equivalent to DuckDB's RANGE INTERVAL 1 HOUR PRECEDING — both
-    inclusive of boundary and ts-peers). The average is decimal-sum ÷
-    count so frame-internal float order can't differ between engines.
-    One shuffle on user_id, shared by both window functions."""
+    numeric ordering, so the frame runs over FULL-PRECISION epoch
+    microseconds (equivalent to DuckDB's window over epoch_us with a
+    3.6e9-µs RANGE — both inclusive of boundary and ts-peers; a
+    whole-second cast would collapse sub-second events into RANGE
+    peers and shift the trailing boundary by the fraction). The
+    average is decimal-sum ÷ count so frame-internal float order
+    can't differ between engines. One shuffle on user_id, shared by
+    both window functions."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "user_id",
@@ -287,8 +290,8 @@ ORACLES = {
                    / COUNT(*) OVER w AS avg_value_1h,
                COUNT(*) OVER w AS n_events_1h
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING
                            AND CURRENT ROW)
     """,
     "events_funnel": """

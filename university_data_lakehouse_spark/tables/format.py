@@ -284,9 +284,18 @@ class ManagedTable:
             *[F.min(k).alias(f"mn_{k}") for k in keys],
             *[F.max(k).alias(f"mx_{k}") for k in keys],
         ).collect()[0]
+        # NaN soundness: Spark join/grouping treat NaN = NaN as a match,
+        # but parquet footer min/max EXCLUDE NaN — a file whose only
+        # matching rows are NaN-keyed would look disjoint. Float/double
+        # merge keys are therefore never pruned on.
+        unprunable = {
+            fld.name for fld in schema.fields
+            if fld.name in keys
+            and isinstance(fld.dataType, (T.FloatType, T.DoubleType))
+        }
         touched, untouched = [], []
         for f in manifest["files"]:
-            if self._may_contain(f, keys, bounds_row):
+            if self._may_contain(f, keys, bounds_row, unprunable):
                 touched.append(f)
             else:
                 untouched.append(f)
@@ -300,14 +309,22 @@ class ManagedTable:
                              carry_files=untouched)
 
     @staticmethod
-    def _may_contain(file_entry: dict, keys: list[str], bounds_row) -> bool:
+    def _may_contain(file_entry: dict, keys: list[str], bounds_row,
+                     unprunable: set[str] | None = None) -> bool:
         """Can this file hold a row matching any source key? False
         only when footer stats PROVE the ranges are disjoint for some
         key (missing stats ⇒ conservative True; empty source ⇒ no
-        matches possible)."""
+        matches possible; ``unprunable`` keys — float/double, whose
+        footer stats exclude NaN — never prune)."""
         stats = file_entry.get("stats") or {}
         for k in keys:
             smin, smax = bounds_row[f"mn_{k}"], bounds_row[f"mx_{k}"]
+            if k in (unprunable or ()):
+                # a float key can still witness an empty source (NaN
+                # bounds are non-null), so only the range test is skipped
+                if smin is None and smax is None:
+                    return False
+                continue
             if smin is None:          # empty source: nothing matches
                 return False
             rng = stats.get(k)
@@ -361,20 +378,41 @@ class ManagedTable:
         """Bin-pack the current snapshot into ``target_files`` data
         files (the small-files problem after many incremental
         MERGEs): a pure rewrite — same rows, new layout, new version;
-        prior versions stay time-travelable until vacuumed."""
-        df = self.read(spark).coalesce(target_files)
-        return self._rewrite(df, "compact")
+        prior versions stay time-travelable until vacuumed.
+
+        The snapshot version is pinned at entry (same OCC discipline as
+        merge()): a commit landing while the rewrite job runs makes the
+        compaction's own commit collide and raise CommitConflict instead
+        of silently superseding the concurrent writer's rows."""
+        v = self.latest_version()
+        df = self.read(spark, v).coalesce(target_files)
+        return self._rewrite(df, "compact", base_version=v)
+
+    #: Public-Delta default VACUUM retention: 7 days.  Staged-but-not-yet
+    #: -committed files from an in-flight writer exist on disk before
+    #: their manifest does (the _stage window spans the whole Spark
+    #: write), so a shorter horizon risks deleting a live writer's files.
+    DEFAULT_VACUUM_HORIZON = 7 * 24 * 3600.0
 
     def vacuum(self, keep_versions: int = 1,
-               min_age_seconds: float = 0.0) -> list[str]:
+               min_age_seconds: float | None = None) -> list[str]:
         """Delete data files referenced by NO retained manifest, and
-        drop the manifests older than the newest ``keep_versions``
-        (after which those versions are no longer time-travelable).
+        drop non-retained manifests (after which those versions are no
+        longer time-travelable) — but only once every data file they
+        reference is actually reclaimed or still retained, so a
+        min-age-protected data file keeps its manifest (and thus time
+        travel to it) alive.
 
         ``min_age_seconds`` is the safety horizon for concurrent
         writers (public Delta VACUUM semantics): a file younger than
         the horizon may be a just-staged, not-yet-committed write, so
-        it is never deleted. Returns the deleted data-file names."""
+        it is never deleted.  Defaults to 7 days
+        (:data:`DEFAULT_VACUUM_HORIZON`), matching public Delta; pass
+        an explicit smaller value only when no concurrent writer can
+        exist (tests, single-writer maintenance windows).  Returns the
+        deleted data-file names."""
+        if min_age_seconds is None:
+            min_age_seconds = self.DEFAULT_VACUUM_HORIZON
         vs = self._versions()
         if not vs:
             return []
@@ -394,6 +432,13 @@ class ManagedTable:
             os.unlink(full)
             removed.append(fname)
         for v in vs[:len(vs) - len(retained)]:
+            mfiles = {f["name"] for f in self.manifest(v)["files"]}
+            if any(
+                n not in referenced
+                and os.path.isfile(os.path.join(self.data_dir, n))
+                for n in mfiles
+            ):
+                continue  # horizon still protects its data: keep manifest
             os.unlink(os.path.join(self.log_dir, _MANIFEST_FMT.format(v)))
         return removed
 
