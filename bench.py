@@ -52,7 +52,7 @@ HEADLINE = [
     "corpus_build",
 ]
 
-REPEATS = 3
+REPEATS = 5  # this VM shows 3-5x run-to-run jitter; 5-run median is robust
 
 
 def main() -> None:
@@ -62,34 +62,64 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     queries = entry_mod.queries()
 
-    # warmup: touch the biggest table so JVM + parquet footer caches are hot
+    # warmup: touch the biggest table so JVM + parquet footer caches are
+    # hot, then one UNTIMED throwaway of the first headline query — the
+    # first DataFrame query pays residual codegen/analyzer warmup that
+    # otherwise lands on whichever query happens to run first
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    first = queries.get(HEADLINE[0])
+    if first is not None:
+        first(spark, sf_dir).count()
+        spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
-        fn = queries.get(key)
-        if fn is None:
-            continue
-        runs = []
-        n = 0
+    def time_key(key: str, d: str) -> tuple[float, int]:
+        runs, n = [], 0
         for _ in range(REPEATS):
             spark.catalog.clearCache()  # pay shared-stage cost every run
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
+            df = queries[key](spark, d)
             n = df.count()
             runs.append(time.perf_counter() - t0)
-        timings[key] = round(sorted(runs)[len(runs) // 2], 3)
-        print(f"# {key}: {timings[key]}s median of "
+        med = round(sorted(runs)[len(runs) // 2], 3)
+        print(f"# {key}: {med}s median of "
               f"{[round(r, 3) for r in runs]} ({n} rows)", file=sys.stderr)
+        return med, n
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        if key in queries:
+            timings[key], _ = time_key(key, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+
+    # scaling slope: re-time the 5 most expensive headline queries at a
+    # second (smaller) scale factor so per-round numbers carry a
+    # data-size derivative, not just a single point
+    scaling: dict = {}
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.01")
+    if os.path.isdir(scale_dir) and os.path.realpath(
+            scale_dir) != os.path.realpath(sf_dir):
+        scale_sf = scale_dir.rstrip("/").rsplit("sf", 1)[-1]
+        top5 = sorted(timings, key=timings.get, reverse=True)[:5]
+        print(f"# scaling run at sf{scale_sf}: {top5}", file=sys.stderr)
+        small = {k: time_key(k, scale_dir)[0] for k in top5}
+        scaling = {
+            "sf": float(scale_sf),
+            "queries": small,
+            "total": round(sum(small.values()), 3),
+        }
+
+    out = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -272,8 +272,8 @@ def test_compact_loses_race_to_concurrent_commit(spark, catalog, monkeypatch):
     t.write(_df(spark, [(1, "a")]))                      # v1
     orig_stage = t._stage
 
-    def racing_stage(df):
-        staged = orig_stage(df)
+    def racing_stage(df, partition_by=None):
+        staged = orig_stage(df, partition_by=partition_by)
         # concurrent writer lands mid-compaction (during the rewrite job)
         ManagedTable(t.path).write(_df(spark, [(2, "b")]), mode="append")
         return staged
@@ -309,3 +309,75 @@ def test_merge_float_key_with_nan_never_pruned(spark, catalog):
     nan_rows = [r for r in rows if math.isnan(r.k)]
     assert len(nan_rows) == 1 and nan_rows[0].val == "NEW"
     assert {r.val for r in rows} == {"a", "b", "two", "NEW"}
+
+
+def test_partitioned_layout_pruned_read_and_merge(spark, catalog):
+    """VERDICT r4 #3: Hive/Iceberg-style partition layout. A read with
+    a partition predicate lists ONLY that partition's files (manifest
+    pruning, no footers opened), and a MERGE against one date partition
+    carries every other partition's files into the new manifest with
+    unchanged names — untouched, unread, unrewritten."""
+    t = catalog.table("t14")
+    schema = "id int, day string, val string"
+    t.write(spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+         (3, "2024-01-02", "c"), (4, "2024-01-03", "d")], schema),
+        partition_by=["day"])
+    m = t.manifest()
+    assert m["partition_by"] == ["day"]
+    assert all(f["name"].startswith("day=") for f in m["files"])
+    assert all("partition_values" in f for f in m["files"])
+
+    # pruned read: only the matching partition's files reach the scan
+    sub = t.read(spark, partition_filter={"day": "2024-01-02"})
+    assert all("day=2024-01-02" in p for p in sub.inputFiles())
+    assert {r.id for r in sub.collect()} == {3}
+    # list-valued predicate
+    two = t.read(spark,
+                 partition_filter={"day": ["2024-01-01", "2024-01-03"]})
+    assert {r.id for r in two.collect()} == {1, 2, 4}
+    with pytest.raises(ValueError, match="non-partition columns"):
+        t.read(spark, partition_filter={"val": "a"})
+    # partition column is reconstituted from the path on a full read
+    full = {(r.id, r.day) for r in t.read(spark).collect()}
+    assert full == {(1, "2024-01-01"), (2, "2024-01-01"),
+                    (3, "2024-01-02"), (4, "2024-01-03")}
+
+    # MERGE into one partition (partition col ∈ merge keys): every
+    # other partition's file survives BY NAME in the new manifest.
+    # Note the staged data files do not even contain `day`, so footer
+    # stats cannot prune on it — only manifest partition values can,
+    # and id=4's file overlaps the source id range [3,9] besides.
+    other = {f["name"] for f in m["files"]
+             if f["partition_values"]["day"] != "2024-01-02"}
+    t.merge(spark.createDataFrame(
+        [(3, "2024-01-02", "C*"), (9, "2024-01-02", "new")], schema),
+        keys=["id", "day"])
+    after = {f["name"] for f in t.manifest()["files"]}
+    assert other <= after
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "C*"), (9, "new"), (4, "d")}
+
+    # spec is inherited by later writes and cannot be changed in place
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.write(spark.createDataFrame([(5, "2024-01-04", "e")], schema),
+                mode="append", partition_by=["val"])
+    t.write(spark.createDataFrame([(5, "2024-01-04", "e")], schema),
+            mode="append")
+    assert t.read(
+        spark, partition_filter={"day": "2024-01-04"}).count() == 1
+
+    # compact + vacuum keep the partitioned layout intact
+    t.compact(spark)
+    assert all("partition_values" in f for f in t.manifest()["files"])
+    assert {r.id for r in t.read(spark).collect()} == {1, 2, 3, 4, 5, 9}
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert removed
+    assert {r.id for r in t.read(spark).collect()} == {1, 2, 3, 4, 5, 9}
+
+
+def test_partition_spec_refuses_float_columns(spark, catalog):
+    t = catalog.table("t15")
+    with pytest.raises(SchemaMismatch, match="partition column"):
+        t.write(spark.createDataFrame([(1.5, "a")], "p double, val string"),
+                partition_by=["p"])

@@ -42,6 +42,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -131,34 +132,100 @@ class ManagedTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def partition_by(self, version: int | None = None) -> list[str]:
+        return list(self.manifest(version).get("partition_by") or [])
+
+    @staticmethod
+    def _pv_str(value) -> str:
+        """Python value → the string Spark writes into a Hive-style
+        partition path (None → the Hive default-partition sentinel)."""
+        if value is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        return str(value)
+
+    @classmethod
+    def _partition_match(cls, file_entry: dict, wanted: dict) -> bool:
+        """Manifest-level pruning: keep the file iff its recorded
+        partition values satisfy every predicate (value or list of
+        values). A file with NO recorded value for a filtered column
+        (pre-partitioning generation) is conservatively kept."""
+        pvals = file_entry.get("partition_values") or {}
+        for col, want in wanted.items():
+            got = pvals.get(col)
+            if got is None:
+                continue
+            accept = want if isinstance(want, (list, tuple, set)) else [want]
+            if got not in {cls._pv_str(w) for w in accept}:
+                return False
+        return True
+
+    def read(self, spark: SparkSession, version: int | None = None,
+             partition_filter: dict | None = None) -> DataFrame:
+        """Snapshot read. ``partition_filter`` ({col: value-or-list})
+        prunes whole partitions from the manifest alone — zero footers
+        opened, zero files listed outside the matching partitions (the
+        Iceberg manifest-pruning behavior; at 100 TB this is the
+        difference between touching one date directory and the table)."""
         m = self.manifest(version)
-        files = [os.path.join(self.data_dir, f["name"]) for f in m["files"]]
+        pby = m.get("partition_by") or []
+        entries = m["files"]
+        if partition_filter:
+            unknown = set(partition_filter) - set(pby)
+            if unknown:
+                raise ValueError(
+                    f"partition_filter on non-partition columns {sorted(unknown)}; "
+                    f"table is partitioned by {pby}"
+                )
+            entries = [f for f in entries
+                       if self._partition_match(f, partition_filter)]
         schema = T.StructType.fromJson(m["schema"])
-        if not files:
-            return spark.createDataFrame([], schema)
-        # explicit schema (from the manifest, like Delta's metadata)
-        # keeps mixed-generation files readable after column adds
-        return spark.read.schema(schema).parquet(*files)
+        return self._read_files(spark, entries, schema, partitioned=bool(pby))
 
     # ---------------------------------------------------------- write
 
-    def _stage(self, df: DataFrame) -> list[dict]:
+    def _stage(self, df: DataFrame,
+               partition_by: list[str] | None = None) -> list[dict]:
         """Write df's partitions as uniquely named parquet files in
-        data/; they are invisible until a manifest references them."""
+        data/; they are invisible until a manifest references them.
+
+        With ``partition_by``, files land under Hive-style
+        ``col=value/`` directories (Spark's own partitioned layout —
+        the partition columns live in the path, not the data files,
+        exactly as Delta/Hive lay tables out) and each file entry
+        records its ``partition_values`` so readers and MERGE can prune
+        whole partitions from the MANIFEST alone, before any footer —
+        the Iceberg partition-spec idea."""
         os.makedirs(self.data_dir, exist_ok=True)
         tmp = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         staged = []
-        for p in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+        pattern = os.path.join(tmp, "**", "part-*.parquet")
+        for p in sorted(glob.glob(pattern, recursive=True)):
+            rel_dir = os.path.relpath(os.path.dirname(p), tmp)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    col, _, val = seg.partition("=")
+                    pvals[col] = urllib.parse.unquote(val)
             name = f"{uuid.uuid4().hex}-{os.path.basename(p)}"
-            dest = os.path.join(self.data_dir, name)
+            rel_name = (
+                name if rel_dir == "."
+                else "/".join([*rel_dir.split(os.sep), name])
+            )
+            dest = os.path.join(self.data_dir, *rel_name.split("/"))
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
             shutil.move(p, dest)
-            staged.append({
-                "name": name,
+            entry = {
+                "name": rel_name,
                 "bytes": os.path.getsize(dest),
                 "stats": _footer_stats(dest),
-            })
+            }
+            if pvals:
+                entry["partition_values"] = pvals
+            staged.append(entry)
         shutil.rmtree(tmp, ignore_errors=True)
         return staged
 
@@ -201,18 +268,50 @@ class ManagedTable:
         fields = list(cur.fields) + [f for f in new.fields if f.name in added]
         return T.StructType(fields)
 
+    def _resolve_partition_spec(
+            self, partition_by: list[str] | None) -> list[str]:
+        """Inherit the table's spec when none is given; refuse a spec
+        change on an existing table (repartitioning is a rewrite, not
+        a write — same rule as Delta/Iceberg)."""
+        current = self.partition_by() if self.exists() else []
+        if partition_by is None:
+            return current
+        if current and list(partition_by) != current:
+            raise ValueError(
+                f"table {self.path} is partitioned by {current}; "
+                f"cannot write with partition_by={list(partition_by)}"
+            )
+        return list(partition_by)
+
     def write(
         self,
         df: DataFrame,
         mode: str = "overwrite",
         evolve: bool = False,
         operation: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
-        """ACID append/overwrite; returns the committed version."""
+        """ACID append/overwrite; returns the committed version.
+
+        ``partition_by`` (identity columns, set on first write and
+        inherited afterwards) lays data out under Hive-style partition
+        directories so reads and MERGEs can prune at the manifest."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode {mode!r}")
+        pby = self._resolve_partition_spec(partition_by)
+        missing = [c for c in pby if c not in df.columns]
+        if missing:
+            raise SchemaMismatch(
+                f"partition columns {missing} absent from dataframe"
+            )
+        for c in pby:
+            if isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType)):
+                raise SchemaMismatch(
+                    f"float/double partition column {c!r}: path-encoded "
+                    "partition values cannot represent NaN/precision soundly"
+                )
         schema = self._check_schema(df, evolve)
-        staged = self._stage(df)
+        staged = self._stage(df, partition_by=pby or None)
         base = self._versions()
         version = (base[-1] + 1) if base else 1
         files = staged
@@ -223,6 +322,7 @@ class ManagedTable:
             "ts": time.time(),
             "operation": operation or mode,
             "schema": json.loads(schema.json()),
+            "partition_by": pby,
             "files": files,
         })
         return version
@@ -275,11 +375,25 @@ class ManagedTable:
                 )
         manifest = self.manifest(snapshot_version)
         schema = T.StructType.fromJson(manifest["schema"])
+        pby = manifest.get("partition_by") or []
         if when_not_matched_by_source == "delete":
             target = self.read(spark, snapshot_version)
             merged = source.select(*target.columns)
             return self._rewrite(merged, "merge_delete_unmatched",
                                  base_version=snapshot_version)
+        # partition pruning (manifest-level, before any footer): SOUND
+        # only when the partition columns are part of the merge keys —
+        # then key equality pins a match to the source row's partition,
+        # so files in other partitions cannot hold matches. This is the
+        # Delta rule for partition-pruned MERGE. The distinct partition
+        # set of the source is metadata-sized (one tuple per touched
+        # partition), not data-sized.
+        source_parts: set[tuple] | None = None
+        if pby and set(pby) <= set(keys):
+            source_parts = {
+                tuple(self._pv_str(row[c]) for c in pby)
+                for row in source.select(*pby).distinct().collect()
+            }
         bounds_row = source.agg(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
             *[F.max(k).alias(f"mx_{k}") for k in keys],
@@ -295,11 +409,17 @@ class ManagedTable:
         }
         touched, untouched = [], []
         for f in manifest["files"]:
-            if self._may_contain(f, keys, bounds_row, unprunable):
+            in_partition = True
+            if source_parts is not None and f.get("partition_values"):
+                fp = tuple(f["partition_values"].get(c) for c in pby)
+                in_partition = fp in source_parts
+            if in_partition and self._may_contain(
+                    f, keys, bounds_row, unprunable):
                 touched.append(f)
             else:
                 untouched.append(f)
-        target = self._read_files(spark, touched, schema)
+        target = self._read_files(spark, touched, schema,
+                                  partitioned=bool(pby))
         kept = target.join(source.select(*keys), on=keys, how="left_anti")
         merged = kept.unionByName(
             source.select(*[fld.name for fld in schema.fields]),
@@ -336,11 +456,19 @@ class ManagedTable:
         return True
 
     def _read_files(self, spark: SparkSession, files: list[dict],
-                    schema: T.StructType) -> DataFrame:
-        paths = [os.path.join(self.data_dir, f["name"]) for f in files]
+                    schema: T.StructType, partitioned: bool = False) -> DataFrame:
+        # explicit schema (from the manifest, like Delta's metadata)
+        # keeps mixed-generation files readable after column adds; for
+        # a partitioned layout, basePath makes Spark reconstitute the
+        # partition columns from the col=value path segments
+        paths = [os.path.join(self.data_dir, *f["name"].split("/"))
+                 for f in files]
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        reader = spark.read.schema(schema)
+        if partitioned:
+            reader = reader.option("basePath", self.data_dir)
+        return reader.parquet(*paths)
 
     def _rewrite(self, df: DataFrame, operation: str,
                  base_version: int | None = None,
@@ -356,17 +484,21 @@ class ManagedTable:
         rather than silently superseding the concurrent commit.
         Rewrites go through the same ``_check_schema`` gate as
         write(), so a merge cannot smuggle in a type change or column
-        drop that an append would refuse."""
-        schema = self._check_schema(df, evolve=False)
-        staged = self._stage(df)
+        drop that an append would refuse. The table's partition spec
+        is carried through: rewritten files land back under their
+        partition directories."""
         if base_version is None:
             base_version = self.latest_version()
+        pby = self.partition_by(base_version)
+        schema = self._check_schema(df, evolve=False)
+        staged = self._stage(df, partition_by=pby or None)
         version = base_version + 1
         self._commit(version, {
             "version": version,
             "ts": time.time(),
             "operation": operation,
             "schema": json.loads(schema.json()),
+            "partition_by": pby,
             "files": (carry_files or []) + staged,
         })
         return version
@@ -383,9 +515,20 @@ class ManagedTable:
         The snapshot version is pinned at entry (same OCC discipline as
         merge()): a commit landing while the rewrite job runs makes the
         compaction's own commit collide and raise CommitConflict instead
-        of silently superseding the concurrent writer's rows."""
+        of silently superseding the concurrent writer's rows.
+
+        On a partitioned table the layout is preserved: rows shuffle
+        onto their partition columns so the partitionBy stage writes
+        ~one packed file per partition value (at cluster scale this is
+        the standard bin-pack-within-partition maintenance job)."""
         v = self.latest_version()
-        df = self.read(spark, v).coalesce(target_files)
+        df = self.read(spark, v)
+        pby = self.partition_by(v)
+        if pby:
+            from pyspark.sql import functions as F  # noqa: PLC0415
+            df = df.repartition(*[F.col(c) for c in pby])
+        else:
+            df = df.coalesce(target_files)
         return self._rewrite(df, "compact", base_version=v)
 
     #: Public-Delta default VACUUM retention: 7 days.  Staged-but-not-yet
@@ -422,9 +565,17 @@ class ManagedTable:
             referenced |= {f["name"] for f in self.manifest(v)["files"]}
         removed = []
         now = time.time()
-        for fname in os.listdir(self.data_dir) if os.path.isdir(
-                self.data_dir) else []:
-            full = os.path.join(self.data_dir, fname)
+        data_files: list[str] = []
+        if os.path.isdir(self.data_dir):
+            for dirpath, _dirs, fnames in os.walk(self.data_dir):
+                rel = os.path.relpath(dirpath, self.data_dir)
+                for fn in fnames:
+                    data_files.append(
+                        fn if rel == "." else
+                        "/".join([*rel.split(os.sep), fn])
+                    )
+        for fname in data_files:
+            full = os.path.join(self.data_dir, *fname.split("/"))
             if fname in referenced or not os.path.isfile(full):
                 continue
             if now - os.path.getmtime(full) < min_age_seconds:
