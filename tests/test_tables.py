@@ -73,7 +73,7 @@ def test_commit_conflict(spark, catalog):
     staged = t._stage(_df(spark, [(2, "b")]))
     manifest = {
         "version": 2, "ts": 0, "operation": "append",
-        "schema": t.manifest()["schema"], "files": staged,
+        "schema": t.manifest()["schema"], "add": staged, "remove": [],
     }
     t._commit(2, manifest)
     with pytest.raises(CommitConflict):
@@ -374,6 +374,55 @@ def test_partitioned_layout_pruned_read_and_merge(spark, catalog):
     removed = t.vacuum(keep_versions=1, min_age_seconds=0)
     assert removed
     assert {r.id for r in t.read(spark).collect()} == {1, 2, 3, 4, 5, 9}
+
+
+def test_incremental_log_checkpointing(spark, catalog):
+    """VERDICT r4 #4: commits are incremental add/remove actions with a
+    full checkpoint every CHECKPOINT_INTERVAL commits; snapshots resolve
+    from the newest checkpoint plus ≤ interval tail actions, and vacuum
+    truncates the pre-checkpoint action tail."""
+    import json
+    import os
+
+    from university_data_lakehouse_spark.tables.format import (
+        CHECKPOINT_INTERVAL,
+    )
+
+    assert CHECKPOINT_INTERVAL == 10
+    t = catalog.table("t16")
+    t.write(_df(spark, [(0, "v0")]).coalesce(1))
+    for i in range(1, 25):
+        t.write(_df(spark, [(i, f"v{i}")]).coalesce(1), mode="append")
+    assert t.latest_version() == 25
+
+    # commits are O(changed files): every append action carries exactly
+    # one add and no removes, regardless of table size
+    with open(os.path.join(t.log_dir, "v00000025.json")) as fh:
+        action = json.load(fh)
+    assert len(action["add"]) == 1 and action["remove"] == []
+    # checkpoints landed on schedule
+    assert {c for c in t._checkpoints()} == {10, 20}
+
+    # resolution = checkpoint + tail: delete the actions a checkpoint
+    # covers and every version >= the checkpoint still resolves
+    for v in range(1, 10):
+        os.unlink(os.path.join(t.log_dir, f"v{v:08d}.json"))
+    assert len(t.manifest(25)["files"]) == 25
+    assert len(t.manifest(10)["files"]) == 10
+    assert t.read(spark, version=20).count() == 20
+    # ...while versions below the surviving tail correctly refuse
+    with pytest.raises(FileNotFoundError):
+        t.manifest(5)
+
+    # vacuum truncates the log below the oldest retained version and
+    # reads still work from the fresh checkpoint it writes
+    t.vacuum(keep_versions=2, min_age_seconds=0)
+    assert t._versions()[0] >= 24
+    assert min(t._checkpoints()) == 24
+    assert t.read(spark).count() == 25
+    assert t.read(spark, version=24).count() == 24
+    with pytest.raises(FileNotFoundError):
+        t.manifest(23)
 
 
 def test_partition_spec_refuses_float_columns(spark, catalog):

@@ -17,10 +17,16 @@ Commit protocol (the public Delta/Iceberg core, minimally restated):
 - Old manifests are retained, so any prior version remains readable
   (time travel) until a retention job vacuums it.
 
-Scale notes: manifests carry the FULL file list per commit — O(files)
-manifest size, fine to ~10^5 files; at true 100 TB scale the log
-would switch to incremental actions + periodic checkpoints exactly as
-Delta does (and the interface here wouldn't change).
+Log layout (the public Delta log design): each commit ``v{N}.json``
+carries INCREMENTAL actions — ``add`` (new file entries) and
+``remove`` (file names dropped from the snapshot) — so commit size is
+O(changed files), not O(table). Every :data:`CHECKPOINT_INTERVAL`
+commits a full ``v{N}.checkpoint.json`` snapshot is also written;
+readers resolve a version from the newest checkpoint at-or-below it
+plus at most ``CHECKPOINT_INTERVAL`` tail actions, so snapshot
+resolution is O(interval), not O(commit history). Vacuum truncates
+the action tail below the oldest retained version once its data files
+are reclaimed, writing a fresh checkpoint there first.
 
 Data skipping: every staged file records per-column min/max stats
 read from its parquet footer (int/float/string columns — the public
@@ -49,6 +55,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _MANIFEST_FMT = "v{:08d}.json"
+_CKPT_FMT = "v{:08d}.checkpoint.json"
+
+#: A full-snapshot checkpoint is written every this-many commits, so a
+#: snapshot resolves from one checkpoint read + at most this many
+#: action files (the public Delta default of 10).
+CHECKPOINT_INTERVAL = 10
 
 
 def _footer_stats(path: str) -> dict[str, list]:
@@ -109,9 +121,20 @@ class ManagedTable:
             return []
         out = []
         for f in os.listdir(self.log_dir):
-            if f.startswith("v") and f.endswith(".json"):
+            if (f.startswith("v") and f.endswith(".json")
+                    and ".checkpoint." not in f):
                 out.append(int(f[1:-5]))
         return sorted(out)
+
+    def _checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        suffix = ".checkpoint.json"
+        return sorted(
+            int(f[1:-len(suffix)])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(suffix)
+        )
 
     def latest_version(self) -> int:
         vs = self._versions()
@@ -120,9 +143,50 @@ class ManagedTable:
         return vs[-1]
 
     def manifest(self, version: int | None = None) -> dict:
+        """Resolved snapshot view of a version: newest checkpoint
+        at-or-below it plus the incremental action tail — one
+        checkpoint read + ≤ CHECKPOINT_INTERVAL action reads, never a
+        walk of the whole commit history."""
         v = self.latest_version() if version is None else version
-        with open(os.path.join(self.log_dir, _MANIFEST_FMT.format(v))) as fh:
-            return json.load(fh)
+        avail = set(self._versions())
+        below = [c for c in self._checkpoints() if c <= v]
+        files: dict[str, dict] = {}
+        meta: dict | None = None
+        if below:
+            base = max(below)
+            with open(os.path.join(self.log_dir,
+                                   _CKPT_FMT.format(base))) as fh:
+                meta = json.load(fh)
+            files = {f["name"]: f for f in meta["files"]}
+            start = base + 1
+        else:
+            start = 1   # action logs begin at version 1
+        for av in range(start, v + 1):
+            if av not in avail:
+                raise FileNotFoundError(
+                    f"version {v} of {self.path} is not resolvable: "
+                    f"log entry v{av} is missing (vacuumed or never committed)"
+                )
+            with open(os.path.join(self.log_dir,
+                                   _MANIFEST_FMT.format(av))) as fh:
+                action = json.load(fh)
+            for name in action.get("remove", []):
+                files.pop(name, None)
+            for entry in action.get("add", []):
+                files[entry["name"]] = entry
+            meta = action
+        if meta is None:
+            raise FileNotFoundError(
+                f"version {v} of {self.path} is not resolvable"
+            )
+        return {
+            "version": v,
+            "ts": meta["ts"],
+            "operation": meta["operation"],
+            "schema": meta["schema"],
+            "partition_by": meta.get("partition_by") or [],
+            "files": list(files.values()),
+        }
 
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self._versions()]
@@ -229,11 +293,11 @@ class ManagedTable:
         shutil.rmtree(tmp, ignore_errors=True)
         return staged
 
-    def _commit(self, version: int, manifest: dict) -> None:
+    def _commit(self, version: int, action: dict) -> None:
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(action, fh)
         target = os.path.join(self.log_dir, _MANIFEST_FMT.format(version))
         try:
             os.link(tmp, target)  # atomic create-if-absent
@@ -241,6 +305,27 @@ class ManagedTable:
             raise CommitConflict(
                 f"version {version} of {self.path} was committed concurrently"
             ) from e
+        finally:
+            os.unlink(tmp)
+        if version % CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the resolved snapshot of ``version`` as a
+        checkpoint file (idempotent, best-effort: a concurrent writer
+        racing to the same checkpoint is harmless — both write the
+        identical resolved state)."""
+        target = os.path.join(self.log_dir, _CKPT_FMT.format(version))
+        if os.path.exists(target):
+            return
+        snap = self.manifest(version)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            pass
         finally:
             os.unlink(tmp)
 
@@ -314,16 +399,18 @@ class ManagedTable:
         staged = self._stage(df, partition_by=pby or None)
         base = self._versions()
         version = (base[-1] + 1) if base else 1
-        files = staged
-        if mode == "append" and base:
-            files = self.manifest(base[-1])["files"] + staged
+        removed: list[str] = []
+        if mode == "overwrite" and base:
+            removed = [f["name"]
+                       for f in self.manifest(base[-1])["files"]]
         self._commit(version, {
             "version": version,
             "ts": time.time(),
             "operation": operation or mode,
             "schema": json.loads(schema.json()),
             "partition_by": pby,
-            "files": files,
+            "add": staged,
+            "remove": removed,
         })
         return version
 
@@ -489,17 +576,24 @@ class ManagedTable:
         partition directories."""
         if base_version is None:
             base_version = self.latest_version()
-        pby = self.partition_by(base_version)
+        base_manifest = self.manifest(base_version)
+        pby = base_manifest.get("partition_by") or []
         schema = self._check_schema(df, evolve=False)
         staged = self._stage(df, partition_by=pby or None)
         version = base_version + 1
+        # carried (stats/partition-pruned) files simply stay in the
+        # snapshot: the action only removes the files actually rewritten
+        carry = {f["name"] for f in (carry_files or [])}
+        removed = [f["name"] for f in base_manifest["files"]
+                   if f["name"] not in carry]
         self._commit(version, {
             "version": version,
             "ts": time.time(),
             "operation": operation,
             "schema": json.loads(schema.json()),
             "partition_by": pby,
-            "files": (carry_files or []) + staged,
+            "add": staged,
+            "remove": removed,
         })
         return version
 
@@ -574,23 +668,33 @@ class ManagedTable:
                         fn if rel == "." else
                         "/".join([*rel.split(os.sep), fn])
                     )
+        protected = False
         for fname in data_files:
             full = os.path.join(self.data_dir, *fname.split("/"))
             if fname in referenced or not os.path.isfile(full):
                 continue
             if now - os.path.getmtime(full) < min_age_seconds:
+                protected = True   # horizon shields a possibly-live file
                 continue
             os.unlink(full)
             removed.append(fname)
-        for v in vs[:len(vs) - len(retained)]:
-            mfiles = {f["name"] for f in self.manifest(v)["files"]}
-            if any(
-                n not in referenced
-                and os.path.isfile(os.path.join(self.data_dir, n))
-                for n in mfiles
-            ):
-                continue  # horizon still protects its data: keep manifest
-            os.unlink(os.path.join(self.log_dir, _MANIFEST_FMT.format(v)))
+        # Log truncation: drop the action tail below the oldest
+        # retained version — but only once NO unreferenced data file
+        # remains under the horizon, so a min-age-protected file keeps
+        # its whole log (and time travel to it) alive. A checkpoint at
+        # the oldest retained version is written first so every
+        # retained version stays resolvable without the dropped tail.
+        if retained and not protected:
+            oldest = retained[0]
+            self._write_checkpoint(oldest)
+            for v in vs:
+                if v < oldest:
+                    os.unlink(os.path.join(
+                        self.log_dir, _MANIFEST_FMT.format(v)))
+            for c in self._checkpoints():
+                if c < oldest:
+                    os.unlink(os.path.join(
+                        self.log_dir, _CKPT_FMT.format(c)))
         return removed
 
 
