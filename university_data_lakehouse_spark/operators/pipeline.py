@@ -187,26 +187,34 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_TAU = 0.645     # documents' scores cluster 0.63-0.66; ~median
 
 
-def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END corpus construction pass — the pipeline a shard
-    writer actually runs, composed from the individual operators:
+def corpus_build_df(doc: DataFrame) -> DataFrame:
+    """Frame-level one-shot corpus pipeline over a documents frame —
+    shared by the batch query and the incremental bootstrap
+    (plans/corpus.py), so both produce definitionally identical
+    shards:
 
         exact-dedup canonicals → quality filter (score ≥ τ) →
         stratified sample gate → token-budget bin packing
 
-    Each stage is the already-oracle-checked operator; composition
-    adds only doc_id equi-joins (which AQE broadcasts — the filter
-    stages emit thin key sets) and the final partitioned packing
-    window. The quality threshold comparison is cross-engine safe
-    because the score itself hash-matches DuckDB bit-for-bit."""
-    from .dedup import dedup_exact  # noqa: PLC0415
-    from .text import text_quality_score  # noqa: PLC0415
+    Each stage is the already-oracle-checked operator expression;
+    composition adds only doc_id equi-joins (which AQE broadcasts —
+    the filter stages emit thin key sets) and the final partitioned
+    packing window. The quality threshold comparison is cross-engine
+    safe because the score itself hash-matches DuckDB bit-for-bit."""
+    from .text import quality_score_expr  # noqa: PLC0415
     from ..functions.textfns import tokens  # noqa: PLC0415
 
-    doc = load_table(spark, sf_dir, "documents")
-    canon = dedup_exact(spark, sf_dir).where(~F.col("is_dup")).select("doc_id")
+    wdup = Window.partitionBy(F.md5("text"))
+    canon = (
+        doc.select(
+            "doc_id",
+            (F.col("doc_id") != F.min("doc_id").over(wdup)).alias("is_dup"),
+        )
+        .where(~F.col("is_dup"))
+        .select("doc_id")
+    )
     good = (
-        text_quality_score(spark, sf_dir)
+        doc.select("doc_id", quality_score_expr().alias("quality_score"))
         .where(F.col("quality_score") >= QUALITY_TAU)
         .select("doc_id")
     )
@@ -226,6 +234,12 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.partitionBy("lang", "bin_id").orderBy("doc_id")
     return binned.withColumn("pos_in_bin", F.row_number().over(w2))
+
+
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus construction pass — the pipeline a shard
+    writer actually runs (see :func:`corpus_build_df`)."""
+    return corpus_build_df(load_table(spark, sf_dir, "documents"))
 
 
 QUERIES = {

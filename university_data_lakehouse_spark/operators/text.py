@@ -54,6 +54,29 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_expr() -> Column:
+    """The quality score as a frame-level Column over the implicit
+    ``text`` column — shared by the batch query and the incremental
+    corpus pipeline so both gates are definitionally identical."""
+    toks = tokens(F.col("text"))
+    nd = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace("text", ALPHA_RE, ""))
+    digit = F.length(F.regexp_replace("text", DIGIT_RE, ""))
+    punct = F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    stop = _count_in(toks, EN_STOP)
+    alpha_ratio = alpha.cast("double") / F.nullif(nd, F.lit(0.0))
+    digit_ratio = digit.cast("double") / F.nullif(nd, F.lit(0.0))
+    punct_ratio = punct.cast("double") / F.nullif(nd, F.lit(0.0))
+    stop_ratio = stop.cast("double") / F.nullif(
+        F.size(toks).cast("double"), F.lit(0.0))
+    return (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.1) * (F.lit(1.0) - digit_ratio)
+    )
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / digit / stopword-ratio quality scoring
     (the usual pretraining-corpus heuristics)."""
@@ -69,12 +92,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit_ratio = digit.cast("double") / F.nullif(nd, F.lit(0.0))
     punct_ratio = punct.cast("double") / F.nullif(nd, F.lit(0.0))
     stop_ratio = stop.cast("double") / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
-    score = (
-        F.lit(0.4) * alpha_ratio
-        + F.lit(0.3) * stop_ratio
-        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.1) * (F.lit(1.0) - digit_ratio)
-    )
+    score = quality_score_expr()
     return doc.select(
         "doc_id",
         n.alias("len_chars"),

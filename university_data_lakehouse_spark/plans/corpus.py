@@ -1,0 +1,202 @@
+"""Incremental corpus construction through the managed-table layer.
+
+Closes the loop between §2.9 streaming ticks, §2.11 managed tables,
+and §2.12 corpus operators: each tick ingests only the documents that
+arrived since the last tick (doc_id-monotone, like the landing
+sensor's cursor — ``s3_data_landing_component.py:198-269`` is the
+reference analog of the tick/cursor discipline) and MERGEs their
+canonical/sample/pack results into a managed ``gold/corpus_shards``
+table, so a 100 TB corpus pays O(new documents + state) per tick, not
+O(corpus).
+
+State that makes the increment exact (the equality contract — ticks
+over doc_id-monotone slices produce BIT-IDENTICAL shards to the
+one-shot batch ``corpus_build``, pytest-proven):
+
+- ``silver/doc_hashes`` — (doc_id, text_md5) for EVERY ingested doc
+  (dups and filtered docs included): a new doc is a duplicate iff its
+  hash appears here or on a smaller-id doc within its own batch.
+  The tick cursor is derived from this table's parquet FOOTER STATS
+  (max doc_id over file entries) — no data scan.
+- ``gold/corpus_state`` — one row per lang: cumulative packed tokens,
+  last bin id, and that bin's fill count, so the packing windows
+  continue mid-bin exactly where the previous tick stopped.
+
+Arrival-order assumption: doc_id-monotone ticks (the same event-time
+ordering the packing operator itself assumes — bins are defined by
+cumulative token sums in doc_id order). An out-of-order backfill
+would re-bin later documents; the recovery path is the one-shot
+rebuild (bootstrap), exactly as a Delta table would replay a
+mis-sequenced streaming write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.pipeline import (
+    PACK_BUDGET,
+    QUALITY_TAU,
+    corpus_build_df,
+    sample_gate,
+)
+from ..operators.text import quality_score_expr
+from ..sources.loader import load_table
+from ..tables import TableCatalog
+
+SHARDS_TABLE = "gold/corpus_shards"
+HASHES_TABLE = "silver/doc_hashes"
+STATE_TABLE = "gold/corpus_state"
+
+
+def _doc_hashes(doc: DataFrame) -> DataFrame:
+    return doc.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+def _state_of(shards: DataFrame) -> DataFrame:
+    """Per-lang packing state derived from shard rows: cumulative
+    packed tokens, the last (highest) bin, and its current fill.
+    pos_in_bin is monotone within a bin, so the max (bin_id, pos)
+    struct carries both last-bin facts in one aggregate."""
+    mx = F.max(F.struct("bin_id", "pos_in_bin")).alias("mx")
+    return (
+        shards.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("cum_tokens"), mx)
+        .select(
+            "lang",
+            "cum_tokens",
+            F.col("mx.bin_id").alias("last_bin_id"),
+            F.col("mx.pos_in_bin").alias("last_bin_count"),
+        )
+    )
+
+
+def _cursor_from_stats(hashes_table) -> int:
+    """Max ingested doc_id WITHOUT scanning the hash table: the
+    manifest already carries per-file parquet footer min/max for
+    doc_id, so the cursor is a driver-side max over file entries —
+    O(files) metadata, zero data IO (the same footer stats that power
+    MERGE data skipping)."""
+    entries = hashes_table.manifest()["files"]
+    bounds = [f["stats"]["doc_id"][1] for f in entries
+              if f.get("stats", {}).get("doc_id")]
+    if not bounds:  # stats missing (never expected for int columns)
+        raise RuntimeError(
+            f"no doc_id footer stats in {hashes_table.path}; "
+            "cannot derive tick cursor"
+        )
+    return max(bounds)
+
+
+def incremental_corpus_build(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: TableCatalog,
+    upto_doc_id: int | None = None,
+) -> int:
+    """One availableNow-style tick of the corpus pipeline. Documents
+    with doc_id in (cursor, upto_doc_id] are deduped against the
+    persisted hash set, quality- and sample-gated, packed CONTINUING
+    the per-lang bins from ``gold/corpus_state``, and MERGEd into
+    ``gold/corpus_shards`` on the composite key (lang, bin_id,
+    doc_id). Returns the committed shards version.
+
+    First run bootstraps with the one-shot :func:`corpus_build_df`
+    (a MERGE into nothing is the initial load — same rule as
+    ``plans/medallion.py:incremental_fact_orders``). A tick that
+    finds no new documents is a no-op returning the current version,
+    so re-running a tick is idempotent.
+
+    Scale shape per tick: the dup anti-join shuffles (new ⋈ hashes)
+    on text_md5 (bucket the hash table by text_md5 at 100 TB for a
+    co-located join); the gates are narrow maps over new docs only;
+    packing windows shuffle new docs once on lang; the state join is
+    a broadcast (one row per lang); the MERGE's footer-stats skipping
+    rewrites only shard files whose key ranges overlap the new slice.
+    """
+    doc_all = load_table(spark, sf_dir, "documents")
+    if upto_doc_id is not None:
+        doc_all = doc_all.where(F.col("doc_id") <= upto_doc_id)
+
+    shards_t = catalog.table(SHARDS_TABLE)
+    hashes_t = catalog.table(HASHES_TABLE)
+    state_t = catalog.table(STATE_TABLE)
+
+    if not shards_t.exists():
+        built = corpus_build_df(doc_all)
+        version = shards_t.write(built, operation="bootstrap")
+        hashes_t.write(_doc_hashes(doc_all), operation="bootstrap")
+        state_t.write(_state_of(shards_t.read(spark)),
+                      operation="bootstrap")
+        return version
+
+    cursor = _cursor_from_stats(hashes_t)
+    new = doc_all.where(F.col("doc_id") > cursor)
+    if new.limit(1).count() == 0:
+        return shards_t.latest_version()
+
+    # exact dedup against everything ever ingested: first occurrence
+    # within the batch (min doc_id per hash) AND hash unseen before
+    hashed = new.withColumn("h", F.md5("text"))
+    wfirst = Window.partitionBy("h").orderBy("doc_id")
+    first_in_batch = hashed.withColumn(
+        "rn", F.row_number().over(wfirst)).where(F.col("rn") == 1)
+    seen = hashes_t.read(spark).select(
+        F.col("text_md5").alias("h")).distinct()
+    canon_new = first_in_batch.join(seen, "h", "left_anti")
+
+    survivors = canon_new.where(quality_score_expr() >= QUALITY_TAU)
+    sampled = sample_gate(survivors).select("doc_id", "lang")
+
+    from ..functions.textfns import tokens  # noqa: PLC0415
+
+    counted = (
+        sampled.join(new.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "lang",
+                F.size(tokens(F.col("text"))).alias("n_tokens"))
+    )
+    state = state_t.read(spark)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    binned = (
+        counted.join(F.broadcast(state), "lang", "left")
+        .withColumn(
+            "before",
+            F.coalesce("cum_tokens", F.lit(0))
+            + F.sum("n_tokens").over(w) - F.col("n_tokens"),
+        )
+        .withColumn(
+            "bin_id",
+            F.floor(F.col("before").cast("double") / F.lit(PACK_BUDGET)),
+        )
+    )
+    w2 = Window.partitionBy("lang", "bin_id").orderBy("doc_id")
+    rows = binned.withColumn(
+        "pos_in_bin",
+        F.row_number().over(w2)
+        + F.when(F.col("bin_id") == F.col("last_bin_id"),
+                 F.col("last_bin_count")).otherwise(F.lit(0)),
+    ).select("doc_id", "lang", "n_tokens", "bin_id", "pos_in_bin")
+
+    version = shards_t.merge(rows, keys=["lang", "bin_id", "doc_id"])
+    hashes_t.write(_doc_hashes(new), mode="append")
+
+    upd = (
+        rows.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("add_tokens"),
+            F.max(F.struct("bin_id", "pos_in_bin")).alias("mx"),
+        )
+        .join(F.broadcast(
+            state.select("lang", F.col("cum_tokens").alias("old_cum"))),
+            "lang", "left")
+        .select(
+            "lang",
+            (F.coalesce("old_cum", F.lit(0))
+             + F.col("add_tokens")).alias("cum_tokens"),
+            F.col("mx.bin_id").alias("last_bin_id"),
+            F.col("mx.pos_in_bin").alias("last_bin_count"),
+        )
+    )
+    state_t.merge(upd, keys=["lang"])
+    return version
