@@ -49,6 +49,7 @@ HEADLINE = [
     "sim_knn_ivf",
     "text_quality_score",
     "multimodal_decoded",
+    "multimodal_features",
     "corpus_build",
 ]
 

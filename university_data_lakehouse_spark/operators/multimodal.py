@@ -3,7 +3,7 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` pipelines.
 
-Two decode tiers:
+Three decode tiers:
 
 - REAL header decode for public byte formats that need no codec
   library: ``parse_media_header`` walks actual BMP (BITMAPINFOHEADER)
@@ -12,11 +12,17 @@ Two decode tiers:
   BMP/WAV payloads so the round trip (pack → Spark binary column →
   Arrow batch → parse) is exercised end to end and oracle-checked
   (``multimodal_decoded``).
-- STUB for pixel/sample-level work that genuinely requires a codec
-  (JPEG/MP3/H.264 — libraries not in this container):
-  ``decode_stub`` produces a deterministic fake feature block and
-  ``decode_real`` raises NotImplementedError with the intended
-  dependency documented.
+- REAL pixel/sample-level decode for the uncompressed formats:
+  ``decode_samples`` reads actual 24-bit BMP pixel rows and 16-bit
+  PCM WAV samples (pure byte work, no codec) and reduces them to
+  chunk-mean features — oracle-checked end to end
+  (``multimodal_features``).
+- CAPABILITY-PROBED codec decode for compressed formats
+  (JPEG/MP3/H.264): ``decode_real`` probes Pillow / soundfile / av at
+  call time, decodes when present, and raises NotImplementedError
+  only when the library is genuinely absent from the environment
+  (as here) — the code self-activates in a richer container.
+  ``decode_stub`` remains the deterministic fake for plumbing tests.
 
 Scale notes: mapInPandas streams Arrow record batches — payload bytes
 never materialize row-at-a-time in Python; batch size is governed by
@@ -167,13 +173,112 @@ def parse_media_header(payload: bytes) -> dict:
     return none
 
 
+def _chunk_means(vals: list) -> list[float]:
+    """Mean value per 8 equal chunks (decode_stub's chunking
+    convention: step = max(n//8, 1), trailing remainder dropped,
+    short inputs pad with 0.0) — integer sums, so the float means are
+    bit-identical in any engine."""
+    n = len(vals)
+    step = max(n // 8, 1)
+    out = []
+    for i in range(8):
+        c = vals[i * step:(i + 1) * step]
+        out.append(float(sum(c)) / len(c) if c else 0.0)
+    return out
+
+
+def decode_samples(payload: bytes) -> dict | None:
+    """REAL pixel/sample-level decode for the uncompressed public
+    formats — no codec library required:
+
+    - 24-bit BMP: pixel rows read from the header's data offset with
+      4-byte stride padding; features = mean byte value per 8 chunks
+      of the pixel stream.
+    - 16-bit PCM WAV: int16 samples unpacked from the ``data`` chunk;
+      features = mean ABSOLUTE amplitude per 8 chunks (n_frames =
+      sample count).
+
+    Returns None for anything needing an actual codec (JPEG/MP3/
+    H.264) — those go through decode_real's capability probe."""
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        offset = int.from_bytes(payload[10:14], "little")
+        stride = (width * 3 + 3) & ~3
+        pix = payload[offset:offset + stride * height]
+        return {"width": width, "height": height, "n_frames": 1,
+                "features": _chunk_means(list(pix))}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, block_align, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            if cid == b"fmt " and size >= 16:
+                _f, _ch, _sr, _br, block_align, bits = struct.unpack(
+                    "<HHIIHH", payload[pos + 8:pos + 24])
+            elif cid == b"data":
+                data = payload[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        if data is not None and block_align == 2:   # 16-bit mono PCM
+            n = len(data) // 2
+            samples = struct.unpack(f"<{n}h", data[:2 * n])
+            return {"width": None, "height": None, "n_frames": n,
+                    "features": _chunk_means([abs(s) for s in samples])}
+    return None
+
+
 def decode_real(payload: bytes, media_type: str) -> dict:
-    """Real decoder entry point — requires Pillow / torchaudio / pyav,
-    which are NOT in this container. Clearly-marked stub boundary."""
-    raise NotImplementedError(
-        "media decoding requires Pillow (image), soundfile/torchaudio "
-        "(audio), or pyav (video); wire them here and remove decode_stub"
-    )
+    """Codec-tier decode with CAPABILITY PROBING: the uncompressed
+    public formats (24-bit BMP, 16-bit PCM WAV) decode via the pure
+    byte-level parsers above — always available. Compressed codecs
+    probe their decoder library AT CALL TIME (Pillow → image,
+    soundfile → audio, av → video) and raise NotImplementedError only
+    when the library is genuinely absent, so the same code
+    self-activates unchanged in a container that ships the codecs
+    (pytest.importorskip test in tests/test_multimodal.py)."""
+    out = decode_samples(payload)
+    if out is not None:
+        return out
+    if media_type == "image":
+        try:
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "compressed image decode needs Pillow (absent here); "
+                "BMP decodes without it via decode_samples"
+            ) from e
+        import io  # noqa: PLC0415
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return {"width": img.width, "height": img.height, "n_frames": 1,
+                "features": _chunk_means(list(img.tobytes()))}
+    if media_type == "audio":
+        try:
+            import soundfile  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "compressed audio decode needs soundfile (absent here); "
+                "PCM WAV decodes without it via decode_samples"
+            ) from e
+        import io  # noqa: PLC0415
+        data, _rate = soundfile.read(io.BytesIO(payload), dtype="int16")
+        flat = [abs(int(v)) for v in data.reshape(-1)]
+        return {"width": None, "height": None, "n_frames": len(flat),
+                "features": _chunk_means(flat)}
+    if media_type == "video":
+        try:
+            import av  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "video decode needs av/pyav (absent here)"
+            ) from e
+        import io  # noqa: PLC0415
+        with av.open(io.BytesIO(payload)) as container:
+            frames = [f for f in container.decode(video=0)]
+        first = frames[0].to_ndarray(format="rgb24")
+        return {"width": first.shape[1], "height": first.shape[0],
+                "n_frames": len(frames),
+                "features": _chunk_means(list(first.reshape(-1)))}
+    raise NotImplementedError(f"no decoder for media_type={media_type!r}")
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
@@ -273,13 +378,45 @@ def decode_features(media: DataFrame, batch_decoder=decode_stub) -> DataFrame:
                 batch_decoder(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
-            out["width"] = pd.Series([d["width"] for d in decoded], dtype="int32")
-            out["height"] = pd.Series([d["height"] for d in decoded], dtype="int32")
-            out["n_frames"] = pd.Series([d["n_frames"] for d in decoded], dtype="int32")
-            out["features"] = pd.Series([d["features"] for d in decoded])
+            out["width"] = pd.array([d["width"] for d in decoded],
+                                    dtype="Int32")
+            out["height"] = pd.array([d["height"] for d in decoded],
+                                     dtype="Int32")
+            out["n_frames"] = pd.array([d["n_frames"] for d in decoded],
+                                       dtype="Int32")
+            out["features"] = pd.Series([d["features"] for d in decoded],
+                                        dtype="object")
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _samples_or_null(payload: bytes, media_type: str) -> dict:
+    """Feature-pass decoder: real pixel/sample decode where the bytes
+    allow it, null metadata for opaque rows (a corpus feature pass
+    leaves undecodable rows null rather than failing the job;
+    decode_real is the raising entry point for must-decode callers)."""
+    out = decode_samples(bytes(payload))
+    if out is None:
+        return {"width": None, "height": None, "n_frames": None,
+                "features": None}
+    return out
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL pixel/sample-level decode: valid BMP/WAV bytes
+    → Arrow mapInPandas → actual pixel rows / PCM samples → per-chunk
+    mean features. Oracle-checkable because the synthesized pixel and
+    sample values are pure functions of doc_id, so DuckDB replays the
+    exact chunk means the byte-level decode must recover (features
+    projected to f0..f7 doubles for the sorted-column value hash)."""
+    df = decode_features(media_table_encoded(spark, sf_dir),
+                         batch_decoder=_samples_or_null)
+    return df.select(
+        "doc_id", "media_type", "payload_len", "width", "height",
+        "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 def resize_stub(media: DataFrame, target: int = 224) -> DataFrame:
@@ -315,7 +452,61 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decoded": multimodal_decoded,
+    "multimodal_features": multimodal_features,
 }
+
+
+def _feature_oracle() -> str:
+    """DuckDB replay of the pixel/sample chunk means: pixel byte j of
+    an image is (doc_id + j) % 256, sample j of a WAV is
+    ((doc_id*31 + j*7) % 65536) - 32768 (synth_media_payload), so each
+    chunk mean is an integer-sum / count over a generated range —
+    exactly what the byte-level decode must recover."""
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step"
+        hi = f"least(({i} + 1) * step, n)"
+        img = (f"list_sum(list_transform(range({lo}, {hi}), "
+               f"j -> (doc_id + j) % 256)) * 1.0 / ({hi} - {lo})")
+        wav = (f"list_sum(list_transform(range({lo}, {hi}), "
+               f"j -> abs(((doc_id * 31 + j * 7) % 65536) - 32768)))"
+               f" * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN m = 2 THEN NULL WHEN {lo} >= n THEN 0.0 "
+            f"WHEN m = 0 THEN {img} ELSE {wav} END AS f{i}"
+        )
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m,
+                   4 + doc_id % 16 AS w,
+                   4 + (doc_id // 16) % 16 AS h,
+                   100 + doc_id % 400 AS ns, text
+            FROM documents
+        ),
+        q AS (
+            SELECT *, ((w * 3 + 3) // 4) * 4 * h AS pix,
+                   CASE WHEN m = 0 THEN ((w * 3 + 3) // 4) * 4 * h
+                        WHEN m = 1 THEN ns END AS n
+            FROM p
+        ),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END AS step
+            FROM q
+        )
+        SELECT doc_id,
+               CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(CASE m WHEN 0 THEN 54 + pix WHEN 1 THEN 44 + 2 * ns
+                    ELSE octet_length(encode(text)) END AS BIGINT)
+                   AS payload_len,
+               CASE WHEN m = 0 THEN CAST(w AS INTEGER) END AS width,
+               CASE WHEN m = 0 THEN CAST(h AS INTEGER) END AS height,
+               CAST(CASE WHEN m = 0 THEN 1 WHEN m = 1 THEN ns END
+                    AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
 
 ORACLES = {
     # the decoded metadata must equal the doc_id-derived shape params
@@ -350,3 +541,5 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES["multimodal_features"] = _feature_oracle()
