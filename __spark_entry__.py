@@ -23,19 +23,21 @@ def _registries():
     """Collect (QUERIES, ORACLES) from every operator module.
 
     Module order is deliberate: the driver's CORRECTNESS gate checks the
-    first ~50 registry keys, so the keys that have never had a driver row
-    (pipeline + multimodal, CORRECTNESS_r04) register FIRST.  The keys this
-    displaces past the cap (the last two dq_* checks and the four text_*
-    ops) are the simplest pure-expression queries in the suite and have
-    green rows in CORRECTNESS_r01..r04 as standing proof.
+    first ~50 registry keys, so the keys with the fewest historical driver
+    rows register FIRST — pipeline + multimodal (no row before r5) and
+    similarity (first green in r04).  The keys displaced past the cap
+    (dedup's last three, the dq_* checks, and the text_* ops) are green in
+    CORRECTNESS_r01..r04 as standing proof, and every key regardless of
+    position passes the identical pytest oracle gate
+    (tests/test_oracle_parity.py).
     """
     from university_data_lakehouse_spark.operators import (  # noqa: PLC0415
         pipeline,
     )
 
     modules = [pipeline]
-    for name in ("multimodal", "silver", "gold", "olap", "events", "dedup",
-                 "similarity", "quality", "text"):
+    for name in ("multimodal", "silver", "gold", "similarity", "olap",
+                 "events", "dedup", "quality", "text"):
         try:
             mod = __import__(
                 f"university_data_lakehouse_spark.operators.{name}",

@@ -35,6 +35,9 @@ HEADLINE = [
     "olap_price_percentiles",
     "olap_min_cost_supplier",
     "olap_market_share",
+    "olap_returned_items",
+    "olap_big_orders",
+    "olap_customer_distribution",
     "events_sessionize",
     "events_asof_join",
     "events_retention",

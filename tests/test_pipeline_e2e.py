@@ -164,6 +164,10 @@ def test_incremental_corpus_build_matches_batch(spark, sf_dir, tmp_path):
     v1 = incremental_corpus_build(spark, sf_dir, catalog, upto_doc_id=mid)
     shards = catalog.table("gold/corpus_shards")
     assert shards.manifest(v1)["operation"] == "bootstrap"
+    # shard table is lang-partitioned (manifest-level pruning for ticks)
+    assert shards.manifest(v1)["partition_by"] == ["lang"]
+    assert all("partition_values" in f
+               for f in shards.manifest(v1)["files"])
     batch_half = corpus_build_df(doc.where(F.col("doc_id") <= mid))
     assert _sorted_rows(shards.read(spark, v1)) == _sorted_rows(batch_half)
 

@@ -225,3 +225,61 @@ def test_corpus_ops_compose_on_streams(spark, sf_dir, tmp_path):
     assert out["samp"] == {tuple(r) for r in sample_gate(batch_docs).collect()}
     assert out["pii"] == {tuple(r) for r in pii_scrub(batch_docs).collect()}
     assert len(out["pii"]) > 0
+
+
+def test_streaming_merge_sink_upserts(spark, tmp_path):
+    """foreachBatch MERGE sink: tick 1 bootstraps the managed table,
+    tick 2 (new landing file, same keys + a new key) UPSERTS through
+    the checkpoint cursor — updates in place, no append-only
+    duplication, previous version still time-travelable."""
+    from university_data_lakehouse_spark.streaming.sink import (
+        merge_into_table,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    table = catalog.table("silver/events_latest")
+
+    def prepare(df):
+        # collapse intra-batch replays to the latest row per key
+        return (
+            df.groupBy("event_id")
+            .agg(F.max(F.struct("ts", "user_id", "event_type", "value"))
+                 .alias("mx"))
+            .select("event_id", "mx.ts", "mx.user_id", "mx.event_type",
+                    "mx.value")
+        )
+
+    def tick():
+        q = merge_into_table(
+            spark.readStream.schema(EVENT_SCHEMA).parquet(landing),
+            table, keys=["event_id"], checkpoint_dir=chk,
+            prepare=prepare,
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, landing, [(1, _ts(0), 1, "click", 1.0),
+                                  (2, _ts(1), 1, "view", 2.0)])
+    tick()
+    assert table.manifest()["operation"] == "bootstrap"
+    v1 = table.latest_version()
+    assert {(r.event_id, r.value) for r in table.read(spark).collect()} == {
+        (1, 1.0), (2, 2.0)}
+
+    # tick 2: event 2 replayed with a newer value + new event 3
+    _write_batch(spark, landing, [(2, _ts(5), 1, "view", 9.0),
+                                  (3, _ts(6), 2, "buy", 3.0)])
+    tick()
+    assert table.manifest()["operation"] == "merge"
+    got = {(r.event_id, r.value) for r in table.read(spark).collect()}
+    assert got == {(1, 1.0), (2, 9.0), (3, 3.0)}
+    # the pre-merge snapshot is still readable (time travel)
+    old = {(r.event_id, r.value) for r in table.read(spark, v1).collect()}
+    assert old == {(1, 1.0), (2, 2.0)}
+
+    # an empty tick (no new files) is a no-op
+    v2 = table.latest_version()
+    tick()
+    assert table.latest_version() == v2

@@ -427,6 +427,152 @@ def olap_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (LEFT JOIN, count of non-null
+    keys). Two shuffles — custkey for the per-customer count, then
+    the tiny count-histogram aggregation — both with map-side
+    partials."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count skips nulls
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+RETURNED_FROM, RETURNED_TO = "1997-01-01", "1997-04-01"
+
+
+def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter — filtered fact join + 4-key group + deterministic
+    top-20 (ORDER BY exact-decimal revenue DESC, custkey — Spark
+    executes LIMIT-over-sort as TakeOrdered, a per-partition heap).
+    Both date and returnflag filters push into the parquet scans."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(RETURNED_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURNED_TO).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(_disc_price()).cast("decimal(24,6)").cast("double")
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey"))
+        .limit(20)
+    )
+
+
+PROMO_FROM, PROMO_TO = "1997-01-01", "1997-02-01"
+
+
+def olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one ship month —
+    conditional-vs-total decimal-sum ratio in ONE aggregation pass
+    over the filtered fact; the part dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(PROMO_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(PROMO_TO).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = _disc_price()
+    promo = (
+        F.sum(F.when(F.col("p_type") == "PROMO", disc))
+        .cast("decimal(24,6)").cast("double")
+    )
+    total = F.sum(disc).cast("decimal(24,6)").cast("double")
+    return (
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.coalesce(promo, F.lit(0.0)).alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100.0) * F.coalesce(promo, F.lit(0.0)) / total)
+            .alias("promo_pct"),
+        )
+    )
+
+
+AVG_YEARLY_BRAND = "Brand#1"
+AVG_YEARLY_YEARS = 7.0          # orders span 1995-2001
+
+
+def olap_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue from small-quantity
+    orders of one brand — the correlated "< 0.2 * (SELECT AVG ...)"
+    subquery as a per-part mean aggregate joined back on partkey. The
+    mean is an explicit sum/count division (identical expression both
+    engines — quantity is integer-valued, so sum and count are exact
+    and the IEEE division is bit-deterministic). One shuffle for the
+    per-part stats, join-back co-partitioned on the same key."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == AVG_YEARLY_BRAND)
+    li = load_table(spark, sf_dir, "lineitem")
+    li_brand = li.join(maybe_broadcast(part.select("p_partkey")),
+                       F.col("l_partkey") == F.col("p_partkey"))
+    stats = (
+        li_brand.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    small = li_brand.join(
+        stats,
+        (F.col("l_partkey") == F.col("ap_partkey"))
+        & (F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")),
+    )
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+         / F.lit(AVG_YEARLY_YEARS)).alias("avg_yearly")
+    )
+
+
+BIG_ORDER_QTY = 150
+
+
+def olap_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — GROUP BY orderkey
+    HAVING SUM(quantity) > threshold, joined back to orders and
+    customers. The having-aggregate and the join-back share the
+    orderkey shuffle; the customer dim goes through the size-gated
+    broadcast. Quantities are integer-valued doubles, so the HAVING
+    comparison is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": olap_pricing_summary,
     "olap_late_orders": olap_late_orders,
@@ -442,9 +588,94 @@ QUERIES = {
     "olap_price_percentiles": olap_price_percentiles,
     "olap_min_cost_supplier": olap_min_cost_supplier,
     "olap_market_share": olap_market_share,
+    "olap_customer_distribution": olap_customer_distribution,
+    "olap_returned_items": olap_returned_items,
+    "olap_promo_revenue": olap_promo_revenue,
+    "olap_avg_yearly": olap_avg_yearly,
+    "olap_big_orders": olap_big_orders,
 }
 
+_DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
+             " * CAST(1 - l_discount AS DECIMAL(12,6))")
+
 ORACLES = {
+    "olap_customer_distribution": """
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+    "olap_returned_items": f"""
+        SELECT c.c_custkey AS custkey,
+               c.c_name AS name,
+               c.c_acctbal AS acctbal,
+               n.n_name AS nation,
+               CAST(CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{RETURNED_FROM}'
+          AND o.o_orderdate <  TIMESTAMP '{RETURNED_TO}'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, custkey
+        LIMIT 20
+    """,
+    "olap_promo_revenue": f"""
+        SELECT COALESCE(CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN {_DISC_SQL} END)
+                    AS DECIMAL(24,6)) AS DOUBLE), 0.0) AS promo_revenue,
+               CAST(CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS DOUBLE)
+                   AS total_revenue,
+               100.0 * COALESCE(CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN {_DISC_SQL} END)
+                    AS DECIMAL(24,6)) AS DOUBLE), 0.0)
+               / CAST(CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS DOUBLE)
+                   AS promo_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{PROMO_FROM}'
+          AND l.l_shipdate <  TIMESTAMP '{PROMO_TO}'
+    """,
+    "olap_avg_yearly": f"""
+        WITH brand_li AS (
+            SELECT l.* FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = '{AVG_YEARLY_BRAND}'
+        ),
+        stats AS (
+            SELECT l_partkey AS ap_partkey,
+                   SUM(l_quantity) / COUNT(*) AS avg_qty
+            FROM brand_li GROUP BY 1
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE) / {AVG_YEARLY_YEARS} AS avg_yearly
+        FROM brand_li l
+        JOIN stats s ON l.l_partkey = s.ap_partkey
+                    AND l.l_quantity < 0.2 * s.avg_qty
+    """,
+    "olap_big_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(l_quantity) > {BIG_ORDER_QTY}
+        )
+        SELECT c.c_name AS customer_name,
+               c.c_custkey AS custkey,
+               o.o_orderkey AS orderkey,
+               o.o_orderdate AS orderdate,
+               o.o_totalprice AS totalprice,
+               b.total_qty
+        FROM big b
+        JOIN orders o   ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     "olap_late_orders": """
         SELECT o.o_orderpriority AS priority,
                COUNT(*) AS n_late_orders

@@ -125,7 +125,12 @@ def incremental_corpus_build(
 
     if not shards_t.exists():
         built = corpus_build_df(doc_all)
-        version = shards_t.write(built, operation="bootstrap")
+        # lang-partitioned layout: lang is in the merge key, so later
+        # ticks prune whole language partitions at the MANIFEST before
+        # footer stats — a tick touching only two langs never lists
+        # the other languages' files
+        version = shards_t.write(built, operation="bootstrap",
+                                 partition_by=["lang"])
         hashes_t.write(_doc_hashes(doc_all), operation="bootstrap")
         state_t.write(_state_of(shards_t.read(spark)),
                       operation="bootstrap")
