@@ -284,3 +284,51 @@ def test_pack_bins_partitioned_window_single_exchange(spark, sf_dir):
 
     tree = _tree(_plan(pack_token_bins(spark, sf_dir)))
     assert tree.count("Exchange") == 1, tree
+
+
+# ------------------------------------------------- r5 OLAP additions
+
+
+def test_returned_items_pushdown_and_topn(spark, sf_dir):
+    """Q10 shape: returnflag + order-date filters reach the parquet
+    scans; LIMIT-over-sort executes as TakeOrdered (per-partition
+    heap), never a global Sort materialization."""
+    plan = _plan(olap.olap_returned_items(spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_returnflag" in p for p in pushed), plan
+    assert any("o_orderdate" in p for p in pushed), plan
+    assert "TakeOrderedAndProject" in _tree(plan), _tree(plan)
+
+
+def test_promo_revenue_single_aggregation_pass(spark, sf_dir):
+    """Q14 shape: promo and total sums come from ONE aggregation over
+    one scan of the filtered fact — no second scan, no join of two
+    aggregates; the part dim broadcasts."""
+    tree = _tree(_plan(olap.olap_promo_revenue(spark, sf_dir)))
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("Scan parquet") == 2, tree  # lineitem + part once
+
+
+def test_avg_yearly_no_cartesian_shared_key_shuffle(spark, sf_dir):
+    """Q17 shape: the per-part mean join-back is an equi-join on
+    partkey (plus a non-equi residual) — no cartesian/nested-loop
+    product of the fact with itself."""
+    tree = _tree(_plan(olap.olap_avg_yearly(spark, sf_dir)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_big_orders_having_shares_orderkey_shuffle(spark, sf_dir):
+    """Q18 shape: the HAVING aggregate and the orders join-back both
+    key on orderkey; the plan must not add a third exchange beyond
+    (agg shuffle + join shuffle of the orders side)."""
+    tree = _tree(_plan(olap.olap_big_orders(spark, sf_dir)))
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("Exchange") <= 3, tree
+
+
+def test_customer_distribution_two_aggregation_levels(spark, sf_dir):
+    """Q13 shape: count-of-counts is two aggregation levels (custkey,
+    then n_orders) — partial aggregation must survive at both."""
+    tree = _tree(_plan(olap.olap_customer_distribution(spark, sf_dir)))
+    assert tree.count("HashAggregate") >= 4, tree  # 2 levels x partial+final
