@@ -19,18 +19,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from university_data_lakehouse_spark.session import tune_existing
 
 
-def _registries():
-    """Collect (QUERIES, ORACLES) from every operator module.
+# The driver's CORRECTNESS gate checks the first ~50 registry keys, and
+# the registry now exceeds that — so ordering is PRIORITY-BASED: keys
+# with the fewest historical driver rows register first (new r5 keys
+# and the r4-capped set have zero rows; similarity first went green in
+# r04).  Keys displaced past the cap are green in CORRECTNESS_r01..r04
+# as standing proof, and EVERY key regardless of position passes the
+# identical pytest oracle gate (tests/test_oracle_parity.py).
+_PRIORITY_KEYS = (
+    # zero driver rows before r5 (capped in r4 or new in r5)
+    "sample_stratified", "corpus_build", "corpus_stats", "pack_token_bins",
+    "text_contamination", "text_pii_redact", "multimodal_decoded",
+    "multimodal_features", "text_lm_quality", "events_value_quartiles",
+    "olap_customer_distribution", "olap_returned_items",
+    "olap_promo_revenue", "olap_avg_yearly", "olap_big_orders",
+    # one driver row (first green in r04)
+    "sim_knn_lsh", "sim_knn_ivf",
+)
 
-    Module order is deliberate: the driver's CORRECTNESS gate checks the
-    first ~50 registry keys, so the keys with the fewest historical driver
-    rows register FIRST — pipeline + multimodal (no row before r5) and
-    similarity (first green in r04).  The keys displaced past the cap
-    (dedup's last three, the dq_* checks, and the text_* ops) are green in
-    CORRECTNESS_r01..r04 as standing proof, and every key regardless of
-    position passes the identical pytest oracle gate
-    (tests/test_oracle_parity.py).
-    """
+
+def _registries():
+    """Collect (QUERIES, ORACLES) from every operator module, ordered
+    priority-first (see _PRIORITY_KEYS) then module order."""
     from university_data_lakehouse_spark.operators import (  # noqa: PLC0415
         pipeline,
     )
@@ -51,7 +61,9 @@ def _registries():
     for mod in modules:
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
-    return queries, oracles
+    ordered = {k: queries[k] for k in _PRIORITY_KEYS if k in queries}
+    ordered.update((k, v) for k, v in queries.items() if k not in ordered)
+    return ordered, oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -251,7 +251,21 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: per-user value quartiles. The (value,
+    event_id) compound ordering is a TOTAL order, so NTILE's
+    remainder-to-leading-buckets rule assigns identically in any
+    engine. One shuffle on user_id, shared with the ordering sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id", "event_id", "value",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 QUERIES = {
+    "events_value_quartiles": events_value_quartiles,
     "events_windowed_agg": events_windowed_agg,
     "events_funnel": events_funnel,
     "events_moving_avg": events_moving_avg,
@@ -284,6 +298,13 @@ _SESSION_SQL = f"""
 """
 
 ORACLES = {
+    "events_value_quartiles": """
+        SELECT user_id, event_id, value,
+               CAST(NTILE(4) OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id)
+                    AS INTEGER) AS quartile
+        FROM events
+    """,
     "events_moving_avg": """
         SELECT user_id, event_id, ts, value,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)

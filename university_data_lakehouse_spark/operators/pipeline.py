@@ -47,19 +47,26 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
 
+def _sample_key() -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+
+
+def _sample_thresh() -> F.Column:
+    thresh = F.lit(SAMPLE_DEFAULT_HEX)
+    for lang, hx in SAMPLE_RATE_HEX.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(thresh)
+    return thresh
+
+
 def sample_gate(doc: DataFrame) -> DataFrame:
     """DataFrame-level stratified sample gate — a stateless narrow
     map, so the SAME transform runs on a batch frame or a streaming
     one (pytest: tests/test_streaming.py stream/batch equivalence)."""
-    key = F.substring(
-        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
-    )
-    thresh = F.lit(SAMPLE_DEFAULT_HEX)
-    for lang, hx in SAMPLE_RATE_HEX.items():
-        thresh = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(thresh)
     return (
-        doc.select("doc_id", "lang", key.alias("sample_key"))
-        .where(F.col("sample_key") < thresh)
+        doc.select("doc_id", "lang", _sample_key().alias("sample_key"))
+        .where(F.col("sample_key") < _sample_thresh())
     )
 
 
@@ -242,9 +249,47 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_build_df(load_table(spark, sf_dir, "documents"))
 
 
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus composition report — the funnel numbers a
+    data curator reads before training: docs → exact-dedup canonicals
+    → quality survivors → sampled, with token totals and the dup
+    rate. One window for the dup flag (shuffle on the content hash)
+    and ONE groupBy lang with conditional aggregates — no joins, no
+    second scan; every stage predicate is the pipeline's own
+    definition (shared expression helpers), so this report can never
+    drift from what corpus_build actually does."""
+    from .text import quality_score_expr  # noqa: PLC0415
+    from ..functions.textfns import tokens  # noqa: PLC0415
+
+    doc = load_table(spark, sf_dir, "documents")
+    wdup = Window.partitionBy(F.md5("text"))
+    flagged = doc.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        (F.col("doc_id") == F.min("doc_id").over(wdup)).alias("canon"),
+        (quality_score_expr() >= QUALITY_TAU).alias("q"),
+        (_sample_key() < _sample_thresh()).alias("samp"),
+    )
+    keep = F.col("canon") & F.col("q") & F.col("samp")
+    n_docs = F.count(F.lit(1))
+    n_canonical = F.sum(F.col("canon").cast("long"))
+    return flagged.groupBy("lang").agg(
+        n_docs.alias("n_docs"),
+        n_canonical.alias("n_canonical"),
+        F.sum((F.col("canon") & F.col("q")).cast("long")).alias("n_quality"),
+        F.sum(keep.cast("long")).alias("n_sampled"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0)))
+        .alias("sampled_tokens"),
+        (F.lit(1.0) - n_canonical.cast("double") / n_docs.cast("double"))
+        .alias("dup_rate"),
+    )
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "corpus_build": corpus_build,
+    "corpus_stats": corpus_stats,
     "pack_token_bins": pack_token_bins,
     "text_contamination": text_contamination,
     "text_pii_redact": text_pii_redact,
@@ -390,3 +435,40 @@ ORACLES = {
 }
 
 ORACLES["corpus_build"] = _corpus_build_oracle()
+
+
+def _corpus_stats_oracle() -> str:
+    from .text import ORACLES as TEXT_ORACLES  # noqa: PLC0415
+
+    quality_sql = TEXT_ORACLES["text_quality_score"]
+    return f"""
+        WITH qs AS (SELECT doc_id, quality_score FROM ({quality_sql})),
+        f AS (
+            SELECT d.lang,
+                   CAST(len(regexp_extract_all(lower(d.text),
+                       '{TOKEN_RE}')) AS INTEGER) AS n_tokens,
+                   d.doc_id = MIN(d.doc_id)
+                       OVER (PARTITION BY md5(d.text)) AS canon,
+                   qs.quality_score >= {QUALITY_TAU} AS q,
+                   substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       < {_THRESH_SQL} AS samp
+            FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_canonical,
+               CAST(SUM(CASE WHEN canon AND q THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality,
+               CAST(SUM(CASE WHEN canon AND q AND samp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN canon AND q AND samp THEN n_tokens
+                        ELSE 0 END) AS BIGINT) AS sampled_tokens,
+               1.0 - CAST(SUM(CASE WHEN canon THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        FROM f GROUP BY 1
+    """
+
+
+ORACLES["corpus_stats"] = _corpus_stats_oracle()

@@ -143,6 +143,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring — the two-pass corpus
+    statistic behind perplexity-style filters: pass 1 aggregates the
+    corpus unigram distribution (explode → groupBy token, one
+    shuffle; the vocabulary is tiny next to the corpus, so the join
+    side broadcasts via AQE); pass 2 scores each doc by its mean
+    token log-probability. Every token is in-vocabulary by
+    construction (the model IS this corpus), so no smoothing term —
+    the statistic is a pure function of exact integer counts, with
+    ln() the only float op. libm ln differs by ~1 ulp between JVMs
+    and C engines, so the score is rounded to 6 decimals ON BOTH
+    SIDES (empirically a fixed point of both engines' ROUND) — the
+    exactness strategy of SURVEY §4 applied to the one operator whose
+    math cannot be made bit-exact."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus total as a broadcast 1-row aggregate (never a driver
+    # collect): log p(t) = ln(tf / total)
+    total = vocab.agg(F.sum("tf").alias("total"))
+    vocab_p = vocab.crossJoin(F.broadcast(total))
+    logp = F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
+    return (
+        tok.join(vocab_p, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
@@ -155,6 +187,7 @@ _SHINGLES = (
 )
 
 QUERIES = {
+    "text_lm_quality": text_lm_quality,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -162,6 +195,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lm_quality": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+        v AS (SELECT tk, COUNT(*) AS tf FROM t GROUP BY 1),
+        tot AS (SELECT SUM(tf) AS total FROM v)
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(SUM(ln(CAST(v.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+                     / COUNT(*), 6) AS avg_logprob
+        FROM t JOIN v USING (tk) CROSS JOIN tot
+        GROUP BY 1
+    """,
     "text_token_stats": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,

@@ -40,6 +40,17 @@ class SourceSystem:
     sensor_interval_seconds: int = 60
 
 
+#: Format-specific reader options (reference analog: the per-source
+#: ``file_format`` in SourceSystemConfig). Parquet/JSON self-describe
+#: rows; CSV needs header handling. The schema probe additionally
+#: infers types for the text formats.
+FORMAT_OPTIONS: dict[str, dict[str, str]] = {
+    "parquet": {},
+    "csv": {"header": "true"},
+    "json": {},
+}
+
+
 def _tables_of(system: str) -> tuple[str, ...]:
     return tuple(
         t.name for t in SOURCE_REGISTRY.values() if t.source_system == system
@@ -104,10 +115,17 @@ class BronzeLanding:
                 out[table] = 0
                 continue
             # schema from the files actually present (the reference
-            # reads its registry; parquet self-describes, and the
-            # batch probe reads footers only)
-            schema = self.spark.read.format(sys.file_format).load(ldir).schema
-            sdf = landing_stream(self.spark, ldir, schema, fmt=sys.file_format)
+            # reads its registry; parquet self-describes and the batch
+            # probe reads footers only; CSV/JSON probe with inference)
+            opts = dict(FORMAT_OPTIONS.get(sys.file_format, {}))
+            probe = self.spark.read.format(sys.file_format)
+            for k, v in opts.items():
+                probe = probe.option(k, v)
+            if sys.file_format in ("csv", "json"):
+                probe = probe.option("inferSchema", "true")
+            schema = probe.load(ldir).schema
+            sdf = landing_stream(self.spark, ldir, schema,
+                                 fmt=sys.file_format, options=opts)
             q = ingest_available_now(
                 sdf, self.bronze_dir(source, table), self._checkpoint(source, table)
             )

@@ -29,9 +29,14 @@ def landing_stream(
     schema: StructType,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """readStream over a landing directory (S3 prefix at scale)."""
+    """readStream over a landing directory (S3 prefix at scale).
+    ``options`` carries format-specific reader options (e.g. CSV
+    header handling) — see sources.systems.FORMAT_OPTIONS."""
     reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
