@@ -332,3 +332,15 @@ def test_customer_distribution_two_aggregation_levels(spark, sf_dir):
     then n_orders) — partial aggregation must survive at both."""
     tree = _tree(_plan(olap.olap_customer_distribution(spark, sf_dir)))
     assert tree.count("HashAggregate") >= 4, tree  # 2 levels x partial+final
+
+
+def test_lm_quality_broadcasts_model_not_corpus(spark, sf_dir):
+    """text_lm_quality must build/broadcast the VOCAB side (the model,
+    metadata-sized) — never the exploded corpus token stream, which at
+    100 TB is the biggest relation in the plan."""
+    from university_data_lakehouse_spark.operators import text
+
+    tree = _tree(_plan(text.text_lm_quality(spark, sf_dir)))
+    assert "BroadcastHashJoin Inner BuildRight" in tree, tree
+    # the broadcast subtree is the cached vocab, not a raw scan+explode
+    assert "InMemoryRelation" in tree, tree

@@ -157,16 +157,28 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIDES (empirically a fixed point of both engines' ROUND) — the
     exactness strategy of SURVEY §4 applied to the one operator whose
     math cannot be made bit-exact."""
+    from ..functions.joins import maybe_broadcast  # noqa: PLC0415
+
     doc = load_table(spark, sf_dir, "documents")
     tok = doc.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    # the MODEL (vocabulary + counts) is cached: it is metadata-sized
+    # next to the corpus and is read twice (total + score join); the
+    # corpus token stream itself is never cached — two scan passes is
+    # the statistic's inherent cost (at 100 TB, persist the token
+    # table once and both passes read it)
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf")).cache()
     # corpus total as a broadcast 1-row aggregate (never a driver
     # collect): log p(t) = ln(tf / total)
     total = vocab.agg(F.sum("tf").alias("total"))
     vocab_p = vocab.crossJoin(F.broadcast(total))
     logp = F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
+    # size-gated broadcast of the MODEL side: never let the planner
+    # build on the corpus-sized token stream (at test SF it otherwise
+    # broadcasts the exploded tokens — exactly backwards at scale);
+    # past the gate both sides hash-partition on t, and vocab already
+    # carries that partitioning from its groupBy
     return (
-        tok.join(vocab_p, "t")
+        tok.join(maybe_broadcast(vocab_p), "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
