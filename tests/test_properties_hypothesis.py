@@ -126,3 +126,72 @@ def test_media_parser_never_raises_on_junk(junk):
     meta = parse_media_header(junk)
     assert set(meta) == {"width", "height", "sample_rate", "n_samples",
                          "duration_ms"}
+
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.sampled_from(["image", "audio"]))
+@settings(max_examples=60, deadline=None)
+def test_pixel_sample_decode_recovers_synth_formula(doc_id, media):
+    """decode_samples reads REAL bytes: for any doc_id, the decoded
+    chunk-mean features equal the synth formulas evaluated directly
+    ((doc_id+i)%256 pixels, ((doc_id*31+i*7)%65536)-32768 samples)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_samples,
+        synth_media_payload,
+    )
+
+    payload = synth_media_payload(doc_id, media, "txt")
+    d = decode_samples(payload)
+    assert d is not None
+    if media == "image":
+        w, h = 4 + doc_id % 16, 4 + (doc_id // 16) % 16
+        n = ((w * 3 + 3) & ~3) * h
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["features"] == _chunk_means(
+            [(doc_id + i) % 256 for i in range(n)])
+    else:
+        n = 100 + doc_id % 400
+        assert d["n_frames"] == n
+        assert d["features"] == _chunk_means(
+            [abs(((doc_id * 31 + i * 7) % 65536) - 32768)
+             for i in range(n)])
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_decode_samples_returns_none_on_junk(junk):
+    """Arbitrary bytes either parse as a (coincidentally) valid
+    uncompressed container or return None — never raise."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_samples,
+    )
+
+    out = decode_samples(junk)
+    assert out is None or set(out) == {"width", "height", "n_frames",
+                                       "features"}
+
+
+@given(st.lists(st.integers(min_value=0, max_value=65535), min_size=0,
+                max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_chunk_means_properties(vals):
+    """8 chunks always; short inputs 0.0-pad; constant input -> the
+    constant; every mean within [min, max] of its input."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+    )
+
+    out = _chunk_means(vals)
+    assert len(out) == 8
+    if not vals:
+        assert out == [0.0] * 8
+        return
+    lo, hi = min(vals), max(vals)
+    step = max(len(vals) // 8, 1)
+    for i, m in enumerate(out):
+        chunk = vals[i * step:(i + 1) * step]
+        if chunk:
+            assert lo - 1e-9 <= m <= hi + 1e-9
+        else:
+            assert m == 0.0
