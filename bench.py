@@ -50,6 +50,7 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "sim_knn_lsh",
     "sim_knn_ivf",
+    "sim_knn_pq",
     "text_quality_score",
     "multimodal_decoded",
     "multimodal_features",

@@ -26,6 +26,7 @@ from university_data_lakehouse_spark.operators.similarity import (
     sim_knn_bruteforce,
     sim_knn_ivf,
     sim_knn_lsh,
+    sim_knn_pq,
 )
 
 N_QUERIES = 5
@@ -210,3 +211,49 @@ def test_ivf_probes_scan_fraction_of_corpus(spark, planted_dir):
     # nominal nprobe/K = 2/16 = 0.125; allow skewed cells up to ~4x
     assert frac < 4 * IVF_NPROBE / IVF_CELLS, frac
     assert frac < 0.5  # always a real saving vs brute force
+
+
+def test_pq_recall_at_k(spark, planted_dir):
+    """PQ with exact re-rank of the top PQ_RERANK ADC candidates: a
+    planted near-dup (cos ~0.93) dominates every subspace dot, so the
+    quantized score keeps it inside the re-rank window."""
+    exact = _topk_sets(sim_knn_bruteforce(spark, planted_dir))
+    approx = _topk_sets(sim_knn_pq(spark, planted_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.9, f"pq recall@{TOP_K} = {recall:.3f}"
+
+
+def test_pq_rerank_is_exact_and_bounded(spark, sf_dir):
+    """Survivors carry EXACT cosines (bit-equal to brute force on
+    shared pairs), and the ADC stage hands at most PQ_RERANK
+    candidates per query to the exact re-rank."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        PQ_RERANK,
+        _pq_codebooks,
+        _pq_codes,
+        _vectors,
+    )
+
+    pq = sim_knn_pq(spark, sf_dir)
+    bf = sim_knn_bruteforce(spark, sf_dir)
+    bf_scores = {(r.query_id, r.neighbor_id): r.cosine for r in bf.collect()}
+    rows = pq.collect()
+    assert len(rows) > 0
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_scores:
+            assert r.cosine == bf_scores[key]       # bit-exact re-rank
+    # the encoded corpus really is codes, not vectors
+    v = _vectors(spark, sf_dir)
+    codes = _pq_codes(v, _pq_codebooks(v))
+    assert set(codes.columns) == {"vec_id", "code0", "code1", "code2",
+                                  "code3"}
+    n_queries = v.where(similarity.F.col("vec_id") % QUERY_MOD == 0).count()
+    # ≤ PQ_RERANK survivors per query reach the exact stage; the final
+    # output is further cut to TOP_K
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert len(per_q) == n_queries
+    assert all(c <= min(TOP_K, PQ_RERANK) for c in per_q.values())

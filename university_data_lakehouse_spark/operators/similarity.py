@@ -378,10 +378,160 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization ------------------------------------------------
+PQ_M = 4                     # subspaces
+PQ_SUB = EMB_DIM // PQ_M     # dims per subspace
+PQ_K = 8                     # codebook entries per subspace
+PQ_ITERS = 2                 # Lloyd rounds per subspace quantizer
+PQ_RERANK = 4 * TOP_K        # ADC candidates exact-re-ranked per query
+
+
+def _sub_frame(v: DataFrame) -> DataFrame:
+    """(vec_id, m, s): the m-th PQ_SUB-dim subvector of each
+    embedding — one narrow explode, all PQ_M quantizers train in the
+    SAME pass (one shuffle per Lloyd round total, not per subspace)."""
+    entries = F.array(*[
+        F.struct(F.lit(m).alias("m"),
+                 F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("s"))
+        for m in range(PQ_M)
+    ])
+    return v.select("vec_id", F.explode(entries).alias("e")).select(
+        "vec_id", F.col("e.m").alias("m"), F.col("e.s").alias("s"))
+
+
+def _sqdist(sub_col: F.Column, cvals: list[float]) -> F.Column:
+    """Strict left-fold squared L2 distance to a literal centroid —
+    bit-identical to the DuckDB list_reduce replay (terms are squares,
+    so the 0.0-init fold equals the no-init fold exactly)."""
+    arr = F.array(*[F.lit(float(x)) for x in cvals])
+    return F.aggregate(
+        F.zip_with(sub_col, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
+    """Deterministic per-subspace quantizers: seeds are the PQ_K
+    subvectors of smallest md5(vec_id) per subspace, then PQ_ITERS
+    medoid-style Lloyd rounds — the new entry is the member subvector
+    CLOSEST to the old entry (min_by (dist, vec_id)): exact and
+    order-independent, so the whole training replays in SQL (same
+    argument as _ivf_centroids). Only PQ_M x PQ_K x PQ_SUB floats
+    (the codebooks) ever reach the driver."""
+    sub = _sub_frame(v)
+    wseed = Window.partitionBy("m").orderBy(
+        F.md5(F.col("vec_id").cast("string")))
+    seeds = (
+        sub.withColumn("k", F.row_number().over(wseed) - 1)
+        .where(F.col("k") < PQ_K)
+        .select("m", "k", "s")
+        .collect()
+    )
+    cb: list[list[list[float]]] = [[None] * PQ_K for _ in range(PQ_M)]
+    for r in seeds:
+        cb[r["m"]][r["k"]] = [float(x) for x in r["s"]]
+
+    def scores_expr() -> F.Column:
+        sc = None
+        for m in range(PQ_M):
+            arr = F.array(*[_sqdist(F.col("s"), cb[m][k])
+                            for k in range(PQ_K)])
+            sc = F.when(F.col("m") == m, arr) if sc is None else sc.when(
+                F.col("m") == m, arr)
+        return sc
+
+    for _ in range(PQ_ITERS):
+        assigned = sub.withColumn("sc", scores_expr()).select(
+            "vec_id", "m", "s",
+            (F.array_position(F.col("sc"), F.array_min("sc")) - 1).alias("k"),
+            F.array_min("sc").alias("d"),
+        )
+        reps = (
+            assigned.groupBy("m", "k")
+            .agg(F.min_by("s", F.struct("d", "vec_id")).alias("rep"))
+            .collect()
+        )
+        for r in reps:   # codes with no members keep their entry
+            cb[r["m"]][int(r["k"])] = [float(x) for x in r["rep"]]
+    return cb
+
+
+def _pq_codes(v: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
+    """Encode every vector as PQ_M small codes — the 100 TB payoff:
+    the ADC scan reads PQ_M bytes per vector instead of EMB_DIM
+    floats (~32x less IO at these parameters)."""
+    cols = []
+    for m in range(PQ_M):
+        sl = F.slice("v", m * PQ_SUB + 1, PQ_SUB)
+        sc = F.array(*[_sqdist(sl, cb[m][k]) for k in range(PQ_K)])
+        cols.append(
+            (F.array_position(sc, F.array_min(sc)) - 1)
+            .cast("int").alias(f"code{m}")
+        )
+    return v.select("vec_id", *cols)
+
+
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION (the public
+    IVF-PQ/ADC design, compression half): per-subspace codebooks
+    trained by deterministic medoid Lloyd rounds, the corpus encoded
+    to PQ_M codes per vector, queries scored against the CODES by
+    asymmetric distance (sum over subspaces of <q_m, codebook
+    entry>), and only the top PQ_RERANK ADC candidates re-ranked by
+    exact cosine. Complements sim_knn_ivf: IVF cuts the fraction of
+    the corpus SCANNED, PQ cuts the bytes per vector scanned.
+
+    Fully deterministic (seeded medoid training, strict left-fold
+    ADC in fixed subspace order) — the entire train/encode/score
+    pipeline replays in DuckDB SQL, so the approximate path itself is
+    ORACLE-CHECKED; recall vs brute force is pytest-gated."""
+    v = _vectors(spark, sf_dir).cache()
+    cb = _pq_codebooks(v)
+    codes = _pq_codes(v, cb)
+    q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("v_q"),
+        F.col("nrm").alias("n_q"),
+    )
+    parts = []
+    for m in range(PQ_M):
+        lut = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cb[m][k]])
+            for k in range(PQ_K)
+        ])
+        qs = F.slice("v_q", m * PQ_SUB + 1, PQ_SUB)
+        cvec = F.element_at(lut, F.col(f"code{m}") + 1)
+        parts.append(F.aggregate(
+            F.zip_with(qs, cvec, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x))
+    adc = ((parts[0] + parts[1]) + parts[2]) + parts[3]
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id"))
+    cand = (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+        .withColumn("rn", F.row_number().over(wadc))
+        .where(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "v_q", "n_q", "vec_id")
+    )
+    cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.join(v, "vec_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "cosine", "rank")
+    )
+
+
 QUERIES = {
     "sim_knn_bruteforce": sim_knn_bruteforce,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
+    "sim_knn_pq": sim_knn_pq,
 }
 
 _DOT_QV = (
@@ -555,3 +705,121 @@ def _knn_ivf_oracle() -> str:
 
 
 ORACLES["sim_knn_ivf"] = _knn_ivf_oracle()
+
+
+def _knn_pq_oracle() -> str:
+    """Replay of sim_knn_pq: per-subspace seed pick by md5 order,
+    PQ_ITERS unrolled assign/medoid-update rounds, corpus encoding,
+    fixed-order ADC over the codes, top-PQ_RERANK candidates, exact
+    cosine re-rank. Same fold/tie-break discipline as the IVF oracle."""
+
+    def dist(s: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+            f"i -> ({s}[i] - {c}[i]) * ({s}[i] - {c}[i])), (x, y) -> x + y)"
+        )
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    vv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    ctes = [f"""
+        v AS (
+            SELECT vec_id, {vv} AS vv, sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings
+        ),
+        sub AS (
+            SELECT vec_id, m,
+                   list_transform(range(1, {PQ_SUB + 1}),
+                                  i -> vv[m * {PQ_SUB} + i]) AS s
+            FROM v, (SELECT unnest(range(0, {PQ_M})) AS m)
+        ),
+        seeds AS (
+            SELECT m, s, ROW_NUMBER() OVER (PARTITION BY m
+                ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS k
+            FROM sub
+        ),
+        cb0 AS (SELECT m, k, s AS c FROM seeds WHERE k < {PQ_K})"""]
+    for r in range(1, PQ_ITERS + 1):
+        prev = f"cb{r - 1}"
+        ctes.append(f"""
+        a{r} AS (
+            SELECT vec_id, m, s, k, d FROM (
+                SELECT sub.vec_id, sub.m, sub.s, cb.k,
+                       {dist('sub.s', 'cb.c')} AS d,
+                       ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                           ORDER BY {dist('sub.s', 'cb.c')} ASC, cb.k ASC
+                       ) AS rn
+                FROM sub JOIN {prev} cb ON cb.m = sub.m
+            ) WHERE rn = 1
+        ),
+        rep{r} AS (
+            SELECT m, k, s FROM (
+                SELECT m, k, s, ROW_NUMBER() OVER (PARTITION BY m, k
+                    ORDER BY d ASC, vec_id ASC) AS rn
+                FROM a{r}
+            ) WHERE rn = 1
+        ),
+        cb{r} AS (
+            SELECT p.m, p.k, COALESCE(rep{r}.s, p.c) AS c
+            FROM {prev} p
+            LEFT JOIN rep{r} ON rep{r}.m = p.m AND rep{r}.k = p.k
+        )""")
+    final = f"cb{PQ_ITERS}"
+    dot64 = ("list_reduce(list_transform(range(1, 65), "
+             "i -> q.vv[i] * t.vv[i]), (x, y) -> x + y)")
+    tail = f"""
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT sub.vec_id, sub.m, cb.k,
+                       ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                           ORDER BY {dist('sub.s', 'cb.c')} ASC, cb.k ASC
+                       ) AS rn
+                FROM sub JOIN {final} cb ON cb.m = sub.m
+            ) WHERE rn = 1
+        ),
+        parts AS (
+            SELECT qs.vec_id AS query_id, cd.vec_id AS vec_id, qs.m,
+                   {dotf('qs.s', 'cb.c')} AS part
+            FROM sub qs
+            JOIN codes cd ON cd.m = qs.m AND cd.vec_id <> qs.vec_id
+            JOIN {final} cb ON cb.m = cd.m AND cb.k = cd.k
+            WHERE qs.vec_id % {QUERY_MOD} = 0
+        ),
+        adc AS (
+            SELECT query_id, vec_id,
+                   ((MAX(CASE WHEN m = 0 THEN part END)
+                     + MAX(CASE WHEN m = 1 THEN part END))
+                    + MAX(CASE WHEN m = 2 THEN part END))
+                   + MAX(CASE WHEN m = 3 THEN part END) AS score
+            FROM parts GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) AS rn
+                FROM adc
+            ) WHERE rn <= {PQ_RERANK}
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id AS neighbor_id,
+                   {dot64} / (q.nrm * t.nrm) AS cosine
+            FROM cand c
+            JOIN v q ON q.vec_id = c.query_id
+            JOIN v t ON t.vec_id = c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}"""
+    return "WITH " + ",".join(ctes) + "," + tail
+
+
+ORACLES["sim_knn_pq"] = _knn_pq_oracle()
