@@ -283,3 +283,44 @@ def test_streaming_merge_sink_upserts(spark, tmp_path):
     v2 = table.latest_version()
     tick()
     assert table.latest_version() == v2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream event-time interval join: a click attributes to a
+    view by user within 30 minutes AFTER it; outside-window or
+    cross-user pairs never join. Both sides are real streams (two
+    file sources), so this exercises dual-sided state buffering."""
+    from university_data_lakehouse_spark.streaming.windowed import (
+        interval_join,
+    )
+
+    views = str(tmp_path / "views")
+    clicks = str(tmp_path / "clicks")
+    _write_batch(spark, views, [
+        (1, _ts(0), 1, "view", 1.0),        # joined by click @ +10min
+        (2, _ts(0), 2, "view", 1.0),        # click too late (+45min)
+        (3, _ts(30), 1, "view", 1.0),       # joined by click @ +5min
+    ])
+    _write_batch(spark, clicks, [
+        (101, _ts(10), 1, "click", 1.0),    # -> view 1
+        (102, _ts(45), 2, "click", 1.0),    # 45min after view 2: dropped
+        (103, _ts(35), 1, "click", 1.0),    # -> views 1 (35m? no: >30m) & 3
+        (104, _ts(5), 3, "click", 1.0),     # no view for user 3
+    ])
+    out = interval_join(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(views),
+        spark.readStream.schema(EVENT_SCHEMA).parquet(clicks),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ij")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.l_event_id, r.r_event_id)
+           for r in spark.sql("SELECT * FROM ij").collect()}
+    assert got == {(1, 101), (3, 103)}, got
+    delays = {(r.l_event_id, r.r_event_id): r.delay_us
+              for r in spark.sql("SELECT * FROM ij").collect()}
+    assert delays[(1, 101)] == 10 * 60 * 1_000_000
+    assert delays[(3, 103)] == 5 * 60 * 1_000_000

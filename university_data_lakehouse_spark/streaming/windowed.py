@@ -59,6 +59,46 @@ def streaming_dedup(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join (the ad-attribution
+    shape: a right-stream event joins a left-stream event by key when
+    it happens within ``max_delay`` AFTER it). Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    Spark can evict buffered state on BOTH sides — the state-boundedness
+    requirement for any stream-stream join at 100 TB (an unbounded
+    condition would buffer both streams forever).
+
+    Column convention: the left stream's ts/event_id arrive prefixed
+    ``l_``, the right stream's ``r_``.
+    """
+    l = left.select(
+        F.col(key),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", left_watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", right_watermark)
+    cond = (
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond).select(
+        key, "l_event_id", "l_ts", "r_event_id", "r_ts",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
+    )
+
+
 def sliding_value_sum(
     events: DataFrame,
     window_len: str = "1 hour",
