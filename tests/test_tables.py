@@ -427,6 +427,57 @@ def test_incremental_log_checkpointing(spark, catalog):
 
 def test_partition_spec_refuses_float_columns(spark, catalog):
     t = catalog.table("t15")
-    with pytest.raises(SchemaMismatch, match="partition column"):
+    with pytest.raises(SchemaMismatch, match="partition source"):
         t.write(spark.createDataFrame([(1.5, "a")], "p double, val string"),
                 partition_by=["p"])
+
+
+def test_transform_partitions_hidden_iceberg_style(spark, catalog):
+    """Iceberg-style TRANSFORM partitioning: days(ts) + bucket(4, id).
+    The source columns stay IN the data files (hidden partitioning —
+    only derived values hit the path), reads prune at the manifest on
+    transformed predicates, and a MERGE keyed on the source columns
+    prunes whole derived partitions."""
+    t = catalog.table("t17")
+    schema = "id int, ts timestamp, val string"
+    rows = [(1, "2024-01-01 05:00:00", "a"), (2, "2024-01-01 09:00:00", "b"),
+            (3, "2024-02-03 06:00:00", "c"), (4, "2024-03-05 07:00:00", "d")]
+    df = (spark.createDataFrame(rows, "id int, ts string, val string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    t.write(df, partition_by=["days(ts)", "bucket(4, id)"])
+    m = t.manifest()
+    assert m["partition_by"] == ["days(ts)", "bucket(4, id)"]
+    # hidden: path carries derived dirs, manifest keys by spec string
+    assert all(f["name"].startswith("days_ts=") for f in m["files"])
+    assert all(set(f["partition_values"]) == {"days(ts)", "bucket(4, id)"}
+               for f in m["files"])
+    # source columns survived INSIDE the data files (full read needs
+    # no path reconstitution for them)
+    full = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert full == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert t.read(spark).columns == ["id", "ts", "val"]
+
+    # manifest pruning on the transformed value
+    sub = t.read(spark, partition_filter={"days(ts)": "2024-01-01"})
+    assert all("days_ts=2024-01-01" in p for p in sub.inputFiles())
+    assert {r.id for r in sub.collect()} == {1, 2}
+
+    # MERGE keyed on (id, ts): both transform sources ∈ keys, so the
+    # 2024-02-03 and 2024-03-05 partitions' files carry over BY NAME
+    other = {f["name"] for f in m["files"]
+             if f["partition_values"]["days(ts)"] != "2024-01-01"}
+    src = (spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", "A*"), (9, "2024-01-01 11:00:00", "new")],
+        "id int, ts string, val string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    t.merge(src, keys=["id", "ts"])
+    after = {f["name"] for f in t.manifest()["files"]}
+    assert other <= after
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, "A*"), (2, "b"), (3, "c"), (4, "d"), (9, "new")}
+
+    # compact preserves the derived layout
+    t.compact(spark)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == got
+    assert all(f["name"].startswith("days_ts=")
+               for f in t.manifest()["files"])

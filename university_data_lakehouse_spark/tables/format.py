@@ -46,6 +46,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import urllib.parse
@@ -91,6 +92,62 @@ def _footer_stats(path: str) -> dict[str, list]:
             mins[name] = st.min if name not in mins else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
     return {n: [mins[n], maxs[n]] for n in mins if n not in skip}
+
+
+_TRANSFORM_RE = re.compile(
+    r"^(years|months|days|bucket)\((?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\)$"
+)
+
+_DATE_FMT = {"years": "yyyy", "months": "yyyy-MM", "days": "yyyy-MM-dd"}
+
+
+class PartitionSpecField:
+    """One entry of an Iceberg-style partition spec: an identity
+    column (``"day"``) or a transform over a source column
+    (``"days(ts)"``, ``"months(ts)"``, ``"years(ts)"``,
+    ``"bucket(16, id)"``). Transforms are HIDDEN partitioning: the
+    source column stays in the data files; only the derived value
+    goes into the directory path and the manifest."""
+
+    def __init__(self, spec: str):
+        self.spec = spec
+        m = _TRANSFORM_RE.match(spec)
+        if m:
+            self.transform, param, self.source = m.groups()
+            if self.transform == "bucket":
+                if not param:
+                    raise ValueError(f"bucket transform needs N: {spec!r}")
+                self.param = int(param)
+                self.dir_name = f"bucket{self.param}_{self.source}"
+            else:
+                if param:
+                    raise ValueError(f"{self.transform} takes no N: {spec!r}")
+                self.param = None
+                self.dir_name = f"{self.transform}_{self.source}"
+        else:
+            self.transform, self.param = None, None
+            self.source = spec
+            self.dir_name = spec
+
+    @property
+    def identity(self) -> bool:
+        return self.transform is None
+
+    def expr(self):
+        """Derived partition-value Column (None for identity — the raw
+        column itself is the partition column)."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if self.identity:
+            return None
+        if self.transform == "bucket":
+            # Spark's stable murmur3 hash; value range [0, N)
+            return F.pmod(F.hash(F.col(self.source)), F.lit(self.param))
+        return F.date_format(F.col(self.source), _DATE_FMT[self.transform])
+
+
+def _spec_fields(pby: list[str]) -> list[PartitionSpecField]:
+    return [PartitionSpecField(s) for s in pby]
 
 
 class CommitConflict(RuntimeError):
@@ -261,9 +318,17 @@ class ManagedTable:
         the Iceberg partition-spec idea."""
         os.makedirs(self.data_dir, exist_ok=True)
         tmp = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
+        spec_by_dir: dict[str, str] = {}
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            fields = _spec_fields(partition_by)
+            for fld in fields:
+                if not fld.identity:   # hidden partitioning: derive
+                    df = df.withColumn(fld.dir_name, fld.expr())
+                spec_by_dir[fld.dir_name] = fld.spec
+            writer = df.write.mode("overwrite").partitionBy(
+                *[fld.dir_name for fld in fields])
+        else:
+            writer = df.write.mode("overwrite")
         writer.parquet(tmp)
         staged = []
         pattern = os.path.join(tmp, "**", "part-*.parquet")
@@ -273,7 +338,9 @@ class ManagedTable:
             if rel_dir != ".":
                 for seg in rel_dir.split(os.sep):
                     col, _, val = seg.partition("=")
-                    pvals[col] = urllib.parse.unquote(val)
+                    # manifest keys partition values by SPEC string
+                    pvals[spec_by_dir.get(col, col)] = (
+                        urllib.parse.unquote(val))
             name = f"{uuid.uuid4().hex}-{os.path.basename(p)}"
             rel_name = (
                 name if rel_dir == "."
@@ -384,16 +451,20 @@ class ManagedTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode {mode!r}")
         pby = self._resolve_partition_spec(partition_by)
-        missing = [c for c in pby if c not in df.columns]
+        fields = _spec_fields(pby)
+        missing = [f.source for f in fields if f.source not in df.columns]
         if missing:
             raise SchemaMismatch(
-                f"partition columns {missing} absent from dataframe"
+                f"partition source columns {missing} absent from dataframe"
             )
-        for c in pby:
-            if isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType)):
+        for fld in fields:
+            if fld.transform in (None, "bucket") and isinstance(
+                    df.schema[fld.source].dataType,
+                    (T.FloatType, T.DoubleType)):
                 raise SchemaMismatch(
-                    f"float/double partition column {c!r}: path-encoded "
-                    "partition values cannot represent NaN/precision soundly"
+                    f"float/double partition source {fld.source!r}: "
+                    "path/hash-encoded partition values cannot represent "
+                    "NaN/precision soundly"
                 )
         schema = self._check_schema(df, evolve)
         staged = self._stage(df, partition_by=pby or None)
@@ -476,10 +547,19 @@ class ManagedTable:
         # set of the source is metadata-sized (one tuple per touched
         # partition), not data-sized.
         source_parts: set[tuple] | None = None
-        if pby and set(pby) <= set(keys):
+        fields = _spec_fields(pby)
+        if pby and all(fld.source in set(keys) for fld in fields):
+            # key equality pins the SOURCE columns, and every transform
+            # is a deterministic function of its source — so a match
+            # can only live in a partition the source slice maps to
+            proj = [
+                (F.col(fld.source) if fld.identity else fld.expr())
+                .alias(fld.spec)
+                for fld in fields
+            ]
             source_parts = {
-                tuple(self._pv_str(row[c]) for c in pby)
-                for row in source.select(*pby).distinct().collect()
+                tuple(self._pv_str(row[fld.spec]) for fld in fields)
+                for row in source.select(*proj).distinct().collect()
             }
         bounds_row = source.agg(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
@@ -555,7 +635,13 @@ class ManagedTable:
         reader = spark.read.schema(schema)
         if partitioned:
             reader = reader.option("basePath", self.data_dir)
-        return reader.parquet(*paths)
+        out = reader.parquet(*paths)
+        if partitioned:
+            # basePath reconstitutes identity partition columns from the
+            # paths but ALSO appends hidden-transform dir columns (e.g.
+            # days_ts) to the schema — project back to the table schema
+            out = out.select(*[f.name for f in schema.fields])
+        return out
 
     def _rewrite(self, df: DataFrame, operation: str,
                  base_version: int | None = None,
@@ -620,7 +706,11 @@ class ManagedTable:
         pby = self.partition_by(v)
         if pby:
             from pyspark.sql import functions as F  # noqa: PLC0415
-            df = df.repartition(*[F.col(c) for c in pby])
+            exprs = [
+                F.col(fld.source) if fld.identity else fld.expr()
+                for fld in _spec_fields(pby)
+            ]
+            df = df.repartition(*exprs)
         else:
             df = df.coalesce(target_files)
         return self._rewrite(df, "compact", base_version=v)
