@@ -432,6 +432,38 @@ def test_partition_spec_refuses_float_columns(spark, catalog):
                 partition_by=["p"])
 
 
+def test_clustered_compaction_improves_data_skipping(spark, catalog):
+    """compact(cluster_by=...) range-sorts the rewrite so footer
+    min/max ranges become near-disjoint: a narrow MERGE that had to
+    touch EVERY file (interleaved appends overlap every key slice)
+    touches ~one file afterwards — the OPTIMIZE-style maintenance
+    payoff, proven by carried-file names in the manifest."""
+    t = catalog.table("t18")
+    # 4 interleaved appends: every file spans ids [off..396], so all
+    # files overlap any key slice
+    for off in range(4):
+        t.write(_df(spark, [(i, f"v{i}") for i in range(off, 400, 4)])
+                .coalesce(1),
+                mode="overwrite" if off == 0 else "append")
+    before = {f["name"] for f in t.manifest()["files"]}
+    assert len(before) == 4
+    t.merge(_df(spark, [(5, "X")]), keys=["id"])
+    carried = {f["name"] for f in t.manifest()["files"]} & before
+    assert carried == set()            # interleaved: nothing skippable
+
+    v = t.compact(spark, target_files=4, cluster_by=["id"])
+    clustered = {f["name"] for f in t.manifest(v)["files"]}
+    assert len(clustered) == 4
+    # clustered ranges are near-disjoint: the same narrow merge now
+    # carries all but one file forward untouched
+    t.merge(_df(spark, [(7, "Y")]), keys=["id"])
+    carried = {f["name"] for f in t.manifest()["files"]} & clustered
+    assert len(carried) == 3, (len(carried), len(clustered))
+    got = {r.val for r in t.read(spark).where(F.col("id").isin(5, 7))
+           .collect()}
+    assert got == {"X", "Y"}
+
+
 def test_transform_partitions_hidden_iceberg_style(spark, catalog):
     """Iceberg-style TRANSFORM partitioning: days(ts) + bucket(4, id).
     The source columns stay IN the data files (hidden partitioning —

@@ -686,7 +686,8 @@ class ManagedTable:
 
     # ------------------------------------------------------ lifecycle
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(self, spark: SparkSession, target_files: int = 1,
+                cluster_by: list[str] | None = None) -> int:
         """Bin-pack the current snapshot into ``target_files`` data
         files (the small-files problem after many incremental
         MERGEs): a pure rewrite — same rows, new layout, new version;
@@ -697,14 +698,26 @@ class ManagedTable:
         compaction's own commit collide and raise CommitConflict instead
         of silently superseding the concurrent writer's rows.
 
+        ``cluster_by`` range-partitions + sorts the rewrite on the
+        given columns (the Delta OPTIMIZE ZORDER idea in its linear
+        form): each output file then covers a TIGHT, near-disjoint
+        range of the cluster keys, so footer min/max data skipping
+        prunes to ~one file per key slice where interleaved appends
+        made every file overlap every slice — the maintenance job that
+        keeps incremental MERGE cost flat at 100 TB.
+
         On a partitioned table the layout is preserved: rows shuffle
-        onto their partition columns so the partitionBy stage writes
+        onto their partition values so the partitionBy stage writes
         ~one packed file per partition value (at cluster scale this is
         the standard bin-pack-within-partition maintenance job)."""
         v = self.latest_version()
         df = self.read(spark, v)
         pby = self.partition_by(v)
-        if pby:
+        if cluster_by:
+            df = df.repartitionByRange(
+                max(target_files, 1), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        elif pby:
             from pyspark.sql import functions as F  # noqa: PLC0415
             exprs = [
                 F.col(fld.source) if fld.identity else fld.expr()
