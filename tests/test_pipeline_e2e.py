@@ -182,3 +182,22 @@ def test_incremental_corpus_build_matches_batch(spark, sf_dir, tmp_path):
     # replaying the tick finds no new documents: idempotent no-op
     assert incremental_corpus_build(spark, sf_dir, catalog) == v2
     assert _sorted_rows(shards.read(spark)) == _sorted_rows(batch_full)
+
+
+def test_corpus_asset_graph_check_gated_publish(spark, sf_dir, tmp_path):
+    """The corpus pipeline runs through the asset layer: blocking
+    quality checks gate the publish, and both gold tables land as
+    managed-table versions."""
+    from university_data_lakehouse_spark.plans.corpus import corpus_graph
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    g = corpus_graph()
+    res = g.materialize(spark, sf_dir, catalog=catalog)
+    assert all(r.status == "ok" for r in res.values()), res
+    shards = catalog.table("gold/corpus_shards")
+    stats = catalog.table("gold/corpus_stats")
+    assert shards.read(spark).count() == res["gold/corpus_shards"].rows
+    assert stats.read(spark).count() >= 1
+    assert res["gold/corpus_shards"].checks == {
+        "row_count": True, "no_duplicates": True, "not_null_pk": True,
+        "pos_in_bin_positive": True}

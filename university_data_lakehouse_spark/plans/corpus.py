@@ -50,6 +50,46 @@ HASHES_TABLE = "silver/doc_hashes"
 STATE_TABLE = "gold/corpus_state"
 
 
+def corpus_graph():
+    """The corpus pipeline as a check-gated asset graph (same Dagster
+    parity surface as plans/medallion.py, §2.10 × §2.12): shards and
+    the composition report materialize through the asset layer with
+    blocking quality checks — a duplicated doc_id or an empty build
+    never publishes."""
+    from ..operators.pipeline import corpus_build, corpus_stats
+    from .assets import Asset, AssetGraph
+    from .checks import no_duplicates, not_null_pk, row_count, value_range
+
+    def _docs(spark, sf_dir, **_):
+        return load_table(spark, sf_dir, "documents")
+
+    return AssetGraph([
+        Asset(key="bronze/documents", fn=_docs, group="bronze",
+              tags={"layer": "bronze", "source": "documents"},
+              kind="parquet", checks=(("row_count", row_count(1)),)),
+        Asset(key="gold/corpus_shards",
+              fn=lambda spark, sf_dir, **_: corpus_build(spark, sf_dir),
+              deps=("bronze/documents",), group="corpus",
+              tags={"layer": "gold", "tier": "Gold"}, kind="spark",
+              checks=(
+                  ("row_count", row_count(1)),
+                  ("no_duplicates", no_duplicates("doc_id")),
+                  ("not_null_pk", not_null_pk("lang", "bin_id", "doc_id")),
+                  ("pos_in_bin_positive",
+                   value_range("pos_in_bin", 1, 10**9)),
+              )),
+        Asset(key="gold/corpus_stats",
+              fn=lambda spark, sf_dir, **_: corpus_stats(spark, sf_dir),
+              deps=("bronze/documents",), group="corpus",
+              tags={"layer": "gold", "tier": "Gold"}, kind="spark",
+              checks=(
+                  ("row_count", row_count(1)),
+                  ("no_duplicates", no_duplicates("lang")),
+                  ("dup_rate_bounded", value_range("dup_rate", 0.0, 1.0)),
+              )),
+    ])
+
+
 def _doc_hashes(doc: DataFrame) -> DataFrame:
     return doc.select("doc_id", F.md5("text").alias("text_md5"))
 
