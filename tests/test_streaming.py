@@ -324,3 +324,34 @@ def test_stream_stream_interval_join(spark, tmp_path):
               for r in spark.sql("SELECT * FROM ij").collect()}
     assert delays[(1, 101)] == 10 * 60 * 1_000_000
     assert delays[(3, 103)] == 5 * 60 * 1_000_000
+
+
+def test_native_session_windows_match_stateful(spark, tmp_path):
+    """F.session_window sessions agree with the imperative
+    applyInPandasWithState sessionizer on the same stream: same
+    per-user session count and event totals."""
+    from university_data_lakehouse_spark.streaming.windowed import (
+        session_windows,
+    )
+
+    src = str(tmp_path / "events")
+    _write_batch(spark, src, [
+        (1, _ts(0), 1, "view", 1.0),
+        (2, _ts(10), 1, "click", 2.0),      # same session (gap 30m)
+        (3, _ts(55), 1, "view", 4.0),       # 45m silence: new session
+        (4, _ts(5), 2, "view", 8.0),        # other user
+    ])
+    out = session_windows(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(src), gap="30 minutes")
+    # complete mode: append would hold sessions until the watermark
+    # passes their end, which a single availableNow batch never does
+    q = (out.writeStream.format("memory").queryName("sw")
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sw").collect()
+    got = {(r.user_id, r.n_events, r.total_value) for r in rows}
+    assert got == {(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)}, got
+    # session bounds: end = last event + gap
+    s1 = min(r.session_start for r in rows if r.user_id == 1)
+    assert s1 == _ts(0)

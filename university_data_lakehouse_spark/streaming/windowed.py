@@ -59,6 +59,35 @@ def streaming_dedup(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-user
+    sessions close after ``gap`` of event-time silence. The DECLARATIVE
+    twin of streaming/stateful.py's ``applyInPandasWithState``
+    sessionizer — same semantics, but expressed as a windowed
+    aggregation so Catalyst plans it (merging session state is
+    engine-managed and watermark-evicted; prefer this form unless the
+    session logic genuinely needs imperative per-group code)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
