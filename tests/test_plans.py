@@ -186,3 +186,35 @@ def test_catalog_lineage_push_carries_column_edges():
     by_to = {c["toColumn"]: c["fromColumns"] for c in cl}
     assert "silver.fact_lineitems.quantity" in by_to[
         "gold.order_metrics.total_qty"]
+
+
+def test_corpus_lineage_matches_live_schemas_and_pushes(spark, sf_dir):
+    """CORPUS_LINEAGE validates against the live corpus outputs, and
+    the corpus asset graph's catalog payloads carry column-level
+    lineage down to the bronze documents columns."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        corpus_build,
+        corpus_stats,
+    )
+    from university_data_lakehouse_spark.plans.corpus import corpus_graph
+    from university_data_lakehouse_spark.plans.lineage import (
+        CORPUS_LINEAGE,
+        push_lineage,
+    )
+
+    for table, fn in (("gold_corpus_shards", corpus_build),
+                      ("gold_corpus_stats", corpus_stats)):
+        df = fn(spark, sf_dir)
+        live = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        reg = {c["name"]: c["type"] for c in CORPUS_LINEAGE[table]}
+        assert reg == live, (table, reg, live)
+
+    sent: list[dict] = []
+    push_lineage(corpus_graph(), sent.append)
+    by_to = {p["edge"]["toEntity"]["fqn"]: p for p in sent}
+    cl = by_to["gold.corpus_shards"]["edge"]["lineageDetails"][
+        "columnsLineage"]
+    tos = {c["toColumn"] for c in cl}
+    assert "gold.corpus_shards.bin_id" in tos
+    assert all(f.startswith("bronze.documents.")
+               for c in cl for f in c["fromColumns"])

@@ -118,6 +118,42 @@ GOLD_LINEAGE: dict[str, list[dict]] = {
 }
 
 
+CORPUS_LINEAGE: dict[str, list[dict]] = {
+    "gold_corpus_shards": [
+        {"name": "doc_id", "type": "bigint",
+         "sources": ["bronze/documents.doc_id"]},
+        {"name": "lang", "type": "string",
+         "sources": ["bronze/documents.lang"]},
+        {"name": "n_tokens", "type": "int",
+         "sources": ["bronze/documents.text"]},
+        {"name": "bin_id", "type": "bigint",
+         "sources": ["bronze/documents.text", "bronze/documents.lang",
+                     "bronze/documents.doc_id"]},
+        {"name": "pos_in_bin", "type": "int",
+         "sources": ["bronze/documents.text", "bronze/documents.lang",
+                     "bronze/documents.doc_id"]},
+    ],
+    "gold_corpus_stats": [
+        {"name": "lang", "type": "string",
+         "sources": ["bronze/documents.lang"]},
+        {"name": "n_docs", "type": "bigint",
+         "sources": ["bronze/documents.doc_id"]},
+        {"name": "n_canonical", "type": "bigint",
+         "sources": ["bronze/documents.text", "bronze/documents.doc_id"]},
+        {"name": "n_quality", "type": "bigint",
+         "sources": ["bronze/documents.text", "bronze/documents.doc_id"]},
+        {"name": "n_sampled", "type": "bigint",
+         "sources": ["bronze/documents.text", "bronze/documents.doc_id"]},
+        {"name": "total_tokens", "type": "bigint",
+         "sources": ["bronze/documents.text"]},
+        {"name": "sampled_tokens", "type": "bigint",
+         "sources": ["bronze/documents.text", "bronze/documents.doc_id"]},
+        {"name": "dup_rate", "type": "double",
+         "sources": ["bronze/documents.text", "bronze/documents.doc_id"]},
+    ],
+}
+
+
 def lineage_edges(registry: dict[str, list[dict]]) -> list[tuple[str, str]]:
     """(upstream 'layer/table.column', 'table.column') edge list —
     what a catalog (OpenMetadata in the reference) ingests."""
@@ -133,7 +169,8 @@ def _registry_for(asset_key: str) -> list[dict] | None:
     """Asset key ('silver/dim_customers') → its column registry
     ('silver_dim_customers' in SILVER_LINEAGE/GOLD_LINEAGE)."""
     name = asset_key.replace("/", "_")
-    return SILVER_LINEAGE.get(name) or GOLD_LINEAGE.get(name)
+    return (SILVER_LINEAGE.get(name) or GOLD_LINEAGE.get(name)
+            or CORPUS_LINEAGE.get(name))
 
 
 def column_lineage_for_edge(dep: str, asset_key: str) -> list[dict]:
