@@ -257,3 +257,28 @@ def test_pq_rerank_is_exact_and_bounded(spark, sf_dir):
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert len(per_q) == n_queries
     assert all(c <= min(TOP_K, PQ_RERANK) for c in per_q.values())
+
+
+def test_pq_kernel_matches_expression(spark, sf_dir):
+    """The Arrow/numpy PQ assignment must be BIT-IDENTICAL to the
+    definitional JVM fold expression on every row — same exactness
+    contract as the LSH signature kernel."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.similarity import (
+        _pq_codebooks,
+        _vectors,
+        pq_assign_expr,
+        pq_assign_kernel,
+    )
+
+    v = _vectors(spark, sf_dir)
+    cb = _pq_codebooks(v)
+    neq = (
+        v.select(
+            (pq_assign_kernel(cb)(F.col("v"))
+             == pq_assign_expr(cb)).alias("e"))
+        .where(~F.col("e"))
+        .count()
+    )
+    assert neq == 0

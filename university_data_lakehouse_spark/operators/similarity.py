@@ -409,14 +409,60 @@ def _sqdist(sub_col: F.Column, cvals: list[float]) -> F.Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def pq_assign_expr(cb: list[list[list[float]]]) -> F.Column:
+    """Definitional JVM-expression assignment: array of 2*PQ_M
+    doubles [code_0..code_3, dist_0..dist_3] (nearest codebook entry +
+    its squared distance per subspace, first-min tie-break).
+    Interpreter-bound at PQ_M x PQ_K folds per row — the hot path uses
+    the Arrow/numpy twin ``pq_assign_kernel``; tests pin the two
+    bit-identical (test_similarity)."""
+    codes, dists = [], []
+    for m in range(PQ_M):
+        sl = F.slice("v", m * PQ_SUB + 1, PQ_SUB)
+        sc = F.array(*[_sqdist(sl, cb[m][k]) for k in range(PQ_K)])
+        codes.append((F.array_position(sc, F.array_min(sc)) - 1)
+                     .cast("double"))
+        dists.append(F.array_min(sc))
+    return F.array(*codes, *dists)
+
+
+def pq_assign_kernel(cb: list[list[list[float]]]):
+    """Arrow/numpy twin of pq_assign_expr: vectorized across
+    (rows x subspaces x codes), SEQUENTIAL over the dimension axis —
+    acc starts at 0.0 and gains (v_i - c_i)^2 one i at a time, the
+    same IEEE operation order as F.aggregate and the oracle's
+    list_reduce, so codes and distances are bit-identical
+    (pytest-pinned). np.argmin tie-breaks to the first (smallest k)
+    exactly like array_position(array_min)."""
+    C = np.array(cb, dtype=np.float64)            # (M, K, PQ_SUB)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        sub = vecs.reshape(len(vecs), PQ_M, PQ_SUB)
+        acc = np.zeros((len(vecs), PQ_M, PQ_K))
+        for i in range(PQ_SUB):                   # strict left fold
+            diff = sub[:, :, None, i] - C[None, :, :, i]
+            acc += diff * diff
+        codes = np.argmin(acc, axis=2).astype(np.float64)
+        dmin = np.min(acc, axis=2)
+        out = np.concatenate([codes, dmin], axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return assign
+
+
 def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
     """Deterministic per-subspace quantizers: seeds are the PQ_K
     subvectors of smallest md5(vec_id) per subspace, then PQ_ITERS
     medoid-style Lloyd rounds — the new entry is the member subvector
-    CLOSEST to the old entry (min_by (dist, vec_id)): exact and
+    CLOSEST to the old entry (min (dist, vec_id)): exact and
     order-independent, so the whole training replays in SQL (same
-    argument as _ivf_centroids). Only PQ_M x PQ_K x PQ_SUB floats
-    (the codebooks) ever reach the driver."""
+    argument as _ivf_centroids). Per round: one Arrow-batched assign
+    pass + a 32-row champion aggregate + a 32-row subvector fetch —
+    only codebook-sized data ever reaches the driver."""
     sub = _sub_frame(v)
     wseed = Window.partitionBy("m").orderBy(
         F.md5(F.col("vec_id").cast("string")))
@@ -430,44 +476,44 @@ def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
     for r in seeds:
         cb[r["m"]][r["k"]] = [float(x) for x in r["s"]]
 
-    def scores_expr() -> F.Column:
-        sc = None
-        for m in range(PQ_M):
-            arr = F.array(*[_sqdist(F.col("s"), cb[m][k])
-                            for k in range(PQ_K)])
-            sc = F.when(F.col("m") == m, arr) if sc is None else sc.when(
-                F.col("m") == m, arr)
-        return sc
-
     for _ in range(PQ_ITERS):
-        assigned = sub.withColumn("sc", scores_expr()).select(
-            "vec_id", "m", "s",
-            (F.array_position(F.col("sc"), F.array_min("sc")) - 1).alias("k"),
-            F.array_min("sc").alias("d"),
-        )
-        reps = (
-            assigned.groupBy("m", "k")
-            .agg(F.min_by("s", F.struct("d", "vec_id")).alias("rep"))
+        scored = v.select("vec_id",
+                          pq_assign_kernel(cb)(F.col("v")).alias("cd"))
+        entries = F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.col("cd")[m].cast("int").alias("k"),
+                     F.col("cd")[PQ_M + m].alias("d"))
+            for m in range(PQ_M)
+        ])
+        per_m = scored.select("vec_id", F.explode(entries).alias("e"))
+        champs = (
+            per_m.groupBy(F.col("e.m").alias("m"), F.col("e.k").alias("k"))
+            .agg(F.min(F.struct(F.col("e.d").alias("d"),
+                                F.col("vec_id").alias("vid"))).alias("w"))
             .collect()
         )
-        for r in reps:   # codes with no members keep their entry
-            cb[r["m"]][int(r["k"])] = [float(x) for x in r["rep"]]
+        medoid_of = {(r["m"], r["k"]): r["w"]["vid"] for r in champs}
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["v"]]
+            for r in v.where(
+                F.col("vec_id").isin(list(set(medoid_of.values()))))
+            .select("vec_id", "v").collect()
+        }
+        for (m, k), vid in medoid_of.items():   # empty codes keep entries
+            cb[m][k] = vecs[vid][m * PQ_SUB:(m + 1) * PQ_SUB]
     return cb
 
 
 def _pq_codes(v: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
     """Encode every vector as PQ_M small codes — the 100 TB payoff:
     the ADC scan reads PQ_M bytes per vector instead of EMB_DIM
-    floats (~32x less IO at these parameters)."""
-    cols = []
-    for m in range(PQ_M):
-        sl = F.slice("v", m * PQ_SUB + 1, PQ_SUB)
-        sc = F.array(*[_sqdist(sl, cb[m][k]) for k in range(PQ_K)])
-        cols.append(
-            (F.array_position(sc, F.array_min(sc)) - 1)
-            .cast("int").alias(f"code{m}")
-        )
-    return v.select("vec_id", *cols)
+    floats (~32x less IO at these parameters). Arrow-batched."""
+    cd = pq_assign_kernel(cb)(F.col("v"))
+    return v.select(
+        "vec_id",
+        *[F.element_at(cd, m + 1).cast("int").alias(f"code{m}")
+          for m in range(PQ_M)],
+    )
 
 
 def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,17 +538,28 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_q"),
         F.col("nrm").alias("n_q"),
     )
-    parts = []
+    # per-QUERY lookup tables: <q_m, codebook[m][k]> folds run once per
+    # (query, m, k) — queries x M x K dots total — so the per-pair ADC
+    # below is pure array indexing + 3 adds, never a fold (the
+    # classic ADC LUT; arithmetic unchanged, just hoisted)
+    luts = []
     for m in range(PQ_M):
-        lut = F.array(*[
-            F.array(*[F.lit(float(x)) for x in cb[m][k]])
-            for k in range(PQ_K)
-        ])
         qs = F.slice("v_q", m * PQ_SUB + 1, PQ_SUB)
-        cvec = F.element_at(lut, F.col(f"code{m}") + 1)
-        parts.append(F.aggregate(
-            F.zip_with(qs, cvec, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x))
+        luts.append(F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    qs,
+                    F.array(*[F.lit(float(x)) for x in cb[m][k]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for k in range(PQ_K)
+        ]).alias(f"lut{m}"))
+    q = q.select("query_id", "v_q", "n_q", *luts)
+    parts = [
+        F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+        for m in range(PQ_M)
+    ]
     adc = ((parts[0] + parts[1]) + parts[2]) + parts[3]
     wadc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("vec_id"))
