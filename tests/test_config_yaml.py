@@ -40,6 +40,15 @@ def test_yaml_schedules_drive_selection():
     t = next_run(schedules["gold_daily_analytics"].cron,
                  dt.datetime(2026, 1, 1, 0, 0))
     assert (t.hour, t.minute) == (6, 0)
+    # the corpus pipeline is scheduled through the same YAML surface
+    from university_data_lakehouse_spark.plans.corpus import corpus_graph
+
+    corpus_assets = select_assets(corpus_graph().assets.values(),
+                                  schedules["corpus_weekly_build"].selection)
+    assert corpus_assets == ["gold/corpus_shards", "gold/corpus_stats"]
+    t = next_run(schedules["corpus_weekly_build"].cron,
+                 dt.datetime(2026, 1, 1, 0, 0))
+    assert t.weekday() == 6 and t.hour == 3    # Sunday 03:00
 
 
 def test_yaml_source_systems_match_python_registry():
