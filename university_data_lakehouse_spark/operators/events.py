@@ -264,7 +264,36 @@ def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags — the metric-outlier pass an
+    events pipeline runs before alerting. Sum and sum-of-squares are
+    DECIMAL-exact (order-independent), converted once to double, so
+    mean/variance come from identical inputs in both engines; the
+    z-score is rounded to 6 decimals on both sides and the anomaly
+    flag derives from the ROUNDED value (same determinism treatment
+    as text_lm_quality). One shuffle on user_id; all three window
+    aggregates share the frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    vdec = F.col("value").cast(DEC)
+    s = F.sum(vdec).over(w).cast("double")
+    ss = F.sum(vdec * vdec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    z = F.round(
+        (F.col("value") - s / n)
+        / F.nullif(F.sqrt(F.greatest((ss - s * s / n) / n, F.lit(0.0))),
+                   F.lit(0.0)),
+        6,
+    )
+    return ev.select(
+        "user_id", "event_id", "value",
+        z.alias("zscore"),
+        (F.abs(z) >= 3.0).alias("is_anomaly"),
+    )
+
+
 QUERIES = {
+    "events_anomaly": events_anomaly,
     "events_value_quartiles": events_value_quartiles,
     "events_windowed_agg": events_windowed_agg,
     "events_funnel": events_funnel,
@@ -297,7 +326,28 @@ _SESSION_SQL = f"""
     FROM numbered GROUP BY user_id, session_num
 """
 
+_Z_SQL = (
+    "(value - s / n) / NULLIF(sqrt(GREATEST((ss - s * s / n) / n, 0.0)),"
+    " 0.0)"
+)
+
 ORACLES = {
+    "events_anomaly": f"""
+        WITH w AS (
+            SELECT user_id, event_id, value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                        OVER (PARTITION BY user_id) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))
+                            * CAST(value AS DECIMAL(18,4)))
+                        OVER (PARTITION BY user_id) AS DOUBLE) AS ss,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+            FROM events
+        )
+        SELECT user_id, event_id, value,
+               ROUND({_Z_SQL}, 6) AS zscore,
+               ABS(ROUND({_Z_SQL}, 6)) >= 3.0 AS is_anomaly
+        FROM w
+    """,
     "events_value_quartiles": """
         SELECT user_id, event_id, value,
                CAST(NTILE(4) OVER (PARTITION BY user_id

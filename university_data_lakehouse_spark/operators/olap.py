@@ -427,6 +427,45 @@ def olap_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRADE_NATION_A, TRADE_NATION_B = "FRANCE", "GERMANY"
+
+
+def olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue shipped
+    between two nations (either direction) per year. The fact joins
+    BOTH the customer-side and the supplier-side nation dims (two
+    broadcast joins of the same 25-row table under different aliases);
+    the direction filter applies before the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_cust = nation.select(F.col("n_nationkey").alias("cn_key"),
+                           F.col("n_name").alias("cust_nation"))
+    n_supp = nation.select(F.col("n_nationkey").alias("sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+    pair = (
+        ((F.col("cust_nation") == TRADE_NATION_A)
+         & (F.col("supp_nation") == TRADE_NATION_B))
+        | ((F.col("cust_nation") == TRADE_NATION_B)
+           & (F.col("supp_nation") == TRADE_NATION_A))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .where(pair)
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(_disc_price()).cast("decimal(24,6)").cast("double")
+             .alias("trade_volume"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
 def olap_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of customers by order count,
     INCLUDING zero-order customers (LEFT JOIN, count of non-null
@@ -588,6 +627,7 @@ QUERIES = {
     "olap_price_percentiles": olap_price_percentiles,
     "olap_min_cost_supplier": olap_min_cost_supplier,
     "olap_market_share": olap_market_share,
+    "olap_nation_trade": olap_nation_trade,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_returned_items": olap_returned_items,
     "olap_promo_revenue": olap_promo_revenue,
@@ -599,6 +639,25 @@ _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
              " * CAST(1 - l_discount AS DECIMAL(12,6))")
 
 ORACLES = {
+    "olap_nation_trade": f"""
+        SELECT cn.n_name AS cust_nation,
+               sn.n_name AS supp_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+               CAST(CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS DOUBLE)
+                   AS trade_volume,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE (cn.n_name = '{TRADE_NATION_A}'
+               AND sn.n_name = '{TRADE_NATION_B}')
+           OR (cn.n_name = '{TRADE_NATION_B}'
+               AND sn.n_name = '{TRADE_NATION_A}')
+        GROUP BY 1, 2, 3
+    """,
     "olap_customer_distribution": """
         SELECT n_orders, COUNT(*) AS n_customers
         FROM (
