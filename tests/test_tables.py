@@ -464,6 +464,27 @@ def test_clustered_compaction_improves_data_skipping(spark, catalog):
     assert got == {"X", "Y"}
 
 
+def test_read_where_stats_pruned(spark, catalog):
+    """read_where skips files whose footer ranges cannot overlap the
+    predicate (inputFiles proves it) while returning exactly the rows
+    a plain filter would."""
+    t = catalog.table("t19")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(0, 100)]).coalesce(1))
+    t.write(_df(spark, [(i, f"v{i}") for i in range(100, 200)]).coalesce(1),
+            mode="append")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(200, 300)]).coalesce(1),
+            mode="append")
+    narrow = t.read_where(spark, {"id": (120, 150)})
+    assert len(narrow.inputFiles()) == 1          # two files pruned away
+    assert {r.id for r in narrow.collect()} == set(range(120, 151))
+    # half-open bounds
+    tail = t.read_where(spark, {"id": (250, None)})
+    assert len(tail.inputFiles()) == 1
+    assert tail.count() == 50
+    # unknown ranges (no matching file) -> empty, zero files
+    assert t.read_where(spark, {"id": (1000, 2000)}).count() == 0
+
+
 def test_transform_partitions_hidden_iceberg_style(spark, catalog):
     """Iceberg-style TRANSFORM partitioning: days(ts) + bucket(4, id).
     The source columns stay IN the data files (hidden partitioning —

@@ -302,6 +302,56 @@ class ManagedTable:
         schema = T.StructType.fromJson(m["schema"])
         return self._read_files(spark, entries, schema, partitioned=bool(pby))
 
+    def read_where(
+        self,
+        spark: SparkSession,
+        bounds: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned range read: ``bounds`` maps columns to
+        (lo, hi) closed intervals (None = unbounded on that side).
+        Files whose footer min/max PROVE disjointness are never
+        listed, opened, or scanned — manifest-level data skipping for
+        ordinary predicates, the read-side twin of MERGE's skipping
+        (on a clustered table, ~one file per narrow slice). The same
+        predicate is ALSO applied as a row filter, so results are
+        exact regardless of how coarse the file stats are.
+
+        Float/double columns never prune (NaN is outside footer
+        stats — same soundness rule as merge)."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        unprunable = {
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        }
+
+        def overlaps(entry: dict) -> bool:
+            stats = entry.get("stats") or {}
+            for col, (lo, hi) in bounds.items():
+                if col in unprunable:
+                    continue
+                rng = stats.get(col)
+                if not rng:
+                    continue
+                fmin, fmax = rng
+                if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo):
+                    return False
+            return True
+
+        entries = [f for f in m["files"] if overlaps(f)]
+        df = self._read_files(spark, entries, schema,
+                              partitioned=bool(m.get("partition_by")))
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df
+
     # ---------------------------------------------------------- write
 
     def _stage(self, df: DataFrame,
