@@ -33,7 +33,7 @@ _PRIORITY_KEYS = (
     "multimodal_features", "text_lm_quality", "events_value_quartiles",
     "olap_customer_distribution", "olap_returned_items",
     "olap_promo_revenue", "olap_avg_yearly", "olap_big_orders",
-    "olap_nation_trade", "events_anomaly",
+    "olap_nation_trade", "events_anomaly", "text_contamination_semantic",
     "sim_knn_pq",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",

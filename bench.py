@@ -38,6 +38,9 @@ HEADLINE = [
     "olap_returned_items",
     "olap_big_orders",
     "olap_customer_distribution",
+    "olap_nation_trade",
+    "events_anomaly",
+    "text_lm_quality",
     "events_sessionize",
     "events_asof_join",
     "events_retention",

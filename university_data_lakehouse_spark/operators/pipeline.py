@@ -145,6 +145,60 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_CONTAM_MOD = 10      # vec_id % 10 == 0 → held-out benchmark side
+SEM_CONTAM_TAU = 0.4     # embedding-cosine contamination threshold
+
+
+def text_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag training docs whose
+    EMBEDDING is close (cosine ≥ τ) to any held-out benchmark doc —
+    the paraphrase-level leak the n-gram `text_contamination` pass
+    cannot see. Candidates come from the banded hyperplane LSH
+    (benchmark side broadcast — benchmark suites are tiny next to a
+    corpus), exact cosine verify on candidates only; per-doc hit
+    count and max benchmark similarity reported, flag from verified
+    hits. Deterministic planes make the whole approximate pipeline
+    replay in DuckDB — oracle-checked."""
+    from .similarity import (  # noqa: PLC0415
+        _vectors,
+        dot,
+        lsh_candidates,
+        lsh_signature,
+    )
+
+    v = _vectors(spark, sf_dir).withColumn(
+        "sig", lsh_signature(F.col("v"))).cache()
+    bench = v.where(F.col("vec_id") % SEM_CONTAM_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("v_q"),
+        F.col("nrm").alias("n_q"),
+        F.col("sig").alias("sig_q"),
+    )
+    train = v.where(F.col("vec_id") % SEM_CONTAM_MOD != 0)
+    cands = lsh_candidates(train, bench)
+    cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
+    hits = (
+        cands.join(train.select("vec_id", "v", "nrm"), "vec_id")
+        .join(F.broadcast(bench.select("query_id", "v_q", "n_q")),
+              "query_id")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= SEM_CONTAM_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.max("cosine").alias("mx"))
+    )
+    return (
+        train.select(F.col("vec_id").alias("doc_id"))
+        .join(hits.withColumnRenamed("vec_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_semantic_hits"),
+            F.col("mx").alias("max_benchmark_cosine"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
 def _augmented_text() -> F.Column:
     """Documents with synthetic PII appended (deterministic function
     of doc_id, same construction replayed in the oracle): docs get an
@@ -292,8 +346,61 @@ QUERIES = {
     "corpus_stats": corpus_stats,
     "pack_token_bins": pack_token_bins,
     "text_contamination": text_contamination,
+    "text_contamination_semantic": text_contamination_semantic,
     "text_pii_redact": text_pii_redact,
 }
+
+
+def _sem_contam_oracle() -> str:
+    """Full SQL replay of the semantic decontamination pipeline:
+    band-packed signatures (embedded ±1 plane chains), band melt,
+    bench×train bucket candidates, exact-cosine verify, per-doc hit
+    aggregate — the same replay technique as the sim_knn_lsh oracle."""
+    from .similarity import (  # noqa: PLC0415
+        _SELF_DOT,
+        BAND_SQL,
+        LSH_BANDS,
+        lsh_band_sql_cols,
+    )
+
+    dotqv = ("list_reduce(list_transform(range(1, 65), "
+             "i -> q.vv[i] * t.vv[i]), (x, y) -> x + y)")
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+                   sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings
+        ),
+        sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
+        melted AS (
+            SELECT vec_id, j AS band, {BAND_SQL} AS bsig
+            FROM sig, (SELECT unnest(range(0, {LSH_BANDS})) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT t.vec_id AS doc_id, q.vec_id AS bench_id
+            FROM melted t
+            JOIN melted q ON t.band = q.band AND t.bsig = q.bsig
+            WHERE q.vec_id % {SEM_CONTAM_MOD} = 0
+              AND t.vec_id % {SEM_CONTAM_MOD} <> 0
+        ),
+        scored AS (
+            SELECT c.doc_id, {dotqv} / (q.nrm * t.nrm) AS cosine
+            FROM cand c
+            JOIN v t ON t.vec_id = c.doc_id
+            JOIN v q ON q.vec_id = c.bench_id
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits, MAX(cosine) AS mx
+            FROM scored WHERE cosine >= {SEM_CONTAM_TAU} GROUP BY 1
+        )
+        SELECT t.vec_id AS doc_id,
+               COALESCE(h.n_hits, 0) AS n_semantic_hits,
+               h.mx AS max_benchmark_cosine,
+               COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+        FROM v t LEFT JOIN hits h ON h.doc_id = t.vec_id
+        WHERE t.vec_id % {SEM_CONTAM_MOD} <> 0
+    """
 
 _THRESH_SQL = "CASE WHEN lang = 'en' THEN '{en}' ELSE '{other}' END".format(
     en=SAMPLE_RATE_HEX["en"], other=SAMPLE_DEFAULT_HEX
@@ -472,3 +579,4 @@ def _corpus_stats_oracle() -> str:
 
 
 ORACLES["corpus_stats"] = _corpus_stats_oracle()
+ORACLES["text_contamination_semantic"] = _sem_contam_oracle()
