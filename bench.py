@@ -55,6 +55,7 @@ HEADLINE = [
     "sim_knn_ivf",
     "sim_knn_pq",
     "text_quality_score",
+    "text_contamination_semantic",
     "multimodal_decoded",
     "multimodal_features",
     "corpus_build",
