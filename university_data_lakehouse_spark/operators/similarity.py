@@ -477,30 +477,28 @@ def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
         cb[r["m"]][r["k"]] = [float(x) for x in r["s"]]
 
     for _ in range(PQ_ITERS):
-        scored = v.select("vec_id",
+        scored = v.select("vec_id", "v",
                           pq_assign_kernel(cb)(F.col("v")).alias("cd"))
+        # the struct min orders on (d, vid); the champion's SUBVECTOR
+        # rides along in the same aggregate, so each round is ONE job
+        # returning PQ_M x PQ_K rows — nothing corpus-sized moves
         entries = F.array(*[
             F.struct(F.lit(m).alias("m"),
                      F.col("cd")[m].cast("int").alias("k"),
-                     F.col("cd")[PQ_M + m].alias("d"))
+                     F.col("cd")[PQ_M + m].alias("d"),
+                     F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("s"))
             for m in range(PQ_M)
         ])
         per_m = scored.select("vec_id", F.explode(entries).alias("e"))
         champs = (
             per_m.groupBy(F.col("e.m").alias("m"), F.col("e.k").alias("k"))
             .agg(F.min(F.struct(F.col("e.d").alias("d"),
-                                F.col("vec_id").alias("vid"))).alias("w"))
+                                F.col("vec_id").alias("vid"),
+                                F.col("e.s").alias("s"))).alias("w"))
             .collect()
         )
-        medoid_of = {(r["m"], r["k"]): r["w"]["vid"] for r in champs}
-        vecs = {
-            r["vec_id"]: [float(x) for x in r["v"]]
-            for r in v.where(
-                F.col("vec_id").isin(list(set(medoid_of.values()))))
-            .select("vec_id", "v").collect()
-        }
-        for (m, k), vid in medoid_of.items():   # empty codes keep entries
-            cb[m][k] = vecs[vid][m * PQ_SUB:(m + 1) * PQ_SUB]
+        for r in champs:                        # empty codes keep entries
+            cb[r["m"]][int(r["k"])] = [float(x) for x in r["w"]["s"]]
     return cb
 
 
