@@ -34,6 +34,7 @@ _PRIORITY_KEYS = (
     "olap_customer_distribution", "olap_returned_items",
     "olap_promo_revenue", "olap_avg_yearly", "olap_big_orders",
     "olap_nation_trade", "events_anomaly", "text_contamination_semantic",
+    "olap_prospect_customers",
     "sim_knn_pq",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",

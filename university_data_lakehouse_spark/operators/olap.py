@@ -427,6 +427,40 @@ def olap_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROSPECT_CUTOFF = "2000-01-01"
+
+
+def olap_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and NO
+    orders since the cutoff (lapsed high-value prospects) per segment
+    — an uncorrelated scalar subquery (global mean over positive
+    balances, computed once on a 1-row aggregate and broadcast-cross-
+    joined, never per row) plus a NOT EXISTS expressed as LEFT ANTI
+    against the date-filtered orders (filter pushed into the scan
+    BEFORE the anti join). The mean is a decimal-exact sum ÷ exact
+    count in double, so the threshold is bit-identical in both
+    engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(PROSPECT_CUTOFF).cast("timestamp"))
+    mean_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+              / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(mean_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_prospects"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
 TRADE_NATION_A, TRADE_NATION_B = "FRANCE", "GERMANY"
 
 
@@ -628,6 +662,7 @@ QUERIES = {
     "olap_min_cost_supplier": olap_min_cost_supplier,
     "olap_market_share": olap_market_share,
     "olap_nation_trade": olap_nation_trade,
+    "olap_prospect_customers": olap_prospect_customers,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_returned_items": olap_returned_items,
     "olap_promo_revenue": olap_promo_revenue,
@@ -639,6 +674,24 @@ _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
              " * CAST(1 - l_discount AS DECIMAL(12,6))")
 
 ORACLES = {
+    "olap_prospect_customers": f"""
+        WITH m AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_prospects,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_balance
+        FROM customer c, m
+        WHERE c.c_acctbal > m.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '{PROSPECT_CUTOFF}'
+          )
+        GROUP BY 1
+    """,
     "olap_nation_trade": f"""
         SELECT cn.n_name AS cust_nation,
                sn.n_name AS supp_nation,
