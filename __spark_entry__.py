@@ -38,6 +38,9 @@ _PRIORITY_KEYS = (
     "sim_knn_pq",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",
+    # green r01-r04 but materially changed in r5 (localCheckpoint loop):
+    # keep inside the window so the change gets a fresh driver row
+    "dedup_cluster_canonical",
 )
 
 
