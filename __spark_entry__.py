@@ -38,9 +38,11 @@ _PRIORITY_KEYS = (
     "sim_knn_pq",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",
-    # green r01-r04 but materially changed in r5 (localCheckpoint loop):
-    # keep inside the window so the change gets a fresh driver row
-    "dedup_cluster_canonical",
+    # green before r5 but materially changed in r5 (localCheckpoint
+    # loop; sub-second RANGE frame): keep inside the window so the
+    # changes get fresh driver rows — and events_funnel (single r04
+    # row) stays in rather than being displaced by them
+    "dedup_cluster_canonical", "events_moving_avg", "events_funnel",
 )
 
 
