@@ -52,3 +52,33 @@ def test_events_user_stats_approx_tracks_exact(spark, sf_dir):
         "user_id", "n_events"
     )
     assert {tuple(r) for r in ex_rows.collect()} == {tuple(r) for r in ap_rows.collect()}
+
+
+def test_daily_hll_sketches_merge_to_range_estimate(spark, sf_dir):
+    """Mergeable-sketch contract: per-day HLL binaries union to a
+    range-wide distinct-user estimate within HLL error of the exact
+    count, and a partial date range merges only its days' sketches."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.events import (
+        events_daily_user_sketches,
+        rollup_user_sketches,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    daily = events_daily_user_sketches(spark, sf_dir).cache()
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    est = rollup_user_sketches(daily).collect()[0]["approx_users"]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # range query: merge only the first half of the days
+    days = sorted(r.day for r in daily.select("day").collect())
+    mid = days[len(days) // 2]
+    half = rollup_user_sketches(daily.where(F.col("day") <= mid))
+    exact_half = (ev.where(F.to_date("ts") <= F.lit(mid))
+                  .select("user_id").distinct().count())
+    est_half = half.collect()[0]["approx_users"]
+    assert abs(est_half - exact_half) / exact_half < 0.05
+    # the sketch column really is an opaque mergeable binary
+    assert dict(daily.dtypes)["user_sketch"] == "binary"

@@ -218,3 +218,18 @@ def test_corpus_lineage_matches_live_schemas_and_pushes(spark, sf_dir):
     assert "gold.corpus_shards.bin_id" in tos
     assert all(f.startswith("bronze.documents.")
                for c in cl for f in c["fromColumns"])
+
+
+def test_accepted_values_check(spark):
+    """Enum-domain gate: unaccepted values fail; allow_null relaxes
+    only the null case."""
+    from university_data_lakehouse_spark.plans.checks import accepted_values
+
+    df = spark.createDataFrame([("O",), ("F",), ("X",), (None,)],
+                               "status string")
+    ok, meta = accepted_values("status", ["O", "F"])(df)
+    assert not ok and meta["unaccepted_rows"] == 2
+    ok, meta = accepted_values("status", ["O", "F"], allow_null=True)(df)
+    assert not ok and meta["unaccepted_rows"] == 1
+    clean = df.where("status IN ('O','F')")
+    assert accepted_values("status", ["O", "F"])(clean)[0]

@@ -264,6 +264,36 @@ def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL user sketches — MERGEABLE distinct state, the
+    100 TB answer to incremental unique-user counting: each day's
+    partition aggregates once into a Datasketches HLL binary
+    (order-independent — HLL registers keep maxima), and any date
+    range's distinct count is a cheap sketch UNION over stored
+    binaries instead of a re-scan of raw events. Sketch binaries are
+    engine-specific, so this is a pytest-gated function (estimates
+    within HLL error of exact), not an oracle key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("user_sketch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def rollup_user_sketches(daily: DataFrame) -> DataFrame:
+    """Union the stored per-day sketches into one range-wide distinct
+    estimate — reads ONLY the day-grain sketch table (bytes per day),
+    never the raw events."""
+    return daily.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("user_sketch")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score anomaly flags — the metric-outlier pass an
     events pipeline runs before alerting. Sum and sum-of-squares are

@@ -44,6 +44,20 @@ def no_duplicates(*key_cols: str) -> Check:
     return run
 
 
+def accepted_values(col: str, values: list, allow_null: bool = False) -> Check:
+    """Enum-domain gate: every value of ``col`` must be one of
+    ``values`` (nulls violate unless ``allow_null``). One aggregate —
+    the dbt-style accepted_values test the reference's value_range
+    cannot express for categoricals."""
+    def run(df: DataFrame) -> tuple[bool, dict]:
+        ok = F.col(col).isin(values)
+        if allow_null:
+            ok = ok | F.col(col).isNull()
+        n = df.where(~F.coalesce(ok, F.lit(False))).count()
+        return n == 0, {"unaccepted_rows": n, "accepted": list(values)}
+    return run
+
+
 def row_count(min_rows: int = 1) -> Check:
     def run(df: DataFrame) -> tuple[bool, dict]:
         n = df.count()

@@ -12,7 +12,13 @@ from ..operators import gold as gold_ops
 from ..operators import silver as silver_ops
 from ..sources.loader import load_table
 from .assets import Asset, AssetGraph
-from .checks import completeness, no_duplicates, not_null_pk, row_count
+from .checks import (
+    accepted_values,
+    completeness,
+    no_duplicates,
+    not_null_pk,
+    row_count,
+)
 
 _BRONZE = ("region", "nation", "customer", "supplier", "part",
            "orders", "lineitem")
@@ -30,7 +36,7 @@ def _bronze_asset(name: str) -> Asset:
 
 
 def _silver_asset(key: str, fn, deps: tuple[str, ...], pk: str,
-                  unique: bool) -> Asset:
+                  unique: bool, extra_checks: tuple = ()) -> Asset:
     """Check lists mirror the reference per-transform
     ``data_quality_checks`` (defs/silver_transforms/defs.yaml): dims
     demand unique surrogate keys; facts don't (a fact grain can
@@ -38,6 +44,7 @@ def _silver_asset(key: str, fn, deps: tuple[str, ...], pk: str,
     checks = [("not_null_pk", not_null_pk(pk)), ("row_count", row_count(1))]
     if unique:
         checks.insert(1, ("no_duplicates", no_duplicates(pk)))
+    checks.extend(extra_checks)
     return Asset(
         key=f"silver/{key}",
         fn=lambda spark, sf_dir, **_: fn(spark, sf_dir),
@@ -132,7 +139,10 @@ def medallion_graph() -> AssetGraph:
                       unique=False),
         _silver_asset("fact_orders", silver_ops.silver_fact_orders,
                       ("bronze/orders", "bronze/customer"), "transaction_key",
-                      unique=True),
+                      unique=True,
+                      extra_checks=(("accepted_status",
+                                     accepted_values("status",
+                                                     ["O", "F", "P"])),)),
         _silver_asset("fact_contacts", silver_ops.silver_fact_contacts,
                       ("bronze/customer", "bronze/orders", "bronze/lineitem"),
                       "contact_key", unique=True),
