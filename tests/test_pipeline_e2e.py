@@ -201,3 +201,50 @@ def test_corpus_asset_graph_check_gated_publish(spark, sf_dir, tmp_path):
     assert res["gold/corpus_shards"].checks == {
         "row_count": True, "no_duplicates": True, "not_null_pk": True,
         "pos_in_bin_positive": True}
+
+
+def test_partitioned_backfill_slice_by_slice(spark, sf_dir, tmp_path):
+    """Backfilling silver/fact_orders in three date slices through a
+    years(posting_date)-partitioned managed table reproduces the
+    one-shot build exactly, each slice commits its own version, and a
+    later slice's MERGE carries the earlier years' files untouched
+    (partition-pruned — posting_date is in the merge keys)."""
+    from university_data_lakehouse_spark.operators.silver import (
+        silver_fact_orders,
+    )
+    from university_data_lakehouse_spark.plans.backfill import backfill
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    slices = [("1995-01-01", "1998-01-01"),
+              ("1998-01-01", "2000-01-01"),
+              ("2000-01-01", "2002-01-01")]
+    recs = backfill(
+        spark, sf_dir, catalog,
+        table="silver/fact_orders",
+        fn=silver_fact_orders,
+        slice_col="posting_date",
+        slices=slices,
+        keys=["transaction_key", "posting_date"],
+        partition_by=["years(posting_date)"],
+    )
+    assert [r["version"] for r in recs] == [1, 2, 3]
+    t = catalog.table("silver/fact_orders")
+
+    # slice 3's merge carried every pre-1998 partition file BY NAME
+    v2_files = {f["name"]: f["partition_values"]["years(posting_date)"]
+                for f in t.manifest(2)["files"]}
+    early = {n for n, y in v2_files.items() if int(y) < 1998}
+    assert early and early <= {f["name"] for f in t.manifest(3)["files"]}
+
+    # final table == the one-shot build
+    full = silver_fact_orders(spark, sf_dir)
+    assert t.read(spark).count() == full.count()
+    a = {r.transaction_key for r in t.read(spark).select(
+        "transaction_key").collect()}
+    b = {r.transaction_key for r in full.select(
+        "transaction_key").collect()}
+    assert a == b
+    # partition-filtered read lists only that year's files
+    y97 = t.read(spark, partition_filter={"years(posting_date)": "1997"})
+    assert all("years_posting_date=1997" in p for p in y97.inputFiles())
+    assert y97.count() > 0
