@@ -344,3 +344,28 @@ def test_lm_quality_broadcasts_model_not_corpus(spark, sf_dir):
     assert "BroadcastHashJoin Inner BuildRight" in tree, tree
     # the broadcast subtree is the cached vocab, not a raw scan+explode
     assert "InMemoryRelation" in tree, tree
+
+
+def test_corpus_stats_single_scan_no_joins(spark, sf_dir):
+    """corpus_stats claims ONE scan and ONE grouped pass (all funnel
+    stages as conditional aggregates over shared predicate
+    expressions): one dup-flag window exchange + one agg exchange,
+    zero joins."""
+    from university_data_lakehouse_spark.operators import pipeline
+
+    tree = _tree(_plan(pipeline.corpus_stats(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 2, tree
+    assert "Join" not in tree, tree
+
+
+def test_events_anomaly_shared_window_single_shuffle(spark, sf_dir):
+    """events_anomaly's three window aggregates (sum, sum-of-squares,
+    count) share one user_id frame: one scan, one exchange, one
+    Window operator."""
+    from university_data_lakehouse_spark.operators import events as ev
+
+    tree = _tree(_plan(ev.events_anomaly(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 1, tree
