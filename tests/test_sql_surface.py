@@ -84,3 +84,30 @@ def test_model_views_queryable_by_name(spark, sf_dir):
         GROUP BY segment ORDER BY SUM(total_qty) DESC, segment LIMIT 1
     """).collect()
     assert len(top) == 1 and top[0][0]
+
+
+def test_reference_silver_sql_runs_verbatim(spark, sf_dir):
+    """The reference's dim_students CTAS shape
+    (defs/silver_transforms/defs.yaml:22-42 — surrogate key, name
+    concat, LEFT JOIN dim with COALESCE default, LEFT JOIN (SELECT
+    DISTINCT ...) boolean flag) runs as-is through spark.sql on our
+    schema mapping and equals the DataFrame operator row-for-row —
+    a user can keep their SQL workflow unchanged."""
+    from university_data_lakehouse_spark.operators import silver
+
+    sql_mod.register_views(spark, sf_dir)
+    got = spark.sql("""
+        SELECT md5(CAST(c.c_custkey AS STRING)) AS customer_key,
+               c.c_custkey AS custkey,
+               concat_ws(' ', c.c_name, c.c_mktsegment) AS full_name,
+               c.c_mktsegment AS segment,
+               c.c_acctbal AS acctbal,
+               COALESCE(n.n_name, 'Unknown') AS nation_name,
+               b.o_custkey IS NOT NULL AS is_buyer
+        FROM customer c
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) b
+               ON c.c_custkey = b.o_custkey
+    """)
+    ref = silver.silver_dim_customers(spark, sf_dir)
+    assert _rows(got) == _rows(ref)
