@@ -35,7 +35,7 @@ _PRIORITY_KEYS = (
     "olap_promo_revenue", "olap_avg_yearly", "olap_big_orders",
     "olap_nation_trade", "events_anomaly", "text_contamination_semantic",
     "olap_prospect_customers",
-    "sim_knn_pq",
+    "sim_knn_pq", "sim_knn_ivfpq",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",
     # green before r5 but materially changed in r5 (localCheckpoint

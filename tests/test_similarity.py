@@ -282,3 +282,17 @@ def test_pq_kernel_matches_expression(spark, sf_dir):
         .count()
     )
     assert neq == 0
+
+
+def test_ivfpq_recall_at_k(spark, planted_dir):
+    """The composed IVF-PQ path: a planted near-dup shares the query's
+    probed cells AND survives ADC into the re-rank window."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        sim_knn_ivfpq,
+    )
+
+    exact = _topk_sets(sim_knn_bruteforce(spark, planted_dir))
+    approx = _topk_sets(sim_knn_ivfpq(spark, planted_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.9, f"ivfpq recall@{TOP_K} = {recall:.3f}"

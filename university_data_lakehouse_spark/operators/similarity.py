@@ -582,11 +582,89 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index — the canonical billion-scale ANN
+    layout: the coarse quantizer cuts the FRACTION of the corpus each
+    query scans (~nprobe/K), and within the probed cells the scan
+    reads only PQ CODES scored by ADC lookup tables (~32x fewer bytes
+    per vector), with an exact cosine re-rank of the top candidates.
+    PQ trains on raw vectors (not residuals) so both quantizers stay
+    independently deterministic and the WHOLE composition — coarse
+    training, PQ training, encoding, probing, ADC, re-rank — replays
+    in DuckDB SQL: ORACLE-CHECKED, like its two halves."""
+    v = _vectors(spark, sf_dir).cache()
+    centroids = _ivf_centroids(v)
+    cb = _pq_codebooks(v)
+    cd = pq_assign_kernel(cb)(F.col("v"))
+    corpus = v.select(
+        "vec_id",
+        F.array_max(_centroid_scores(centroids)).getField("cell").alias("cell"),
+        *[F.element_at(cd, m + 1).cast("int").alias(f"code{m}")
+          for m in range(PQ_M)],
+    )
+    q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("v_q"),
+        F.col("nrm").alias("n_q"),
+        F.col("v").alias("v"),          # for _centroid_scores
+    )
+    luts = []
+    for m in range(PQ_M):
+        qs = F.slice("v_q", m * PQ_SUB + 1, PQ_SUB)
+        luts.append(F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    qs,
+                    F.array(*[F.lit(float(x)) for x in cb[m][k]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for k in range(PQ_K)
+        ]).alias(f"lut{m}"))
+    probes = q.select(
+        "query_id", "v_q", "n_q", *luts,
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_centroid_scores(centroids))),
+                1, IVF_NPROBE,
+            ).getField("cell")
+        ).alias("cell"),
+    )
+    parts = [
+        F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+        for m in range(PQ_M)
+    ]
+    adc = ((parts[0] + parts[1]) + parts[2]) + parts[3]
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id"))
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+        .withColumn("rn", F.row_number().over(wadc))
+        .where(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "v_q", "n_q", "vec_id")
+    )
+    cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.join(v, "vec_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "cosine", "rank")
+    )
+
+
 QUERIES = {
     "sim_knn_bruteforce": sim_knn_bruteforce,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
     "sim_knn_pq": sim_knn_pq,
+    "sim_knn_ivfpq": sim_knn_ivfpq,
 }
 
 _DOT_QV = (
@@ -878,3 +956,194 @@ def _knn_pq_oracle() -> str:
 
 
 ORACLES["sim_knn_pq"] = _knn_pq_oracle()
+
+
+def _knn_ivfpq_oracle() -> str:
+    """Replay of the COMPOSED IVF-PQ pipeline: the IVF oracle's
+    seed/round/assignment CTEs (renamed i*), the PQ oracle's
+    seed/round/encoding CTEs (renamed p*), probes × in-cell codes as
+    the candidate set, fixed-order ADC, exact cosine re-rank."""
+
+    def fold64(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_transform(range(1, 65), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    def sq(lst: str) -> str:
+        return (f"list_reduce(list_transform({lst}, x -> x * x), "
+                "(x, y) -> x + y)")
+
+    def unit(lst: str) -> str:
+        n = (f"(CASE WHEN sqrt({sq(lst)}) = 0 THEN 1.0 "
+             f"ELSE sqrt({sq(lst)}) END)")
+        return f"list_transform({lst}, x -> x / {n})"
+
+    def dist(s: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+            f"i -> ({s}[i] - {c}[i]) * ({s}[i] - {c}[i])), (x, y) -> x + y)"
+        )
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    vv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    ctes = [f"""
+        v AS (
+            SELECT vec_id, {vv} AS vv, sqrt({sq(vv)}) AS nrm
+            FROM embeddings
+        ),
+        iseeds AS (
+            SELECT vv, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
+            FROM v
+        ),
+        ic0 AS (
+            SELECT cell, {unit('vv')} AS c
+            FROM iseeds WHERE cell < {IVF_CELLS}
+        )"""]
+    for r in range(1, IVF_ITERS + 1):
+        prev = f"ic{r - 1}"
+        ctes.append(f"""
+        ia{r} AS (
+            SELECT vec_id, vv, cell, score FROM (
+                SELECT v.vec_id, v.vv, c.cell,
+                       {fold64('v.vv', 'c.c')} AS score,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {fold64('v.vv', 'c.c')} DESC, c.cell DESC
+                       ) AS rn
+                FROM v, {prev} c
+            ) WHERE rn = 1
+        ),
+        irep{r} AS (
+            SELECT cell, vv FROM (
+                SELECT cell, vv, ROW_NUMBER() OVER (PARTITION BY cell
+                           ORDER BY score DESC, vec_id DESC) AS rn
+                FROM ia{r}
+            ) WHERE rn = 1
+        ),
+        ic{r} AS (
+            SELECT p.cell, COALESCE({unit(f'irep{r}.vv')}, p.c) AS c
+            FROM {prev} p LEFT JOIN irep{r} ON irep{r}.cell = p.cell
+        )""")
+    ifinal = f"ic{IVF_ITERS}"
+    ctes.append(f"""
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {fold64('v.vv', 'c.c')} DESC, c.cell DESC
+                       ) AS rn
+                FROM v, {ifinal} c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cell FROM (
+                SELECT v.vec_id AS query_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {fold64('v.vv', 'c.c')} DESC, c.cell DESC
+                       ) AS rn
+                FROM v, {ifinal} c
+                WHERE v.vec_id % {QUERY_MOD} = 0
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        sub AS (
+            SELECT vec_id, m,
+                   list_transform(range(1, {PQ_SUB + 1}),
+                                  i -> vv[m * {PQ_SUB} + i]) AS s
+            FROM v, (SELECT unnest(range(0, {PQ_M})) AS m)
+        ),
+        pseeds AS (
+            SELECT m, s, ROW_NUMBER() OVER (PARTITION BY m
+                ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS k
+            FROM sub
+        ),
+        pcb0 AS (SELECT m, k, s AS c FROM pseeds WHERE k < {PQ_K})""")
+    for r in range(1, PQ_ITERS + 1):
+        prev = f"pcb{r - 1}"
+        ctes.append(f"""
+        pa{r} AS (
+            SELECT vec_id, m, s, k, d FROM (
+                SELECT sub.vec_id, sub.m, sub.s, cb.k,
+                       {dist('sub.s', 'cb.c')} AS d,
+                       ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                           ORDER BY {dist('sub.s', 'cb.c')} ASC, cb.k ASC
+                       ) AS rn
+                FROM sub JOIN {prev} cb ON cb.m = sub.m
+            ) WHERE rn = 1
+        ),
+        prep{r} AS (
+            SELECT m, k, s FROM (
+                SELECT m, k, s, ROW_NUMBER() OVER (PARTITION BY m, k
+                    ORDER BY d ASC, vec_id ASC) AS rn
+                FROM pa{r}
+            ) WHERE rn = 1
+        ),
+        pcb{r} AS (
+            SELECT p.m, p.k, COALESCE(prep{r}.s, p.c) AS c
+            FROM {prev} p
+            LEFT JOIN prep{r} ON prep{r}.m = p.m AND prep{r}.k = p.k
+        )""")
+    pfinal = f"pcb{PQ_ITERS}"
+    dot64 = ("list_reduce(list_transform(range(1, 65), "
+             "i -> q.vv[i] * t.vv[i]), (x, y) -> x + y)")
+    tail = f"""
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT sub.vec_id, sub.m, cb.k,
+                       ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                           ORDER BY {dist('sub.s', 'cb.c')} ASC, cb.k ASC
+                       ) AS rn
+                FROM sub JOIN {pfinal} cb ON cb.m = sub.m
+            ) WHERE rn = 1
+        ),
+        cand0 AS (
+            SELECT p.query_id, cc.vec_id
+            FROM probes p
+            JOIN cells cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id
+        ),
+        parts AS (
+            SELECT c.query_id, c.vec_id, qs.m, {dotf('qs.s', 'cb.c')} AS part
+            FROM cand0 c
+            JOIN sub qs ON qs.vec_id = c.query_id
+            JOIN codes cd ON cd.vec_id = c.vec_id AND cd.m = qs.m
+            JOIN {pfinal} cb ON cb.m = cd.m AND cb.k = cd.k
+        ),
+        adc AS (
+            SELECT query_id, vec_id,
+                   ((MAX(CASE WHEN m = 0 THEN part END)
+                     + MAX(CASE WHEN m = 1 THEN part END))
+                    + MAX(CASE WHEN m = 2 THEN part END))
+                   + MAX(CASE WHEN m = 3 THEN part END) AS score
+            FROM parts GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) AS rn
+                FROM adc
+            ) WHERE rn <= {PQ_RERANK}
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id AS neighbor_id,
+                   {dot64} / (q.nrm * t.nrm) AS cosine
+            FROM cand c
+            JOIN v q ON q.vec_id = c.query_id
+            JOIN v t ON t.vec_id = c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}"""
+    return "WITH " + ",".join(ctes) + "," + tail
+
+
+ORACLES["sim_knn_ivfpq"] = _knn_ivfpq_oracle()
