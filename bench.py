@@ -54,6 +54,7 @@ HEADLINE = [
     "sim_knn_lsh",
     "sim_knn_ivf",
     "sim_knn_pq",
+    "sim_knn_ivfpq",
     "text_quality_score",
     "text_contamination_semantic",
     "multimodal_decoded",
