@@ -367,7 +367,9 @@ def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MARKET_NATION = "GERMANY"
+# synthetic testdata nation names; NATION_3 is in EUROPE
+# (regionkey 3), so the numerator is genuinely non-zero
+MARKET_NATION = "NATION_3"
 MARKET_REGION = "EUROPE"
 
 
@@ -461,7 +463,10 @@ def olap_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TRADE_NATION_A, TRADE_NATION_B = "FRANCE", "GERMANY"
+# testdata nations are synthetic NATION_0..24 (regions keep real
+# names); pick two high-volume nations so the bilateral filter
+# selects real rows
+TRADE_NATION_A, TRADE_NATION_B = "NATION_11", "NATION_20"
 
 
 def olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,14 +831,14 @@ ORACLES = {
     """,
     "olap_market_share": """
         SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-               COALESCE(CAST(CAST(SUM(CASE WHEN n.n_name = 'GERMANY'
+               COALESCE(CAST(CAST(SUM(CASE WHEN n.n_name = 'NATION_3'
                         THEN CAST(l.l_extendedprice AS DECIMAL(24,4))
                              * CAST(1 - l.l_discount AS DECIMAL(12,6)) END)
                     AS DECIMAL(24,6)) AS DOUBLE), 0.0) AS nation_revenue,
                CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))
                         * CAST(1 - l.l_discount AS DECIMAL(12,6)))
                     AS DECIMAL(24,6)) AS DOUBLE) AS total_revenue,
-               COALESCE(CAST(CAST(SUM(CASE WHEN n.n_name = 'GERMANY'
+               COALESCE(CAST(CAST(SUM(CASE WHEN n.n_name = 'NATION_3'
                         THEN CAST(l.l_extendedprice AS DECIMAL(24,4))
                              * CAST(1 - l.l_discount AS DECIMAL(12,6)) END)
                     AS DECIMAL(24,6)) AS DOUBLE), 0.0)
