@@ -71,6 +71,14 @@ def compare(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:
     assert len(mine) == len(oracle), (
         f"{name}: row count spark={len(mine)} oracle={len(oracle)}"
     )
+    # a 0-row result passes every hash compare trivially — a filter
+    # literal that matches nothing in the synthetic testdata (e.g. a
+    # TPC-H nation name vs NATION_i) would hide here forever. Every
+    # registered key must exercise real rows at the test SFs.
+    assert len(oracle) > 0, (
+        f"{name}: oracle returned 0 rows — trivially-true compare "
+        "(check filter literals against the synthetic testdata)"
+    )
     a, b = canon(mine), canon(oracle)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
