@@ -62,7 +62,10 @@ HEADLINE = [
     "corpus_build",
 ]
 
-REPEATS = 5  # this VM shows 3-5x run-to-run jitter; 5-run median is robust
+REPEATS = 4           # this VM shows 3-5x first-run jitter; the
+SCALING_REPEATS = 3   # medians need >3 samples for headline queries,
+#                       fewer for the secondary scaling section —
+#                       keeps the whole bench under ~4 min wall
 
 
 def main() -> None:
@@ -82,15 +85,17 @@ def main() -> None:
         first(spark, sf_dir).count()
         spark.catalog.clearCache()
 
-    def time_key(key: str, d: str) -> tuple[float, int]:
+    def time_key(key: str, d: str, repeats: int = REPEATS) -> tuple[float, int]:
         runs, n = [], 0
-        for _ in range(REPEATS):
+        for _ in range(repeats):
             spark.catalog.clearCache()  # pay shared-stage cost every run
             t0 = time.perf_counter()
             df = queries[key](spark, d)
             n = df.count()
             runs.append(time.perf_counter() - t0)
-        med = round(sorted(runs)[len(runs) // 2], 3)
+        s = sorted(runs)
+        mid = len(s) // 2
+        med = round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3)
         print(f"# {key}: {med}s median of "
               f"{[round(r, 3) for r in runs]} ({n} rows)", file=sys.stderr)
         return med, n
@@ -113,7 +118,8 @@ def main() -> None:
         scale_sf = scale_dir.rstrip("/").rsplit("sf", 1)[-1]
         top5 = sorted(timings, key=timings.get, reverse=True)[:5]
         print(f"# scaling run at sf{scale_sf}: {top5}", file=sys.stderr)
-        small = {k: time_key(k, scale_dir)[0] for k in top5}
+        small = {k: time_key(k, scale_dir, SCALING_REPEATS)[0]
+                 for k in top5}
         scaling = {
             "sf": float(scale_sf),
             "queries": small,
