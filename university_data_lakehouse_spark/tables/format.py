@@ -778,6 +778,42 @@ class ManagedTable:
             df = df.coalesce(target_files)
         return self._rewrite(df, "compact", base_version=v)
 
+    def merge_with_retry(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        max_attempts: int = 5,
+        **kw,
+    ) -> int:
+        """The OCC retry loop the commit protocol promises: on
+        CommitConflict the losing writer re-reads (merge() captures a
+        fresh snapshot each attempt — the concurrent winner's rows are
+        now part of the target) and retries. The merge's anti-join ∪
+        source form is idempotent over its own keys, so a retry can
+        never double-apply. Raises after ``max_attempts`` genuine
+        collisions (pathological contention — back off upstream)."""
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.merge(source, keys, **kw)
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def append_with_retry(self, df: DataFrame,
+                          max_attempts: int = 5, **kw) -> int:
+        """Append under contention: version numbers are claimed
+        optimistically, so concurrent appenders race for v+1; losers
+        re-derive the next version and retry. Appends commute, so
+        ordering between winners is irrelevant."""
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.write(df, mode="append", **kw)
+            except CommitConflict as e:
+                last = e
+        raise last
+
     #: Public-Delta default VACUUM retention: 7 days.  Staged-but-not-yet
     #: -committed files from an in-flight writer exist on disk before
     #: their manifest does (the _stage window spans the whole Spark
