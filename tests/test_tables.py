@@ -594,3 +594,28 @@ def test_concurrent_writers_with_retry_lose_no_rows(spark, catalog):
         t._stage = orig
     rows = {r.id: r.val for r in t.read(spark).collect()}
     assert rows[0] == "SEED*" and rows[999] == "new" and rows[777] == "racer"
+
+
+def test_delete_where_stats_pruned(spark, catalog):
+    """Row-level DELETE rewrites only the files whose footer ranges
+    overlap the predicate (carried names prove it), removes exactly
+    the matching rows, NULL-predicate rows are kept (not-matching),
+    and the pre-delete snapshot stays time-travelable."""
+    t = catalog.table("t21")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(0, 100)]).coalesce(1))
+    t.write(_df(spark, [(i, f"v{i}") for i in range(100, 200)]).coalesce(1),
+            mode="append")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(200, 300)]).coalesce(1),
+            mode="append")
+    before = {f["name"] for f in t.manifest()["files"]}
+    v = t.delete_where(spark, {"id": (120, 150)})
+    after = {f["name"] for f in t.manifest(v)["files"]}
+    assert len(before & after) == 2           # two files carried untouched
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(range(0, 120)) | set(range(151, 300))
+    # extra predicate composes; time travel to the pre-delete snapshot
+    t.delete_where(spark, {"id": (0, 10)},
+                   predicate=F.col("val").isin("v3", "v7"))
+    assert {r.id for r in t.read(spark).collect() if r.id <= 10} == (
+        set(range(0, 11)) - {3, 7})
+    assert t.read(spark, version=v - 1).count() == 300

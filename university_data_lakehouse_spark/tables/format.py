@@ -778,6 +778,62 @@ class ManagedTable:
             df = df.coalesce(target_files)
         return self._rewrite(df, "compact", base_version=v)
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        bounds: dict[str, tuple],
+        predicate=None,
+    ) -> int:
+        """Row-level DELETE (the Delta DML verb MERGE doesn't cover):
+        rows matching ``bounds`` (closed [lo, hi] intervals per
+        column, None = unbounded — same spec as read_where) AND the
+        optional extra ``predicate`` Column are removed. Files whose
+        footer stats prove they cannot hold a matching row are carried
+        into the new manifest untouched and unread; only overlapping
+        files are rewritten with matching rows filtered out —
+        O(touched files), not O(table). Commits a new version at the
+        pinned snapshot (OCC: a concurrent commit raises
+        CommitConflict)."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        version = self.latest_version()
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        unprunable = {
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        }
+
+        def may_match(entry: dict) -> bool:
+            stats = entry.get("stats") or {}
+            for col, (lo, hi) in bounds.items():
+                if col in unprunable:
+                    continue
+                rng = stats.get(col)
+                if not rng:
+                    continue
+                fmin, fmax = rng
+                if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo):
+                    return False
+            return True
+
+        touched = [f for f in m["files"] if may_match(f)]
+        carried = [f for f in m["files"] if not may_match(f)]
+        target = self._read_files(spark, touched, schema,
+                                  partitioned=bool(m.get("partition_by")))
+        cond = F.lit(True)
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= lo)
+            if hi is not None:
+                cond = cond & (F.col(col) <= hi)
+        if predicate is not None:
+            cond = cond & predicate
+        kept = target.where(~F.coalesce(cond, F.lit(False)))
+        return self._rewrite(kept, "delete", base_version=version,
+                             carry_files=carried)
+
     def merge_with_retry(
         self,
         source: DataFrame,
