@@ -34,7 +34,8 @@ _PRIORITY_KEYS = (
     "olap_customer_distribution", "olap_returned_items",
     "olap_promo_revenue", "olap_avg_yearly", "olap_big_orders",
     "olap_nation_trade", "events_anomaly", "text_contamination_semantic",
-    "olap_prospect_customers",
+    "olap_prospect_customers", "dedup_cluster_sizes",
+    "events_value_percentiles",
     "sim_knn_pq", "sim_knn_ivfpq",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",

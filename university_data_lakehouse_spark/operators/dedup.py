@@ -466,7 +466,22 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the near-dup graph — the curation
+    report that tells you whether dedup is removing pairs or whole
+    template families (a heavy tail of giant clusters means boilerplate
+    is flooding the corpus). Two tiny aggregates on top of the
+    label-propagation output; oracle composes the recursive-CTE
+    transitive closure."""
+    lab = dedup_cluster_canonical(spark, sf_dir)
+    per = lab.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return per.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"))
+
+
 QUERIES = {
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -592,6 +607,27 @@ ORACLES = {
                MIN(r) AS canonical_id,
                doc_id = MIN(r) AS is_canonical
         FROM reach GROUP BY doc_id
+    """,
+    "dedup_cluster_sizes": f"""
+        WITH RECURSIVE {_MINHASH_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM mh_pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM mh_pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc_id
+        ),
+        per AS (
+            SELECT canonical_id, COUNT(*) AS cluster_size
+            FROM labels GROUP BY 1
+        )
+        SELECT cluster_size, COUNT(*) AS n_clusters FROM per GROUP BY 1
     """,
     "dedup_simhash": f"""
         WITH ut AS (

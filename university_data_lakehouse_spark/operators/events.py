@@ -322,8 +322,23 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per user over a compound TOTAL order
+    — both are exact small-integer ratios ((rank-1)/(n-1), rows≤/n),
+    so the doubles are bit-identical across engines. Completes the
+    analytic-window family with NTILE (same single user_id shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id", "event_id", "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
 QUERIES = {
     "events_anomaly": events_anomaly,
+    "events_value_percentiles": events_value_percentiles,
     "events_value_quartiles": events_value_quartiles,
     "events_windowed_agg": events_windowed_agg,
     "events_funnel": events_funnel,
@@ -377,6 +392,14 @@ ORACLES = {
                ROUND({_Z_SQL}, 6) AS zscore,
                ABS(ROUND({_Z_SQL}, 6)) >= 3.0 AS is_anomaly
         FROM w
+    """,
+    "events_value_percentiles": """
+        SELECT user_id, event_id, value,
+               PERCENT_RANK() OVER (PARTITION BY user_id
+                                    ORDER BY value, event_id) AS pct_rank,
+               CUME_DIST() OVER (PARTITION BY user_id
+                                 ORDER BY value, event_id) AS cume_dist
+        FROM events
     """,
     "events_value_quartiles": """
         SELECT user_id, event_id, value,
