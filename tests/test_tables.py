@@ -619,3 +619,38 @@ def test_delete_where_stats_pruned(spark, catalog):
     assert {r.id for r in t.read(spark).collect() if r.id <= 10} == (
         set(range(0, 11)) - {3, 7})
     assert t.read(spark, version=v - 1).count() == 300
+
+
+def test_update_where_and_restore(spark, catalog):
+    """UPDATE rewrites only overlapping files (carried names prove the
+    pruning) and applies set-expressions to matching rows only;
+    RESTORE re-references an earlier snapshot as a NEW commit, leaving
+    the mistaken history auditable."""
+    t = catalog.table("t22")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(0, 100)]).coalesce(1))
+    t.write(_df(spark, [(i, f"v{i}") for i in range(100, 200)]).coalesce(1),
+            mode="append")
+    before = {f["name"] for f in t.manifest()["files"]}
+    v = t.update_where(spark, {"id": (150, 160)},
+                       {"val": F.concat(F.col("val"), F.lit("!"))})
+    after = {f["name"] for f in t.manifest(v)["files"]}
+    assert len(before & after) == 1            # low file carried untouched
+    rows = {r.id: r.val for r in t.read(spark).collect()}
+    assert rows[155] == "v155!" and rows[149] == "v149" and rows[161] == "v161"
+    assert rows[50] == "v50" and len(rows) == 200
+    # literal set-expression + extra predicate
+    t.update_where(spark, {"id": (0, 5)}, {"val": "ZAP"},
+                   predicate=F.col("id") % 2 == 0)
+    rows = {r.id: r.val for r in t.read(spark).collect()}
+    assert rows[2] == "ZAP" and rows[3] == "v3"
+
+    # restore to the pre-update snapshot: new commit, old rows back
+    pre = v - 1
+    rv = t.restore(spark, pre)
+    assert rv == t.latest_version() and rv > v
+    rows = {r.id: r.val for r in t.read(spark).collect()}
+    assert rows[155] == "v155" and rows[2] == "v2" and len(rows) == 200
+    assert t.manifest()["operation"] == f"restore[v{pre}]"
+    # the mistaken versions remain time-travelable
+    assert {r.val for r in t.read(spark, v).collect()
+            if r.id == 155} == {"v155!"}

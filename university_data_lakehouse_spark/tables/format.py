@@ -834,6 +834,91 @@ class ManagedTable:
         return self._rewrite(kept, "delete", base_version=version,
                              carry_files=carried)
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        bounds: dict[str, tuple],
+        set_exprs: dict,
+        predicate=None,
+    ) -> int:
+        """Row-level UPDATE: rows matching ``bounds`` (+ optional
+        ``predicate``) get ``set_exprs`` applied ({column: Column or
+        literal}); everything else passes through unchanged. Same
+        footer-stats file pruning as delete_where — untouched files
+        carry by name — and the same schema gate as every write (an
+        update cannot change a column's type)."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        version = self.latest_version()
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        unprunable = {
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        }
+
+        def may_match(entry: dict) -> bool:
+            stats = entry.get("stats") or {}
+            for col, (lo, hi) in bounds.items():
+                if col in unprunable:
+                    continue
+                rng = stats.get(col)
+                if not rng:
+                    continue
+                fmin, fmax = rng
+                if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo):
+                    return False
+            return True
+
+        touched = [f for f in m["files"] if may_match(f)]
+        carried = [f for f in m["files"] if not may_match(f)]
+        target = self._read_files(spark, touched, schema,
+                                  partitioned=bool(m.get("partition_by")))
+        cond = F.lit(True)
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= lo)
+            if hi is not None:
+                cond = cond & (F.col(col) <= hi)
+        if predicate is not None:
+            cond = cond & predicate
+        cond = F.coalesce(cond, F.lit(False))
+
+        def col_for(fld):
+            if fld.name not in set_exprs:
+                return F.col(fld.name)
+            val = set_exprs[fld.name]
+            if not isinstance(val, F.Column):
+                val = F.lit(val)
+            return (F.when(cond, val).otherwise(F.col(fld.name))
+                    .cast(fld.dataType).alias(fld.name))
+
+        updated = target.select(*[col_for(f) for f in schema.fields])
+        return self._rewrite(updated, "update", base_version=version,
+                             carry_files=carried)
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """RESTORE: make an earlier snapshot the CURRENT one as a NEW
+        commit (roll-forward undo — history is never rewritten, so the
+        mistaken commits stay auditable and time-travelable). Data
+        files are re-referenced, not copied: the action removes the
+        current file set and re-adds the old one."""
+        cur = self.latest_version()
+        old = self.manifest(version)
+        cur_files = [f["name"] for f in self.manifest(cur)["files"]]
+        new_version = cur + 1
+        self._commit(new_version, {
+            "version": new_version,
+            "ts": time.time(),
+            "operation": f"restore[v{version}]",
+            "schema": old["schema"],
+            "partition_by": old.get("partition_by") or [],
+            "add": old["files"],
+            "remove": cur_files,
+        })
+        return new_version
+
     def merge_with_retry(
         self,
         source: DataFrame,
