@@ -248,3 +248,42 @@ def test_partitioned_backfill_slice_by_slice(spark, sf_dir, tmp_path):
     y97 = t.read(spark, partition_filter={"years(posting_date)": "1997"})
     assert all("years_posting_date=1997" in p for p in y97.inputFiles())
     assert y97.count() > 0
+
+
+def test_forget_documents_removes_from_shards_and_hashes(spark, sf_dir,
+                                                         tmp_path):
+    """Right-to-be-forgotten: chosen docs disappear from the shard
+    table AND the seen-hash table in new commits; other rows and bin
+    offsets are untouched; prior snapshots retain the rows until
+    vacuumed (the documented physical-removal recipe)."""
+    from university_data_lakehouse_spark.plans.corpus import (
+        HASHES_TABLE,
+        SHARDS_TABLE,
+        forget_documents,
+        incremental_corpus_build,
+    )
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    incremental_corpus_build(spark, sf_dir, catalog)
+    shards = catalog.table(SHARDS_TABLE)
+    hashes = catalog.table(HASHES_TABLE)
+    victims = [r.doc_id for r in shards.read(spark).limit(3).collect()]
+    n_shards = shards.read(spark).count()
+    n_hashes = hashes.read(spark).count()
+    pre_shards_v = shards.latest_version()
+
+    forget_documents(spark, catalog, victims)
+    assert shards.read(spark).count() == n_shards - 3
+    assert hashes.read(spark).count() == n_hashes - 3
+    assert shards.read(spark).where(
+        F.col("doc_id").isin(victims)).count() == 0
+    # survivors' bin assignments unchanged (holes, not re-binning)
+    survivors_now = {(r.doc_id, r.bin_id, r.pos_in_bin)
+                     for r in shards.read(spark).collect()}
+    survivors_before = {(r.doc_id, r.bin_id, r.pos_in_bin)
+                        for r in shards.read(spark, pre_shards_v).collect()
+                        if r.doc_id not in set(victims)}
+    assert survivors_now == survivors_before
+    # history keeps the rows until vacuum (documented GDPR nuance)
+    assert shards.read(spark, pre_shards_v).where(
+        F.col("doc_id").isin(victims)).count() == 3

@@ -129,6 +129,37 @@ def _cursor_from_stats(hashes_table) -> int:
     return max(bounds)
 
 
+def forget_documents(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    doc_ids: list[int],
+) -> dict[str, int]:
+    """Right-to-be-forgotten over the corpus tables: remove the given
+    documents from the shard table AND the seen-hash table (so
+    re-submitted content is treated as new, which is what deletion
+    means). Each delete prunes to the files whose doc_id ranges
+    overlap the request; packed bins keep their offsets — forgotten
+    docs leave holes rather than re-binning the corpus (re-binning
+    would churn every later shard; a periodic full rebuild reclaims
+    the holes).
+
+    GDPR nuance the API makes explicit: the delete commits NEW
+    versions — prior snapshots still reference the rows until
+    ``vacuum()`` expires them. PHYSICAL removal =
+    ``forget_documents`` + ``vacuum(keep_versions=1, ...)`` on both
+    tables once the safety horizon allows."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    lo, hi = min(doc_ids), max(doc_ids)
+    pred = F.col("doc_id").isin([int(d) for d in doc_ids])
+    out = {}
+    for name in (SHARDS_TABLE, HASHES_TABLE):
+        table = catalog.table(name)
+        out[name] = table.delete_where(
+            spark, {"doc_id": (lo, hi)}, predicate=pred)
+    return out
+
+
 def incremental_corpus_build(
     spark: SparkSession,
     sf_dir: str,
