@@ -654,3 +654,33 @@ def test_update_where_and_restore(spark, catalog):
     # the mistaken versions remain time-travelable
     assert {r.val for r in t.read(spark, v).collect()
             if r.id == 155} == {"v155!"}
+
+
+def test_partition_spec_evolution_via_rewrite(spark, catalog):
+    """repartition_layout migrates a table to a new partition spec as
+    one committed rewrite: later appends inherit the new spec, pruned
+    reads work immediately, and prior versions keep the old layout."""
+    t = catalog.table("t23")
+    schema = "id int, day string, val string"
+    t.write(spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")], schema))
+    assert t.partition_by() == []
+
+    v = t.repartition_layout(spark, ["day"])
+    assert t.partition_by() == ["day"]
+    assert t.manifest(v)["operation"] == "repartition[day]"
+    sub = t.read(spark, partition_filter={"day": "2024-01-02"})
+    assert {r.id for r in sub.collect()} == {2}
+    assert all("day=2024-01-02" in p for p in sub.inputFiles())
+
+    # appends inherit the evolved spec with no explicit partition_by
+    t.write(spark.createDataFrame([(3, "2024-01-03", "c")], schema),
+            mode="append")
+    assert t.read(
+        spark, partition_filter={"day": "2024-01-03"}).count() == 1
+    # the pre-evolution version still reads with its old (flat) layout
+    assert t.read(spark, version=1).count() == 2
+    # and evolution back to unpartitioned also works
+    t.repartition_layout(spark, None)
+    assert t.partition_by() == []
+    assert t.read(spark).count() == 3

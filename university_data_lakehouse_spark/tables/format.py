@@ -898,6 +898,42 @@ class ManagedTable:
         return self._rewrite(updated, "update", base_version=version,
                              carry_files=carried)
 
+    def repartition_layout(
+        self,
+        spark: SparkSession,
+        partition_by: list[str] | None,
+    ) -> int:
+        """Partition-SPEC evolution (the migration path behind
+        write()'s spec-change refusal): rewrite the current snapshot
+        under a new partition layout as one committed version. Unlike
+        Iceberg's lazy spec evolution (old files keep the old spec),
+        this rewrites eagerly — simpler invariant: every file in a
+        snapshot shares the manifest's single spec. Prior versions
+        keep their old layout and stay time-travelable. OCC-pinned
+        like compact()."""
+        v = self.latest_version()
+        df = self.read(spark, v)
+        m = self.manifest(v)
+        pby = list(partition_by or [])
+        fields = _spec_fields(pby)
+        missing = [f.source for f in fields if f.source not in df.columns]
+        if missing:
+            raise SchemaMismatch(
+                f"partition source columns {missing} absent from table"
+            )
+        staged = self._stage(df, partition_by=pby or None)
+        version = v + 1
+        self._commit(version, {
+            "version": version,
+            "ts": time.time(),
+            "operation": f"repartition[{','.join(pby) or 'none'}]",
+            "schema": m["schema"],
+            "partition_by": pby,
+            "add": staged,
+            "remove": [f["name"] for f in m["files"]],
+        })
+        return version
+
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE: make an earlier snapshot the CURRENT one as a NEW
         commit (roll-forward undo — history is never rewritten, so the
