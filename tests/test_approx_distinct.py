@@ -82,3 +82,43 @@ def test_daily_hll_sketches_merge_to_range_estimate(spark, sf_dir):
     assert abs(est_half - exact_half) / exact_half < 0.05
     # the sketch column really is an opaque mergeable binary
     assert dict(daily.dtypes)["user_sketch"] == "binary"
+
+
+def test_token_cms_heavy_hitters_within_bounds(spark, sf_dir):
+    """Mergeable Count-Min frequency sketches: per-lang CMS binaries
+    merge into a corpus-wide sketch whose estimates obey the CMS
+    guarantee (true ≤ est ≤ true + eps·N) for the exact heavy
+    hitters — token frequencies without re-scanning text."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.functions.textfns import tokens
+    from university_data_lakehouse_spark.operators.text import (
+        token_frequency_sketch,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    eps = 0.001
+    rows = token_frequency_sketch(doc, eps=eps).collect()
+    assert len(rows) == 5 and all(isinstance(bytes(r.token_cms), bytes)
+                                  for r in rows)
+    jvm_cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged, total = None, 0
+    for r in rows:
+        cms = jvm_cms.readFrom(bytes(r.token_cms))
+        total += r.n_tokens
+        if merged is None:
+            merged = cms
+        else:
+            merged.mergeInPlace(cms)
+
+    exact = {
+        r.t: r.n for r in
+        doc.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t").limit(10).collect()
+    }
+    assert exact
+    for t, c in exact.items():
+        est = merged.estimateCount(t)
+        assert c <= est <= c + eps * total + 1, (t, c, est)

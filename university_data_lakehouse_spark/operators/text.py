@@ -187,6 +187,30 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_frequency_sketch(
+    doc: DataFrame,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-language Count-Min token-frequency sketches — the mergeable
+    HEAVY-HITTER state (completing the sketch trio: HLL = distinct,
+    CMS = frequency, t-digest = quantiles via approx_percentile): each
+    language partition aggregates its token stream once into a CMS
+    binary; any language-group's token frequency is then estimated by
+    merging stored sketches, never re-scanning text. CMS guarantees
+    estimate ∈ [true, true + eps·N] with the given confidence.
+    Sketch binaries are engine-specific ⇒ pytest-gated, not an oracle
+    key (same rule as the HLL rollup)."""
+    tok = doc.select("lang", F.explode(tokens(F.col("text"))).alias("t"))
+    return tok.groupBy("lang").agg(
+        F.count_min_sketch(
+            "t", F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("token_cms"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
