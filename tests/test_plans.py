@@ -233,3 +233,44 @@ def test_accepted_values_check(spark):
     assert not ok and meta["unaccepted_rows"] == 1
     clean = df.where("status IN ('O','F')")
     assert accepted_values("status", ["O", "F"])(clean)[0]
+
+
+def test_run_history_records_and_latest_status(spark, sf_dir, tmp_path):
+    """Every materialization lands in the meta/run_history managed
+    table; latest_status answers the operator dashboard query, and a
+    later failing run supersedes the earlier ok."""
+    import datetime as dt
+
+    from university_data_lakehouse_spark.plans.history import (
+        latest_status,
+        record_run,
+    )
+    from university_data_lakehouse_spark.plans.medallion import (
+        medallion_graph,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    g = medallion_graph()
+    res = g.materialize(spark, sf_dir, keys=["silver/dim_parts"],
+                        catalog=catalog)
+    t0 = dt.datetime(2026, 8, 14, 10, 0, tzinfo=dt.timezone.utc)
+    record_run(spark, catalog, res, run_id="run-1", ts=t0)
+    status = {r.asset_key: r.status
+              for r in latest_status(spark, catalog).collect()}
+    assert status["silver/dim_parts"] == "ok"
+    assert status["bronze/part"] == "ok"
+
+    # a later degraded run supersedes per-asset latest status
+    from university_data_lakehouse_spark.plans.assets import AssetResult
+    degraded = {"silver/dim_parts": AssetResult(
+        "silver/dim_parts", "check_failed", rows=0,
+        checks={"row_count": False})}
+    record_run(spark, catalog, degraded, run_id="run-2",
+               ts=t0 + dt.timedelta(hours=1))
+    latest = {r.asset_key: (r.status, r.run_id)
+              for r in latest_status(spark, catalog).collect()}
+    assert latest["silver/dim_parts"] == ("check_failed", "run-2")
+    assert latest["bronze/part"] == ("ok", "run-1")
+    # history itself is a versioned managed table
+    assert catalog.table("meta/run_history").latest_version() == 2

@@ -1,0 +1,71 @@
+"""Materialization run history as a managed table.
+
+Reference parity: Dagster's run records — every asset materialization
+(status, row count, per-check outcomes, timestamp) lands in an
+append-only ``meta/run_history`` managed table, so operators answer
+"when did this asset last publish, and why did Tuesday's run skip
+gold?" with a table query instead of log spelunking. The history
+table uses the same commit protocol as the data it describes, so it
+is itself time-travelable and vacuumable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import SparkSession
+
+from ..tables import TableCatalog
+
+HISTORY_TABLE = "meta/run_history"
+
+
+def record_run(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    results: dict,
+    run_id: str,
+    ts: dt.datetime | None = None,
+) -> int:
+    """Append one row per asset result of a materialize() call.
+    ``ts`` defaults to now (UTC); pass it explicitly for deterministic
+    tests. Returns the committed history version."""
+    ts = ts or dt.datetime.now(tz=dt.timezone.utc)
+    rows = [
+        {
+            "run_id": run_id,
+            "asset_key": r.key,
+            "status": r.status,
+            "rows": r.rows,
+            "checks_json": json.dumps(r.checks, sort_keys=True),
+            "error": r.error,
+            "ts": ts.replace(tzinfo=None),
+        }
+        for r in results.values()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "run_id string, asset_key string, status string, rows long, "
+        "checks_json string, error string, ts timestamp",
+    )
+    table = catalog.table(HISTORY_TABLE)
+    if not table.exists():
+        return table.write(df, operation="bootstrap")
+    return table.write(df, mode="append")
+
+
+def latest_status(spark: SparkSession, catalog: TableCatalog):
+    """Most recent status per asset — the operator dashboard query
+    (one window over the history table)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    hist = catalog.table(HISTORY_TABLE).read(spark)
+    w = Window.partitionBy("asset_key").orderBy(
+        F.col("ts").desc(), F.col("run_id").desc())
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("asset_key", "status", "rows", "ts", "run_id")
+    )
