@@ -684,3 +684,39 @@ def test_partition_spec_evolution_via_rewrite(spark, catalog):
     t.repartition_layout(spark, None)
     assert t.partition_by() == []
     assert t.read(spark).count() == 3
+
+
+def test_merge_schema_evolution(spark, catalog):
+    """evolve=True MERGE (Delta autoMerge): the source may ADD columns
+    — existing rows and stats-carried files null-fill them through the
+    evolved manifest schema — while type changes stay refused and the
+    default merge still rejects drift."""
+    t = catalog.table("t24")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(0, 50)]).coalesce(1))
+    t.write(_df(spark, [(i, f"v{i}") for i in range(100, 150)]).coalesce(1),
+            mode="append")
+    # source keys {10, 45} stay inside the first file's id range, so
+    # the [100,150) file is stats-prunable throughout
+    src = spark.createDataFrame(
+        [Row(id=10, val="TEN", score=0.9), Row(id=45, val="new45", score=0.5)])
+    # default merge projects to the TABLE schema (extra source columns
+    # dropped, no evolution)
+    t.merge(src, keys=["id"])
+    assert "score" not in t.read(spark).columns
+    before = {f["name"] for f in t.manifest()["files"]}
+    t.merge(src, keys=["id"], evolve=True)
+    # the disjoint-range file carried untouched through the evolution
+    assert len(before & {f["name"] for f in t.manifest()["files"]}) == 1
+    rows = {r.id: (r.val, r.score) for r in t.read(spark).collect()}
+    assert rows[10] == ("TEN", 0.9) and rows[45] == ("new45", 0.5)
+    assert rows[5] == ("v5", None)                # old row null-fills
+    assert rows[120] == ("v120", None)            # carried file null-fills
+    assert len(rows) == 100
+    # later non-evolve merges use the evolved schema
+    t.merge(spark.createDataFrame([Row(id=10, val="X", score=1.0)]),
+            keys=["id"])
+    assert {r.score for r in t.read(spark).where("id = 10").collect()} == {1.0}
+    # type change is still refused even with evolve
+    with pytest.raises(SchemaMismatch):
+        t.merge(spark.createDataFrame([Row(id=1, val=2, score=0.1)]),
+                keys=["id"], evolve=True)

@@ -543,6 +543,7 @@ class ManagedTable:
         keys: list[str],
         when_not_matched_by_source: str = "keep",
         assert_unique_keys: bool = False,
+        evolve: bool = False,
     ) -> int:
         """MERGE INTO target USING source ON keys: matched rows are
         replaced by the source row (WHEN MATCHED UPDATE SET *),
@@ -638,12 +639,21 @@ class ManagedTable:
         target = self._read_files(spark, touched, schema,
                                   partitioned=bool(pby))
         kept = target.join(source.select(*keys), on=keys, how="left_anti")
-        merged = kept.unionByName(
-            source.select(*[fld.name for fld in schema.fields]),
-            allowMissingColumns=False,
-        )
+        # evolve=True is Delta's schema.autoMerge for MERGE: source may
+        # ADD columns (kept rows and carried files null-fill them via
+        # the evolved manifest schema) and may omit non-key columns
+        # (replaced rows get null there — whole-row replace semantics);
+        # type changes stay refused by the shared schema gate.
+        if evolve:
+            self._check_schema(source, evolve=True)   # refuse type changes
+            merged = kept.unionByName(source, allowMissingColumns=True)
+        else:
+            merged = kept.unionByName(
+                source.select(*[fld.name for fld in schema.fields]),
+                allowMissingColumns=False,
+            )
         return self._rewrite(merged, "merge", base_version=snapshot_version,
-                             carry_files=untouched)
+                             carry_files=untouched, evolve=evolve)
 
     @staticmethod
     def _may_contain(file_entry: dict, keys: list[str], bounds_row,
@@ -695,7 +705,8 @@ class ManagedTable:
 
     def _rewrite(self, df: DataFrame, operation: str,
                  base_version: int | None = None,
-                 carry_files: list[dict] | None = None) -> int:
+                 carry_files: list[dict] | None = None,
+                 evolve: bool = False) -> int:
         """Snapshot rewrite committed at ``base_version + 1``:
         ``carry_files`` (stats-pruned untouched files) join the newly
         staged files in the manifest without being read or rewritten.
@@ -714,7 +725,7 @@ class ManagedTable:
             base_version = self.latest_version()
         base_manifest = self.manifest(base_version)
         pby = base_manifest.get("partition_by") or []
-        schema = self._check_schema(df, evolve=False)
+        schema = self._check_schema(df, evolve=evolve)
         staged = self._stage(df, partition_by=pby or None)
         version = base_version + 1
         # carried (stats/partition-pruned) files simply stay in the
