@@ -37,6 +37,11 @@ _PRIORITY_KEYS = (
     "olap_prospect_customers", "dedup_cluster_sizes",
     "events_value_percentiles",
     "sim_knn_pq", "sim_knn_ivfpq",
+    # new in r5 (TPC-H lattice completion: Q9 Q11 Q12 Q15 Q16 Q19 Q20 Q21)
+    "olap_profit_by_nation", "olap_important_parts",
+    "olap_priority_shipmode", "olap_top_supplier",
+    "olap_supplier_part_counts", "olap_disjunctive_revenue",
+    "olap_excess_suppliers", "olap_waiting_suppliers",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",
     # green before r5 but materially changed in r5 (localCheckpoint

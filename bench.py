@@ -39,6 +39,8 @@ HEADLINE = [
     "olap_big_orders",
     "olap_customer_distribution",
     "olap_nation_trade",
+    "olap_profit_by_nation",
+    "olap_waiting_suppliers",
     "events_anomaly",
     "text_lm_quality",
     "events_sessionize",

@@ -651,6 +651,297 @@ def olap_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFIT_NAME_PART = "gear"     # p_name is "adjective noun" in testdata
+PROFIT_COST_FACTOR = 0.5      # supply-cost analog (no partsupp table)
+
+
+def olap_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp, so the supply cost is a
+    fixed fraction of p_retailprice): profit per (supplier nation,
+    order year) for parts matching a name substring. Revenue and cost
+    accumulate as SEPARATE exact decimal sums in ONE aggregation pass;
+    the subtraction happens once per output row in double (both
+    engines convert the exact decimals identically, and ×0.5 is an
+    exponent shift — bit-exact). Part/supplier/nation dims broadcast;
+    the fact shuffles once for the orderkey join + once for the
+    2-key group."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(PROFIT_NAME_PART))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cost = F.col("p_retailprice").cast("decimal(18,4)") * (
+        F.col("l_quantity").cast("decimal(18,4)"))
+    return (
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            # cost's true scale is ≤ 4 (retailprice rounded to 4dp ×
+            # integer qty), so the (24,4) shrink is EXACT and keeps the
+            # mantissa < 2^53 for an exact decimal→double conversion
+            (F.sum(_disc_price()).cast("decimal(24,6)").cast("double")
+             - F.lit(PROFIT_COST_FACTOR)
+             * F.sum(cost).cast("decimal(24,4)").cast("double"))
+            .alias("profit")
+        )
+    )
+
+
+# NATION_8 has suppliers at every test scale factor (sf0.001 carries
+# only 10 suppliers total, so most nations are empty there)
+IMPORTANT_NATION = "NATION_8"
+IMPORTANT_FRACTION = 0.001
+
+
+def olap_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted): per-part stock value from one
+    nation's suppliers, keeping parts whose value exceeds a FRACTION
+    of the grand total — the grouped-HAVING-against-global-aggregate
+    pattern. The total is a 1-row re-aggregation of the per-part sums
+    (no second fact scan) broadcast-cross-joined back; the threshold
+    compare happens in double on identically-converted exact decimals.
+    Supplier/nation sides broadcast; one fact shuffle on partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == IMPORTANT_NATION)
+    part = load_table(spark, sf_dir, "part")
+    per_part = (
+        li.join(maybe_broadcast(
+            supp.join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_disc_price()).cast("decimal(24,6)").alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec").cast("double")
+               > F.lit(IMPORTANT_FRACTION) * F.col("total_dec").cast("double"))
+        .join(maybe_broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "partkey",
+            F.col("p_name").alias("part_name"),
+            F.col("value_dec").cast("double").alias("stock_value"),
+        )
+    )
+
+
+SHIPMODE_LATE_DAYS = 60
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def olap_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — no l_shipmode/commitdate, so
+    returnflag plays the mode and "late" is shipped > 60 days after
+    the order date): per class, how many LATE lines belong to
+    high- vs low-priority orders — dual conditional counts in one
+    aggregation pass. The lateness predicate is a pure column-level
+    comparison evaluated join-side (no fan-out); one orderkey shuffle
+    + one tiny group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > (
+        F.col("o_orderdate") + F.expr(f"INTERVAL {SHIPMODE_LATE_DAYS} DAYS"))
+    high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+TOP_SUPP_FROM, TOP_SUPP_TO = "1997-01-01", "1997-04-01"
+
+
+def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue in one
+    ship quarter — the view-then-max-subquery pattern as a per-supplier
+    decimal aggregate, a 1-row max re-aggregation broadcast back, and
+    an EXACT decimal equality keeping ties (no double rounding in the
+    compare). One fact shuffle on suppkey; supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(TOP_SUPP_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TOP_SUPP_TO).cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_disc_price()).cast("decimal(24,6)").alias("rev_dec"))
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_dec") == F.col("max_dec"))
+        .join(maybe_broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "suppkey",
+            F.col("s_name").alias("supplier_name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SUPPLIER_CNT_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def olap_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted — lineitem plays partsupp; the
+    "customer complaints" exclusion becomes negative-balance
+    suppliers): distinct supplier count per (brand, type, size) for
+    qualifying parts, excluding blacklisted suppliers via LEFT ANTI
+    (the NOT IN). The anti join's right side is a handful of keys —
+    broadcast; countDistinct expands to a two-shuffle
+    distinct-then-count, both with partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*SUPPLIER_CNT_SIZES)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def olap_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    brand/quantity/size branches spanning both join sides. Catalyst
+    extracts the common join key and pushes the part-only predicate
+    disjuncts into the broadcast side's scan; the final OR evaluates
+    join-side in one pass — no union-of-three-scans rewrite needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & qty.between(1, 15)
+         & size.between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & qty.between(10, 25)
+           & size.between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & qty.between(20, 35)
+           & size.between(1, 30))
+    )
+    return (
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.sum(_disc_price()).cast("decimal(24,6)").cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+EXCESS_NAME_PREFIX = "red"
+EXCESS_QTY = 60
+EXCESS_REGIONKEY = 2
+
+
+def olap_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted — shipped quantity plays availqty):
+    suppliers in one region who moved MORE than a threshold quantity
+    of some name-prefixed part — the nested IN-subquery chain as
+    aggregate → distinct keys → join against the dim side. The
+    (suppkey, partkey) HAVING aggregate shuffles the part-filtered
+    fact once; the surviving key set is tiny and broadcasts into the
+    supplier join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(EXCESS_NAME_PREFIX))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_regionkey") == EXCESS_REGIONKEY)
+    heavy = (
+        li.join(maybe_broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > EXCESS_QTY)
+        .select(F.col("l_suppkey").alias("hv_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(heavy),
+                  F.col("s_suppkey") == F.col("hv_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+WAITING_LATE_DAYS = 180
+
+
+def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    failed multi-supplier orders. The EXISTS (another supplier) and
+    NOT EXISTS (another late supplier) correlated subqueries collapse
+    into ONE grouped pass per order — distinct supplier count, distinct
+    late-supplier count, and (since exactly one survives the filter) a
+    MAX to recover that supplier's key — instead of two extra
+    self-joins of the fact. One orderkey shuffle + one suppkey group;
+    supplier/nation dims broadcast. All-integer logic: exact in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate")
+        + F.expr(f"INTERVAL {WAITING_LATE_DAYS} DAYS"),
+        F.col("l_suppkey"),
+    )
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(late_supp).alias("n_late"),
+            F.max(late_supp).alias("late_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(maybe_broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            "numwait",
+        )
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": olap_pricing_summary,
     "olap_late_orders": olap_late_orders,
@@ -673,12 +964,149 @@ QUERIES = {
     "olap_promo_revenue": olap_promo_revenue,
     "olap_avg_yearly": olap_avg_yearly,
     "olap_big_orders": olap_big_orders,
+    "olap_profit_by_nation": olap_profit_by_nation,
+    "olap_important_parts": olap_important_parts,
+    "olap_priority_shipmode": olap_priority_shipmode,
+    "olap_top_supplier": olap_top_supplier,
+    "olap_supplier_part_counts": olap_supplier_part_counts,
+    "olap_disjunctive_revenue": olap_disjunctive_revenue,
+    "olap_excess_suppliers": olap_excess_suppliers,
+    "olap_waiting_suppliers": olap_waiting_suppliers,
 }
 
 _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
              " * CAST(1 - l_discount AS DECIMAL(12,6))")
 
 ORACLES = {
+    "olap_profit_by_nation": f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               CAST(CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS DOUBLE)
+               - {PROFIT_COST_FACTOR}
+                 * CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))
+                                 * CAST(l.l_quantity AS DECIMAL(18,4)))
+                        AS DECIMAL(24,4)) AS DOUBLE) AS profit
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%{PROFIT_NAME_PART}%'
+        GROUP BY 1, 2
+    """,
+    "olap_important_parts": f"""
+        WITH v AS (
+            SELECT l.l_partkey AS partkey,
+                   CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS value_dec
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = '{IMPORTANT_NATION}'
+            GROUP BY 1
+        ), t AS (SELECT SUM(value_dec) AS total_dec FROM v)
+        SELECT v.partkey,
+               p.p_name AS part_name,
+               CAST(v.value_dec AS DOUBLE) AS stock_value
+        FROM v
+        CROSS JOIN t
+        JOIN part p ON v.partkey = p.p_partkey
+        WHERE CAST(v.value_dec AS DOUBLE)
+              > {IMPORTANT_FRACTION} * CAST(t.total_dec AS DOUBLE)
+    """,
+    "olap_priority_shipmode": f"""
+        SELECT l.l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate
+                             + INTERVAL {SHIPMODE_LATE_DAYS} DAY
+        GROUP BY 1
+    """,
+    "olap_top_supplier": f"""
+        WITH r AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{TOP_SUPP_FROM}'
+              AND l_shipdate <  TIMESTAMP '{TOP_SUPP_TO}'
+            GROUP BY 1
+        ), m AS (SELECT MAX(rev_dec) AS max_dec FROM r)
+        SELECT r.suppkey,
+               s.s_name AS supplier_name,
+               CAST(r.rev_dec AS DOUBLE) AS total_revenue
+        FROM r
+        CROSS JOIN m
+        JOIN supplier s ON r.suppkey = s.s_suppkey
+        WHERE r.rev_dec = m.max_dec
+    """,
+    "olap_supplier_part_counts": f"""
+        SELECT p.p_brand AS brand,
+               p.p_type AS type,
+               p.p_size AS size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN {SUPPLIER_CNT_SIZES}
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "olap_disjunctive_revenue": f"""
+        SELECT CAST(CAST(SUM({_DISC_SQL}) AS DECIMAL(24,6)) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15
+               AND p.p_size BETWEEN 1 AND 10)
+           OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25
+               AND p.p_size BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 35
+               AND p.p_size BETWEEN 1 AND 30)
+    """,
+    "olap_excess_suppliers": f"""
+        WITH heavy AS (
+            SELECT DISTINCT l.l_suppkey AS hv_suppkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '{EXCESS_NAME_PREFIX}%'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING SUM(l.l_quantity) > {EXCESS_QTY}
+        )
+        SELECT s.s_suppkey AS suppkey,
+               s.s_name AS supplier_name,
+               n.n_name AS nation
+        FROM supplier s
+        JOIN heavy h  ON s.s_suppkey = h.hv_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = {EXCESS_REGIONKEY}
+    """,
+    "olap_waiting_suppliers": f"""
+        WITH per_order AS (
+            SELECT l.l_orderkey,
+                   COUNT(DISTINCT l.l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN l.l_shipdate >
+                         o.o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY
+                         THEN l.l_suppkey END) AS n_late,
+                   MAX(CASE WHEN l.l_shipdate >
+                       o.o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY
+                       THEN l.l_suppkey END) AS late_supp
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY 1
+        )
+        SELECT s.s_name AS supplier_name,
+               n.n_name AS nation,
+               COUNT(*) AS numwait
+        FROM per_order p
+        JOIN supplier s ON p.late_supp = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.n_supp > 1 AND p.n_late = 1
+        GROUP BY 1, 2
+    """,
     "olap_prospect_customers": f"""
         WITH m AS (
             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
