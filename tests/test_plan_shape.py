@@ -369,3 +369,47 @@ def test_events_anomaly_shared_window_single_shuffle(spark, sf_dir):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Window") == 1, tree
+
+
+def test_waiting_suppliers_single_fact_pass(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair must collapse into ONE
+    grouped pass — the lineitem fact is scanned exactly once (no
+    self-joins), and nothing degenerates into a cartesian product."""
+    tree = _tree(_plan(olap.olap_waiting_suppliers(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 4, tree  # li+orders+supp+nation
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_disjunctive_revenue_single_scan_each_side(spark, sf_dir):
+    """Q19 shape: the OR-of-conjunctions evaluates in one pass — no
+    union-of-three-scans rewrite; part broadcasts into the fact."""
+    tree = _tree(_plan(olap.olap_disjunctive_revenue(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 2, tree  # lineitem + part once
+    assert "BroadcastHashJoin" in tree, tree
+    assert "Union" not in tree, tree
+
+
+def test_profit_by_nation_single_aggregation_pass(spark, sf_dir):
+    """Q9 shape: revenue and cost sums come from ONE aggregation
+    (partial + final) over the joined fact — no per-measure re-scan,
+    no cartesian."""
+    tree = _tree(_plan(olap.olap_profit_by_nation(spark, sf_dir)))
+    assert tree.count("HashAggregate") == 2, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_supplier_part_counts_anti_join_broadcasts(spark, sf_dir):
+    """Q16 shape: the NOT IN exclusion is a broadcast LEFT ANTI (the
+    blacklist is a handful of keys) — never a shuffled anti join of
+    the fact."""
+    tree = _tree(_plan(olap.olap_supplier_part_counts(spark, sf_dir)))
+    assert "BroadcastHashJoin LeftAnti" in tree, tree
+
+
+def test_excess_suppliers_semi_join_broadcasts(spark, sf_dir):
+    """Q20 shape: the surviving (suppkey) key set is tiny and must
+    broadcast into the supplier side as a LEFT SEMI."""
+    tree = _tree(_plan(olap.olap_excess_suppliers(spark, sf_dir)))
+    assert "BroadcastHashJoin LeftSemi" in tree, tree
+    assert "CartesianProduct" not in tree, tree
