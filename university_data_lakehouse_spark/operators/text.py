@@ -211,6 +211,70 @@ def token_frequency_sketch(
     )
 
 
+REP_MAX_RUN = 3           # flag: a token repeated ≥3× consecutively
+REP_TOP_BIGRAM_FRAC = 0.10  # flag: one bigram covers >10% of positions
+REP_DUP_TOKEN_FRAC = 0.8    # flag: >80% of tokens are repeats
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021,
+    public): duplicate-token fraction, most-frequent 1-/2-gram
+    coverage, and the longest consecutive same-token run — the
+    boilerplate/keyword-stuffing signals n-gram dedup misses. Every
+    metric is a pure JVM array expression per document: a narrow map,
+    zero shuffle, zero Python, so at 100 TB it is embarrassingly
+    parallel. The run length is a strict left fold with struct state
+    (order-pinned); DuckDB replays it as a gaps-and-islands window —
+    same integers either way. The O(unique×len) mode scan is bounded
+    by the per-doc token count, never the corpus."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+
+    def mode_count(arr: Column) -> Column:
+        return F.array_max(F.transform(
+            F.array_distinct(arr),
+            lambda d: F.size(F.filter(arr, lambda t: t == d)),
+        ))
+
+    def run_step(acc: Column, x: Column) -> Column:
+        extended = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            extended.alias("run"),
+            F.greatest(acc["best"], extended).alias("best"),
+        )
+
+    max_run = F.aggregate(
+        toks,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        run_step,
+        lambda acc: acc["best"],
+    )
+    dup_frac = (n - F.size(F.array_distinct(toks))).cast("double") / F.nullif(
+        n, F.lit(0))
+    top_tok = mode_count(toks).cast("double") / F.nullif(n, F.lit(0))
+    top_bi = F.coalesce(
+        mode_count(shingles(toks, 2)).cast("double")
+        / F.nullif(n - 1, F.lit(0)),
+        F.lit(0.0),
+    )
+    return doc.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        top_bi.alias("top_bigram_frac"),
+        max_run.alias("max_run"),
+        (
+            (max_run >= REP_MAX_RUN)
+            | (top_bi > REP_TOP_BIGRAM_FRAC)
+            | (dup_frac > REP_DUP_TOKEN_FRAC)
+        ).alias("flag_repetitive"),
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
@@ -223,6 +287,7 @@ _SHINGLES = (
 )
 
 QUERIES = {
+    "text_repetition": text_repetition,
     "text_lm_quality": text_lm_quality,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -231,6 +296,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_repetition": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS tk,
+                     generate_subscripts(toks, 1) AS pos FROM t),
+        r AS (SELECT doc_id, tk, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tk
+                                              ORDER BY pos) AS grp
+              FROM e),
+        runs AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS run_len
+                 FROM r GROUP BY doc_id, tk, grp),
+        mr AS (SELECT doc_id, MAX(run_len) AS max_run
+               FROM runs GROUP BY doc_id),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS dup_token_frac,
+                   CAST(list_max(list_transform(list_distinct(toks),
+                        d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS top_token_frac,
+                   COALESCE(
+                       CAST(list_max(list_transform(
+                            list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1]),
+                            d -> len(list_filter(
+                                 list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i+1]),
+                                 x -> x = d)))) AS DOUBLE)
+                           / NULLIF(len(toks) - 1, 0),
+                       0.0) AS top_bigram_frac
+            FROM t
+        )
+        SELECT m.doc_id, m.n_tokens, m.dup_token_frac, m.top_token_frac,
+               m.top_bigram_frac,
+               COALESCE(mr.max_run, 0) AS max_run,
+               (COALESCE(mr.max_run, 0) >= {REP_MAX_RUN}
+                OR m.top_bigram_frac > {REP_TOP_BIGRAM_FRAC}
+                OR m.dup_token_frac > {REP_DUP_TOKEN_FRAC})
+                   AS flag_repetitive
+        FROM m LEFT JOIN mr USING (doc_id)
+    """,
     "text_lm_quality": f"""
         WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
         v AS (SELECT tk, COUNT(*) AS tf FROM t GROUP BY 1),
