@@ -720,3 +720,43 @@ def test_merge_schema_evolution(spark, catalog):
     with pytest.raises(SchemaMismatch):
         t.merge(spark.createDataFrame([Row(id=1, val=2, score=0.1)]),
                 keys=["id"], evolve=True)
+
+
+def test_compact_zorder_prunes_every_dimension(spark, catalog):
+    """Z-order compaction: after rewriting on the bit-interleaved
+    curve, footer-stats skipping prunes file lists on BOTH cluster
+    dimensions — the property linear cluster_by only gives the
+    leading column — while the row set is unchanged."""
+    t = catalog.table("tz")
+    df = spark.range(20000).select(
+        (F.col("id") % 100).cast("int").alias("x"),
+        ((F.col("id") * 7919) % 100).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.write(df.repartition(16))
+    total_before = len(t.manifest()["files"])
+    # interleaved writes: a narrow slice on either dim prunes nothing
+    assert len(t.candidate_files({"x": (10, 14)})) == total_before
+    assert len(t.candidate_files({"y": (10, 14)})) == total_before
+
+    with pytest.raises(ValueError):
+        t.compact(spark, cluster_by=["x"], zorder_by=["y"])
+    t.compact(spark, target_files=16, zorder_by=["x", "y"])
+    total = len(t.manifest()["files"])
+    assert total >= 8  # the range shuffle actually spread the curve
+    after_x = len(t.candidate_files({"x": (10, 14)}))
+    after_y = len(t.candidate_files({"y": (10, 14)}))
+    # a 5%-wide slab on EITHER dimension now skips at least half
+    assert after_x <= total // 2, (after_x, total)
+    assert after_y <= total // 2, (after_y, total)
+    # row set identical and the narrow read returns exact results
+    assert t.read(spark).count() == 20000
+    got = t.read_where(spark, {"x": (10, 14)}).groupBy().count().collect()
+    assert got[0][0] == 20000 // 100 * 5
+
+
+def test_compact_zorder_refuses_string_columns(spark, catalog):
+    t = catalog.table("tzs")
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    with pytest.raises(ValueError, match="unsupported type"):
+        t.compact(spark, zorder_by=["val"])

@@ -302,23 +302,14 @@ class ManagedTable:
         schema = T.StructType.fromJson(m["schema"])
         return self._read_files(spark, entries, schema, partitioned=bool(pby))
 
-    def read_where(
-        self,
-        spark: SparkSession,
-        bounds: dict[str, tuple],
-        version: int | None = None,
-    ) -> DataFrame:
-        """Stats-pruned range read: ``bounds`` maps columns to
-        (lo, hi) closed intervals (None = unbounded on that side).
-        Files whose footer min/max PROVE disjointness are never
-        listed, opened, or scanned — manifest-level data skipping for
-        ordinary predicates, the read-side twin of MERGE's skipping
-        (on a clustered table, ~one file per narrow slice). The same
-        predicate is ALSO applied as a row filter, so results are
-        exact regardless of how coarse the file stats are.
-
-        Float/double columns never prune (NaN is outside footer
-        stats — same soundness rule as merge)."""
+    def candidate_files(self, bounds: dict[str, tuple],
+                        version: int | None = None) -> list[dict]:
+        """File entries that MAY contain rows in ``bounds`` ({col:
+        (lo, hi)} closed intervals, None = unbounded) per footer
+        min/max stats — the manifest-level skipping set read_where()
+        scans. Exposed so callers (and tests) can measure pruning
+        effectiveness without reading data. Float/double columns never
+        prune (NaN sits outside footer stats)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         unprunable = {
@@ -340,7 +331,28 @@ class ManagedTable:
                     return False
             return True
 
-        entries = [f for f in m["files"] if overlaps(f)]
+        return [f for f in m["files"] if overlaps(f)]
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        bounds: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned range read: ``bounds`` maps columns to
+        (lo, hi) closed intervals (None = unbounded on that side).
+        Files whose footer min/max PROVE disjointness are never
+        listed, opened, or scanned — manifest-level data skipping for
+        ordinary predicates, the read-side twin of MERGE's skipping
+        (on a clustered table, ~one file per narrow slice). The same
+        predicate is ALSO applied as a row filter, so results are
+        exact regardless of how coarse the file stats are.
+
+        Float/double columns never prune (NaN is outside footer
+        stats — same soundness rule as merge)."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        entries = self.candidate_files(bounds, version)
         df = self._read_files(spark, entries, schema,
                               partitioned=bool(m.get("partition_by")))
         from pyspark.sql import functions as F  # noqa: PLC0415
@@ -747,8 +759,60 @@ class ManagedTable:
 
     # ------------------------------------------------------ lifecycle
 
+    #: bits per dimension for the Z-order curve: 2^8 = 256 quantile
+    #: cells per column — finer than any realistic file count, coarse
+    #: enough that the driver-side cut-point list stays tiny
+    ZORDER_BITS = 8
+
+    def _zorder_expr(self, df: DataFrame, cols: list[str]):
+        """Bit-interleaved Z-value expression over quantile-bucketed
+        columns (the public Delta OPTIMIZE ZORDER design: per-column
+        range ids, interleaved so every dimension contributes equally
+        to sort locality). Cut points come from approxQuantile — a
+        driver-sized list (ZORDER_BITS cells per column), never the
+        data. Bucket lookup is a JVM-side count-of-cuts-≤-value over a
+        literal array, so the rewrite job itself is one range shuffle.
+        Numeric/timestamp/date columns only (strings have no
+        meaningful footer-stats range locality to gain)."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        n_cells = 1 << self.ZORDER_BITS
+        probs = [i / n_cells for i in range(1, n_cells)]
+        numeric = df
+        for fld in df.schema.fields:
+            if fld.name in cols and isinstance(
+                    fld.dataType, (T.TimestampType, T.DateType)):
+                numeric = numeric.withColumn(
+                    fld.name, F.col(fld.name).cast("long"))
+            elif fld.name in cols and not isinstance(
+                    fld.dataType, (T.ByteType, T.ShortType, T.IntegerType,
+                                   T.LongType, T.FloatType, T.DoubleType,
+                                   T.DecimalType)):
+                raise ValueError(
+                    f"zorder_by column {fld.name!r} has unsupported type "
+                    f"{fld.dataType.simpleString()}; use numeric/timestamp"
+                )
+        cuts = {c: q for c, q in zip(
+            cols, numeric.approxQuantile(cols, probs, 0.001))}
+        z = F.lit(0).cast("long")
+        for dim, col in enumerate(cols):
+            arr = F.array(*[F.lit(float(v)) for v in sorted(set(cuts[col]))])
+            bucket = F.size(F.filter(
+                arr, lambda cut: cut <= F.col(col).cast("double")))
+            # spread each column's bucket bits so dimensions interleave:
+            # bit b of column d lands at position b*len(cols)+d
+            for b in range(self.ZORDER_BITS):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                        b * len(cols) + dim,
+                    ).cast("long")
+                )
+        return z
+
     def compact(self, spark: SparkSession, target_files: int = 1,
-                cluster_by: list[str] | None = None) -> int:
+                cluster_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> int:
         """Bin-pack the current snapshot into ``target_files`` data
         files (the small-files problem after many incremental
         MERGEs): a pure rewrite — same rows, new layout, new version;
@@ -760,21 +824,32 @@ class ManagedTable:
         of silently superseding the concurrent writer's rows.
 
         ``cluster_by`` range-partitions + sorts the rewrite on the
-        given columns (the Delta OPTIMIZE ZORDER idea in its linear
-        form): each output file then covers a TIGHT, near-disjoint
-        range of the cluster keys, so footer min/max data skipping
-        prunes to ~one file per key slice where interleaved appends
-        made every file overlap every slice — the maintenance job that
-        keeps incremental MERGE cost flat at 100 TB.
+        given columns (linear clustering): each output file then
+        covers a TIGHT, near-disjoint range of the cluster keys, so
+        footer min/max data skipping prunes to ~one file per key slice
+        where interleaved appends made every file overlap every slice
+        — the maintenance job that keeps incremental MERGE cost flat
+        at 100 TB. Linear order skips perfectly on the LEADING column
+        only; ``zorder_by`` instead sorts on a bit-interleaved Z-value
+        (the Delta OPTIMIZE ZORDER curve) so footer stats stay tight
+        on EVERY listed dimension at once — the right layout when
+        reads slice on more than one column.
 
         On a partitioned table the layout is preserved: rows shuffle
         onto their partition values so the partitionBy stage writes
         ~one packed file per partition value (at cluster scale this is
         the standard bin-pack-within-partition maintenance job)."""
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
         v = self.latest_version()
         df = self.read(spark, v)
         pby = self.partition_by(v)
-        if cluster_by:
+        if zorder_by:
+            z = self._zorder_expr(df, list(zorder_by))
+            df = df.repartitionByRange(
+                max(target_files, 1), z
+            ).sortWithinPartitions(z)
+        elif cluster_by:
             df = df.repartitionByRange(
                 max(target_files, 1), *cluster_by
             ).sortWithinPartitions(*cluster_by)
