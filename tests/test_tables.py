@@ -760,3 +760,55 @@ def test_compact_zorder_refuses_string_columns(spark, catalog):
     t.write(_df(spark, [(1, "a"), (2, "b")]))
     with pytest.raises(ValueError, match="unsupported type"):
         t.compact(spark, zorder_by=["val"])
+
+
+def test_incremental_gold_order_metrics(spark, sf_dir, catalog, tmp_path):
+    """Incremental gold maintenance: two order-slice ticks (bootstrap
+    + merge of decimal-sum partials and HLL sketch unions) produce the
+    SAME finalized metrics as one tick over everything, the exact
+    algebraic measures match the batch gold operator bit-for-bit, and
+    the sketch estimates land within HLL error of the exact distincts.
+    The pre-merge state stays time-travelable."""
+    from university_data_lakehouse_spark.operators.gold import (
+        gold_order_metrics,
+    )
+    from university_data_lakehouse_spark.plans.medallion import (
+        finalize_order_metrics,
+        incremental_order_metrics,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    mid = (load_mid := spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet"))
+        .agg(F.max("o_orderkey")).collect()[0][0]) // 2
+    assert load_mid > 0
+
+    one_shot = TableCatalog(str(tmp_path / "wh_oneshot"))
+    assert incremental_order_metrics(spark, sf_dir, one_shot) == 1
+    expected = {tuple(r) for r in
+                finalize_order_metrics(spark, one_shot).collect()}
+
+    assert incremental_order_metrics(
+        spark, sf_dir, catalog, until_orderkey=mid) == 1     # bootstrap
+    assert incremental_order_metrics(
+        spark, sf_dir, catalog, since_orderkey=mid) == 2     # merge tick
+    got = {tuple(r) for r in finalize_order_metrics(spark, catalog).collect()}
+    assert got == expected
+
+    # exact algebraic measures == the batch gold operator, bit-for-bit
+    batch = {(r.order_year, r.segment, r.status):
+             (r.total_qty, r.avg_acctbal, r.total_customers)
+             for r in gold_order_metrics(spark, sf_dir).collect()}
+    inc = {(r.order_year, r.segment, r.status):
+           (r.total_qty, r.avg_acctbal, r.total_customers)
+           for r in finalize_order_metrics(spark, catalog).collect()}
+    assert set(batch) == set(inc)
+    for k, (qty, bal, exact_cust) in batch.items():
+        iqty, ibal, est_cust = inc[k]
+        assert iqty == qty and ibal == bal, k
+        assert abs(est_cust - exact_cust) <= max(3, 0.05 * exact_cust), k
+
+    # time travel: the bootstrap-only state is still readable
+    v1 = {tuple(r) for r in
+          finalize_order_metrics(spark, catalog, version=1).collect()}
+    assert v1 != got and len(v1) > 0
