@@ -42,7 +42,7 @@ _PRIORITY_KEYS = (
     "olap_priority_shipmode", "olap_top_supplier",
     "olap_supplier_part_counts", "olap_disjunctive_revenue",
     "olap_excess_suppliers", "olap_waiting_suppliers",
-    "text_repetition",
+    "text_repetition", "sample_weighted",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",
     # green before r5 but materially changed in r5 (localCheckpoint

@@ -80,6 +80,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_gate(load_table(spark, sf_dir, "documents"))
 
 
+# --- weighted (temperature) mixture resampling ---------------------------
+# Per-stratum epoch weights as (whole_epochs, fractional_hex) pairs: a
+# doc yields whole_epochs copies plus one more iff its salted hash
+# falls under the fractional threshold — deterministic upsampling WITH
+# replacement (weights may exceed 1), the way temperature-flattened
+# domain mixtures repeat small high-quality domains. Same fixed-width
+# hex discipline as SAMPLE_RATE_HEX.
+WEIGHTED_EPOCHS = {
+    "en": (0, "80000000"),   # 0.5  — downsample the dominant stratum
+    "zh": (1, "00000000"),   # 1.0
+    "es": (1, "80000000"),   # 1.5
+    "fr": (2, "00000000"),   # 2.0
+    "de": (2, "40000000"),   # 2.25 — upsample the smallest stratum
+}
+WEIGHTED_DEFAULT = (1, "00000000")
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-mixture resampling: each doc emits
+    floor(weight) copies plus a hash-gated extra for the fractional
+    part, tagged with an epoch index — upsampling WITH replacement,
+    which plain keep/drop gates cannot express. Stateless narrow map +
+    explode (fan-out ≤ ceil(max weight), never data-dependent), no RNG
+    state, so re-runs, backfills and stream ticks repeat the SAME
+    copies. At 100 TB the explode multiplies only the id/lang
+    projection; shard assembly joins text back by doc_id afterwards."""
+    doc = load_table(spark, sf_dir, "documents")
+    whole = F.lit(WEIGHTED_DEFAULT[0])
+    frac_hex = F.lit(WEIGHTED_DEFAULT[1])
+    for lang, (w, hx) in WEIGHTED_EPOCHS.items():
+        whole = F.when(F.col("lang") == lang, F.lit(w)).otherwise(whole)
+        frac_hex = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(frac_hex)
+    key = F.substring(
+        F.md5(F.concat(F.lit("weight:"), F.col("doc_id").cast("string"))),
+        1, 8)
+    n_copies = whole + F.when(key < frac_hex, 1).otherwise(0)
+    return (
+        doc.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "lang", "n_copies",
+            # sequence(int, int) yields array<int>, so epoch is INT
+            # without a cast (a cast cannot wrap a generator anyway)
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_copies") - 1)
+            ).alias("epoch"),
+        )
+    )
+
+
 def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential token-budget packing: within each lang partition,
     docs are laid out in doc_id order and cut into bins of
@@ -342,6 +392,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "sample_weighted": sample_weighted,
     "corpus_build": corpus_build,
     "corpus_stats": corpus_stats,
     "pack_token_bins": pack_token_bins,
@@ -469,7 +520,30 @@ def _corpus_build_oracle() -> str:
     """
 
 
+_W_WHOLE_SQL = ("CASE lang "
+                + " ".join(f"WHEN '{lang}' THEN {w}"
+                           for lang, (w, _) in WEIGHTED_EPOCHS.items())
+                + f" ELSE {WEIGHTED_DEFAULT[0]} END")
+_W_FRAC_SQL = ("CASE lang "
+               + " ".join(f"WHEN '{lang}' THEN '{hx}'"
+                          for lang, (_, hx) in WEIGHTED_EPOCHS.items())
+               + f" ELSE '{WEIGHTED_DEFAULT[1]}' END")
+
 ORACLES = {
+    "sample_weighted": f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   {_W_WHOLE_SQL}
+                   + CASE WHEN substr(md5('weight:'
+                                          || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < {_W_FRAC_SQL} THEN 1 ELSE 0 END AS n_copies
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(n_copies AS INTEGER) AS n_copies,
+               CAST(unnest(range(0, n_copies)) AS INTEGER) AS epoch
+        FROM d WHERE n_copies > 0
+    """,
     "sample_stratified": f"""
         SELECT doc_id, lang, sample_key FROM (
             SELECT doc_id, lang,
