@@ -122,3 +122,41 @@ def test_token_cms_heavy_hitters_within_bounds(spark, sf_dir):
     for t, c in exact.items():
         est = merged.estimateCount(t)
         assert c <= est <= c + eps * total + 1, (t, c, est)
+
+
+def test_daily_kll_sketches_merge_to_range_quantiles(spark, sf_dir):
+    """Mergeable-quantile contract: per-day KLL binaries merge to
+    range-wide p50/p90/p99 within KLL rank error of the exact sorted
+    percentiles, and a partial date range merges only its days'
+    sketches — quantiles over stored bytes, no raw re-scan."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.events import (
+        events_daily_value_kll,
+        rollup_value_quantiles,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    daily = events_daily_value_kll(spark, sf_dir).cache()
+    ev = load_table(spark, sf_dir, "events")
+
+    def exact_rank_of(value, frame):
+        n = frame.count()
+        return frame.where(F.col("value") <= value).count() / n
+
+    got = rollup_value_quantiles(daily).collect()[0]
+    # KLL guarantees RANK error (~1.65% at k=200): the returned value's
+    # true rank must sit near the requested rank
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        r = exact_rank_of(got[col], ev)
+        assert abs(r - p) < 0.03, (col, got[col], r)
+
+    days = sorted(r.day for r in daily.select("day").collect())
+    mid = days[len(days) // 2]
+    half_ev = ev.where(F.to_date("ts") <= F.lit(mid))
+    half = rollup_value_quantiles(
+        daily.where(F.col("day") <= mid)).collect()[0]
+    r = exact_rank_of(half["p90"], half_ev)
+    assert abs(r - 0.9) < 0.03, (half["p90"], r)
+    assert dict(daily.dtypes)["value_kll"] == "binary"
+    assert half["n_events"] == half_ev.count()

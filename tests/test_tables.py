@@ -812,3 +812,68 @@ def test_incremental_gold_order_metrics(spark, sf_dir, catalog, tmp_path):
     v1 = {tuple(r) for r in
           finalize_order_metrics(spark, catalog, version=1).collect()}
     assert v1 != got and len(v1) > 0
+
+
+def test_check_constraints_gate_every_write_path(spark, catalog):
+    """Delta CHECK-constraint parity: constraints set at create gate
+    write, merge, and update; NULL predicates pass (SQL-standard
+    UNKNOWN); add_check_constraint validates existing data first;
+    drop lifts the gate; both are metadata-only commits."""
+    from university_data_lakehouse_spark.tables import ConstraintViolation
+
+    t = catalog.table("tc")
+    t.write(_df(spark, [(1, "a")]), constraints={"pos_id": "id > 0"})
+    with pytest.raises(ConstraintViolation, match="pos_id"):
+        t.write(_df(spark, [(-5, "x")]), mode="append")
+    with pytest.raises(ConstraintViolation):
+        t.merge(_df(spark, [(-7, "y")]), keys=["id"])
+    t.write(_df(spark, [(2, "b")]), mode="append")   # passes the gate
+
+    # NULL evaluates UNKNOWN -> passes (SQL standard)
+    t2 = catalog.table("tc2")
+    t2.write(spark.createDataFrame([Row(id=1, v=None)],
+                                   schema="id int, v string"),
+             constraints={"v_short": "length(v) < 5"})
+
+    # adding a constraint the CURRENT data violates is refused
+    with pytest.raises(ConstraintViolation):
+        t.add_check_constraint(spark, "tiny", "id < 2")
+    v = t.add_check_constraint(spark, "val_nonempty", "length(val) > 0")
+    assert t.manifest()["operation"] == "add_constraint"
+    assert t.read(spark).count() == 2          # metadata-only commit
+    with pytest.raises(ConstraintViolation, match="val_nonempty"):
+        t.write(_df(spark, [(3, "")]), mode="append")
+    t.drop_check_constraint("val_nonempty")
+    t.write(_df(spark, [(3, "")]), mode="append")  # gate lifted
+    assert t.check_constraints() == {"pos_id": "id > 0"}
+    # constraints survive a rewrite (merge carries them forward)
+    t.merge(_df(spark, [(4, "d")]), keys=["id"])
+    assert t.check_constraints(version=t.latest_version()) == {
+        "pos_id": "id > 0"}
+    assert v >= 1
+
+
+def test_changes_between_append_fast_path_and_diff(spark, catalog):
+    """CDF parity: append-only ranges read ONLY the added files with
+    per-commit versions; ranges containing rewrites diff the
+    snapshots by key into insert/update_postimage/delete."""
+    t = catalog.table("tcdc")
+    t.write(_df(spark, [(1, "a"), (2, "b")]))                  # v1
+    t.write(_df(spark, [(3, "c")]), mode="append")             # v2
+    t.write(_df(spark, [(4, "d")]), mode="append")             # v3
+    fast = t.changes_between(spark, 1).collect()
+    assert {(r.id, r._change_type, r._commit_version) for r in fast} == {
+        (3, "insert", 2), (4, "insert", 3)}
+
+    t.merge(_df(spark, [(2, "B*"), (5, "e")]), keys=["id"])    # v4 rewrite
+    t.delete_where(spark, {"id": (1, 1)})                      # v5
+    with pytest.raises(ValueError, match="keys"):
+        t.changes_between(spark, 3)
+    diff = {(r.id, r.val, r._change_type)
+            for r in t.changes_between(spark, 3, keys=["id"]).collect()}
+    assert diff == {(2, "B*", "update_postimage"),
+                    (5, "e", "insert"),
+                    (1, "a", "delete")}
+    # empty range -> empty frame with the CDF schema
+    none = t.changes_between(spark, t.latest_version())
+    assert none.count() == 0 and "_change_type" in none.columns

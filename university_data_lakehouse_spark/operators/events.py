@@ -294,6 +294,56 @@ def rollup_user_sketches(daily: DataFrame) -> DataFrame:
     )
 
 
+def events_daily_value_kll(spark: SparkSession, sf_dir: str,
+                           k: int = 200) -> DataFrame:
+    """Per-day KLL quantile sketches over event values — the
+    MERGEABLE quantile state that completes the sketch family (HLL =
+    distinct, CMS = frequency, KLL = quantiles): each day aggregates
+    once into a Datasketches KLL binary, and any date range's
+    percentiles come from a sketch MERGE over stored bytes — never a
+    re-scan or re-sort of raw events, which is what makes p99 SLO
+    dashboards over a 100 TB event table O(days), not O(rows). KLL
+    guarantees rank error ~1.65% at k=200 with sublinear size. Sketch
+    binaries are engine-specific → pytest-gated (merged quantiles
+    within rank error of the exact sort), not an oracle key — same
+    rule as the HLL rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.kll_sketch_agg_double("value", F.lit(k)).alias("value_kll"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def rollup_value_quantiles(daily: DataFrame,
+                           probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                           ) -> DataFrame:
+    """Merge stored per-day KLL sketches into range-wide quantile
+    estimates — reads ONLY the day-grain sketch table. Spark exposes
+    KLL merge as a two-sketch SCALAR (not an aggregate), so the
+    per-day binaries collect into one array row (days × ~KB — always
+    driver-safe at day grain) and fold pairwise; KLL merges are
+    order-insensitive within the rank-error guarantee."""
+    collected = daily.agg(
+        F.collect_list("value_kll").alias("sks"),
+        F.sum("n_events").alias("n_events"),
+    )
+    merged = F.expr(
+        "reduce(slice(sks, 2, greatest(size(sks) - 1, 0)), "
+        "element_at(sks, 1), (acc, x) -> kll_sketch_merge_double(acc, x))"
+    )
+    return collected.select(
+        *[
+            F.kll_sketch_get_quantile_double(merged, F.lit(p))
+            .alias(f"p{int(p * 100)}")
+            for p in probs
+        ],
+        "n_events",
+    )
+
+
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score anomaly flags — the metric-outlier pass an
     events pipeline runs before alerting. Sum and sum-of-squares are

@@ -10,4 +10,9 @@ formats — behind an interface a real Delta/Iceberg writer can
 replace 1:1.
 """
 
-from .format import ManagedTable, TableCatalog, CommitConflict  # noqa: F401
+from .format import (  # noqa: F401
+    CommitConflict,
+    ConstraintViolation,
+    ManagedTable,
+    TableCatalog,
+)

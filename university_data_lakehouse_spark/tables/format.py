@@ -158,6 +158,10 @@ class SchemaMismatch(ValueError):
     """Append schema incompatible with the table schema."""
 
 
+class ConstraintViolation(ValueError):
+    """Incoming rows violate a table CHECK constraint."""
+
+
 def _schema_names(schema: T.StructType) -> dict[str, str]:
     return {f.name: f.dataType.simpleString() for f in schema.fields}
 
@@ -242,6 +246,7 @@ class ManagedTable:
             "operation": meta["operation"],
             "schema": meta["schema"],
             "partition_by": meta.get("partition_by") or [],
+            "constraints": meta.get("constraints") or {},
             "files": list(files.values()),
         }
 
@@ -255,6 +260,33 @@ class ManagedTable:
 
     def partition_by(self, version: int | None = None) -> list[str]:
         return list(self.manifest(version).get("partition_by") or [])
+
+    def check_constraints(self, version: int | None = None) -> dict[str, str]:
+        return dict(self.manifest(version).get("constraints") or {})
+
+    def _enforce_constraints(self, df: DataFrame,
+                             cons: dict[str, str]) -> None:
+        """SQL-standard CHECK semantics (Delta parity): a row violates
+        a constraint iff the predicate evaluates to FALSE (NULL/UNKNOWN
+        passes). All constraints are counted in ONE aggregation pass
+        over the incoming frame — the documented extra-scan cost of
+        CHECK constraints; at 100 TB it pipelines with the write."""
+        if not cons:
+            return
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        aggs = [
+            F.count(F.when(~F.coalesce(F.expr(pred), F.lit(True)), 1))
+            .alias(name)
+            for name, pred in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: row[name] for name in cons if row[name]}
+        if bad:
+            detail = ", ".join(
+                f"{n!r} ({cons[n]}): {c} rows" for n, c in bad.items())
+            raise ConstraintViolation(
+                f"CHECK constraint(s) violated at {self.path}: {detail}")
 
     @staticmethod
     def _pv_str(value) -> str:
@@ -504,14 +536,25 @@ class ManagedTable:
         evolve: bool = False,
         operation: str | None = None,
         partition_by: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """ACID append/overwrite; returns the committed version.
 
         ``partition_by`` (identity columns, set on first write and
         inherited afterwards) lays data out under Hive-style partition
-        directories so reads and MERGEs can prune at the manifest."""
+        directories so reads and MERGEs can prune at the manifest.
+        ``constraints`` ({name: SQL predicate}, set on first write and
+        inherited) are CHECK-enforced on every incoming frame."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode {mode!r}")
+        cons = (self.check_constraints() if self.exists()
+                else dict(constraints or {}))
+        if self.exists() and constraints is not None and (
+                dict(constraints) != cons):
+            raise ValueError(
+                f"table {self.path} has constraints {cons}; use "
+                "add_check_constraint()/drop_check_constraint() to change")
+        self._enforce_constraints(df, cons)
         pby = self._resolve_partition_spec(partition_by)
         fields = _spec_fields(pby)
         missing = [f.source for f in fields if f.source not in df.columns]
@@ -542,6 +585,7 @@ class ManagedTable:
             "operation": operation or mode,
             "schema": json.loads(schema.json()),
             "partition_by": pby,
+            "constraints": cons,
             "add": staged,
             "remove": removed,
         })
@@ -737,6 +781,11 @@ class ManagedTable:
             base_version = self.latest_version()
         base_manifest = self.manifest(base_version)
         pby = base_manifest.get("partition_by") or []
+        cons = base_manifest.get("constraints") or {}
+        if cons and operation not in ("compact", "restore"):
+            # compact/restore only re-reference rows that already
+            # passed the gate; every data-changing rewrite re-validates
+            self._enforce_constraints(df, cons)
         schema = self._check_schema(df, evolve=evolve)
         staged = self._stage(df, partition_by=pby or None)
         version = base_version + 1
@@ -751,6 +800,7 @@ class ManagedTable:
             "operation": operation,
             "schema": json.loads(schema.json()),
             "partition_by": pby,
+            "constraints": cons,
             "add": staged,
             "remove": removed,
         })
@@ -1019,6 +1069,129 @@ class ManagedTable:
             "remove": [f["name"] for f in m["files"]],
         })
         return version
+
+    def _metadata_commit(self, operation: str,
+                         constraints: dict[str, str]) -> int:
+        """Commit a file-less action that only changes table metadata
+        (constraint add/drop): the snapshot's files are untouched."""
+        m = self.manifest()
+        version = m["version"] + 1
+        self._commit(version, {
+            "version": version,
+            "ts": time.time(),
+            "operation": operation,
+            "schema": m["schema"],
+            "partition_by": m.get("partition_by") or [],
+            "constraints": constraints,
+            "add": [],
+            "remove": [],
+        })
+        return version
+
+    def add_check_constraint(self, spark: SparkSession, name: str,
+                             predicate: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (Delta parity): the
+        EXISTING snapshot is validated first (one scan — the
+        documented cost), then the constraint lands as a metadata-only
+        commit and gates every future write/merge/update."""
+        cons = self.check_constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._enforce_constraints(self.read(spark), {name: predicate})
+        cons[name] = predicate
+        return self._metadata_commit("add_constraint", cons)
+
+    def drop_check_constraint(self, name: str) -> int:
+        cons = self.check_constraints()
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        del cons[name]
+        return self._metadata_commit("drop_constraint", cons)
+
+    def _action(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir,
+                               _MANIFEST_FMT.format(version))) as fh:
+            return json.load(fh)
+
+    def changes_between(self, spark: SparkSession, since_version: int,
+                        to_version: int | None = None,
+                        keys: list[str] | None = None) -> DataFrame:
+        """Change data feed between two snapshots (the Delta CDF /
+        ``table_changes`` surface), with ``_change_type`` ∈ {insert,
+        update_postimage, delete} and ``_commit_version`` columns.
+
+        Append-only fast path: when no commit in (since, to] removed a
+        file, ONLY the added files are read — zero diff compute, which
+        is what makes a managed table consumable as a streaming source
+        (each tick reads just its new files, the Delta
+        streaming-from-table behavior). Otherwise the two snapshots
+        are diffed by ``keys`` (one full-outer join on the key
+        columns): at 100 TB prefer narrowing the versions so ticks hit
+        the append-only path."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        to_v = self.latest_version() if to_version is None else to_version
+        if since_version > to_v:
+            raise ValueError(f"since {since_version} > to {to_v}")
+        schema = T.StructType.fromJson(self.manifest(to_v)["schema"])
+        pby = bool(self.partition_by(to_v))
+        actions = [self._action(v)
+                   for v in range(since_version + 1, to_v + 1)]
+        if all(not a.get("remove") for a in actions):
+            parts = []
+            for a in actions:
+                if not a.get("add"):
+                    continue
+                part = self._read_files(spark, a["add"], schema,
+                                        partitioned=pby)
+                parts.append(part.select(
+                    "*",
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(a["version"]).alias("_commit_version"),
+                ))
+            if not parts:
+                return spark.createDataFrame([], T.StructType(
+                    schema.fields + [
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_version", T.IntegerType()),
+                    ]))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        if not keys:
+            raise ValueError(
+                "commits in range rewrote files; pass keys=[...] to diff "
+                "the snapshots row-wise")
+        old = self.read(spark, since_version)
+        new = self.read(spark, to_v)
+        for f in schema.fields:       # schema evolution: null-fill old
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        val_cols = [c for c in new.columns if c not in keys]
+        o = old.select(*keys, *val_cols,
+                       F.lit(1).alias("_o")).alias("o")
+        n = new.select(*keys, *val_cols,
+                       F.lit(1).alias("_n")).alias("n")
+        joined = n.join(o, on=list(keys), how="full")
+        differs = F.lit(False)
+        for c in val_cols:
+            differs = differs | ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        ctype = (
+            F.when(F.col("o._o").isNull(), "insert")
+            .when(F.col("n._n").isNull(), "delete")
+            .when(differs, "update_postimage")
+        )
+        picked = [
+            F.when(F.col("n._n").isNull(), F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}")).alias(c)
+            for c in val_cols
+        ]
+        return (
+            joined.select(*keys, *picked, ctype.alias("_change_type"))
+            .where(F.col("_change_type").isNotNull())
+            .withColumn("_commit_version", F.lit(to_v))
+        )
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE: make an earlier snapshot the CURRENT one as a NEW
