@@ -160,3 +160,30 @@ def test_daily_kll_sketches_merge_to_range_quantiles(spark, sf_dir):
     assert abs(r - 0.9) < 0.03, (half["p90"], r)
     assert dict(daily.dtypes)["value_kll"] == "binary"
     assert half["n_events"] == half_ev.count()
+
+
+def test_theta_audience_set_algebra(spark, sf_dir):
+    """Theta-sketch contract: per-event-type binaries answer set
+    questions (union / intersection / difference of audiences) within
+    sketch error of the exact set computations — the algebra HLL
+    cannot do."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.events import (
+        audience_overlap,
+        events_audience_sketches,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    sk = events_audience_sketches(spark, sf_dir).cache()
+    got = audience_overlap(sk, "view", "purchase").collect()[0]
+
+    ev = load_table(spark, sf_dir, "events")
+    users = lambda t: {r.user_id for r in ev.where(
+        F.col("event_type") == t).select("user_id").distinct().collect()}
+    va, pb = users("view"), users("purchase")
+    exact = {"n_a": len(va), "n_b": len(pb), "n_union": len(va | pb),
+             "n_both": len(va & pb), "n_only_a": len(va - pb)}
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= max(3, 0.05 * v), (k, got[k], v)
+    assert dict(sk.dtypes)["user_theta"] == "binary"

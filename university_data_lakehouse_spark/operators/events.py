@@ -321,26 +321,59 @@ def rollup_value_quantiles(daily: DataFrame,
                            probs: tuple[float, ...] = (0.5, 0.9, 0.99),
                            ) -> DataFrame:
     """Merge stored per-day KLL sketches into range-wide quantile
-    estimates — reads ONLY the day-grain sketch table. Spark exposes
-    KLL merge as a two-sketch SCALAR (not an aggregate), so the
-    per-day binaries collect into one array row (days × ~KB — always
-    driver-safe at day grain) and fold pairwise; KLL merges are
-    order-insensitive within the rank-error guarantee."""
-    collected = daily.agg(
-        F.collect_list("value_kll").alias("sks"),
-        F.sum("n_events").alias("n_events"),
-    )
-    merged = F.expr(
-        "reduce(slice(sks, 2, greatest(size(sks) - 1, 0)), "
-        "element_at(sks, 1), (acc, x) -> kll_sketch_merge_double(acc, x))"
-    )
-    return collected.select(
+    estimates — reads ONLY the day-grain sketch table. Uses the
+    distributed ``kll_merge_agg_double`` aggregate (SQL-registered;
+    the Python functions module only exposes the two-sketch scalar),
+    so the merge gets map-side partials like any other aggregate."""
+    merged = F.expr("kll_merge_agg_double(value_kll)")
+    return daily.agg(
         *[
             F.kll_sketch_get_quantile_double(merged, F.lit(p))
             .alias(f"p{int(p * 100)}")
             for p in probs
         ],
-        "n_events",
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def events_audience_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type THETA user sketches — unlike HLL, theta sketches
+    support full SET ALGEBRA (union / intersection / difference), so
+    audience questions like "users who viewed AND purchased" resolve
+    from per-segment binaries without re-scanning events or
+    materializing user-level join tables. One shuffle on event_type;
+    sketches are bytes per segment. Engine-specific binaries →
+    pytest-gated (estimates within sketch error of exact set ops)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.theta_sketch_agg("user_id").alias("user_theta"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def audience_overlap(sketches: DataFrame, type_a: str,
+                     type_b: str) -> DataFrame:
+    """Set-algebra rollup over stored theta sketches: |A|, |B|,
+    |A ∪ B|, |A ∩ B|, |A \\ B| — all from the two segment binaries."""
+    pair = sketches.where(
+        F.col("event_type").isin(type_a, type_b))
+    a = F.expr(
+        f"theta_union_agg(CASE WHEN event_type = '{type_a}' "
+        "THEN user_theta END)")
+    b = F.expr(
+        f"theta_union_agg(CASE WHEN event_type = '{type_b}' "
+        "THEN user_theta END)")
+    agg = pair.agg(a.alias("sk_a"), b.alias("sk_b"))
+    est = F.theta_sketch_estimate
+    return agg.select(
+        est(F.col("sk_a")).alias("n_a"),
+        est(F.col("sk_b")).alias("n_b"),
+        est(F.expr("theta_union(sk_a, sk_b)")).alias("n_union"),
+        est(F.expr("theta_intersection(sk_a, sk_b)")).alias("n_both"),
+        est(F.expr("theta_difference(sk_a, sk_b)")).alias("n_only_a"),
     )
 
 
