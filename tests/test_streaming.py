@@ -355,3 +355,61 @@ def test_native_session_windows_match_stateful(spark, tmp_path):
     # session bounds: end = last event + gap
     s1 = min(r.session_start for r in rows if r.user_id == 1)
     assert s1 == _ts(0)
+
+
+def test_table_change_feed_propagates_to_downstream_table(spark, tmp_path):
+    """Managed table as an incremental source: poll/commit cursor
+    ticks deliver bootstrap, append-only (file-level fast path), and
+    rewrite (keyed diff) ranges; MERGEing each tick downstream keeps
+    the mirror equal to the source, a crash between poll and commit
+    only replays (idempotent merge), and deletes propagate."""
+    from pyspark.sql import Row
+
+    from university_data_lakehouse_spark.streaming.source import (
+        TableChangeFeed,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    src, dst = cat.table("src"), cat.table("dst")
+
+    def mk(rows):
+        return spark.createDataFrame([Row(id=i, val=v) for i, v in rows])
+
+    def apply_tick(feed):
+        df, target = feed.poll(spark)
+        if df is None:
+            return 0
+        deletes = df.where("_change_type = 'delete'").drop(
+            "_change_type", "_commit_version")
+        upserts = df.where("_change_type <> 'delete'").drop(
+            "_change_type", "_commit_version")
+        if not dst.exists():
+            dst.write(upserts, operation="bootstrap")
+        else:
+            if not upserts.isEmpty():
+                dst.merge(upserts, keys=["id"])
+            for r in deletes.collect():
+                dst.delete_where(spark, {"id": (r.id, r.id)})
+        feed.commit(target)
+        return target
+
+    feed = TableChangeFeed(src, str(tmp_path / "chk"), keys=["id"])
+    src.write(mk([(1, "a"), (2, "b")]))                       # v1
+    assert apply_tick(feed) == 1                              # bootstrap
+    src.write(mk([(3, "c")]), mode="append")                  # v2 fast path
+    src.write(mk([(4, "d")]), mode="append")                  # v3 fast path
+    assert apply_tick(feed) == 3
+    both = lambda t: {(r.id, r.val) for r in t.read(spark).collect()}
+    assert both(dst) == both(src)
+
+    src.merge(mk([(2, "B*"), (5, "e")]), keys=["id"])         # v4 rewrite
+    src.delete_where(spark, {"id": (1, 1)})                   # v5 delete
+    assert apply_tick(feed) == 5                              # keyed diff
+    assert both(dst) == both(src) == {(2, "B*"), (3, "c"), (4, "d"),
+                                      (5, "e")}
+
+    # replay safety: a new feed over the same checkpoint resumes at 5
+    feed2 = TableChangeFeed(src, str(tmp_path / "chk"), keys=["id"])
+    df, cur = feed2.poll(spark)
+    assert df is None and cur == 5
