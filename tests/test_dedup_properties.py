@@ -142,3 +142,39 @@ def test_cluster_pairs_raises_on_non_convergence(spark):
     # with enough rounds the same chain converges to min-label 0
     labels = cluster_pairs(chain, max_iters=20)
     assert {r.canonical_id for r in labels.collect()} == {0}
+
+
+def test_shortcut_cc_logarithmic_on_long_chain(spark):
+    """The shortcutting solver's reason to exist: a 64-link chain has
+    diameter 63, so plain label propagation cannot converge in 16
+    rounds — pointer shortcutting must (O(log diameter)) and must
+    produce the exact component labeling."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_shortcut,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(chain, max_iters=16)
+    labels = cluster_pairs_shortcut(chain, max_iters=16)
+    got = {(r.doc_id, r.canonical_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}
+
+
+def test_shortcut_cc_matches_plain_on_real_pairs(spark, sf_dir):
+    """Identical labeling on the real near-dup graph (many small
+    components): both solvers are the same mathematical function."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_shortcut,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).cache()
+    a = {(r.doc_id, r.canonical_id)
+         for r in cluster_pairs(pairs).collect()}
+    b = {(r.doc_id, r.canonical_id)
+         for r in cluster_pairs_shortcut(pairs).collect()}
+    assert a == b and len(a) > 0

@@ -877,3 +877,19 @@ def test_changes_between_append_fast_path_and_diff(spark, catalog):
     # empty range -> empty frame with the CDF schema
     none = t.changes_between(spark, t.latest_version())
     assert none.count() == 0 and "_change_type" in none.columns
+
+
+def test_maybe_compact_small_files_policy(spark, catalog):
+    """Auto-compaction: a no-op below the file-count threshold, a
+    bin-pack above it — callable every ingest cycle for free."""
+    t = catalog.table("tac")
+    for i in range(4):
+        t.write(_df(spark, [(i, "x")]).repartition(1),
+                mode="append" if i else "overwrite")
+    assert len(t.manifest()["files"]) == 4
+    assert t.maybe_compact(spark, max_files=8) is None      # under: no-op
+    v = t.maybe_compact(spark, max_files=3, target_files=1)
+    assert v == t.latest_version()
+    assert len(t.manifest()["files"]) == 1
+    assert t.read(spark).count() == 4
+    assert t.maybe_compact(spark, max_files=3) is None      # now compact

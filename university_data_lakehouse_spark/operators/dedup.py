@@ -452,6 +452,80 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
+def cluster_pairs_shortcut(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components in O(log diameter) rounds: each round
+    combines the hash-to-min neighbor update with POINTER
+    SHORTCUTTING (label ← label of my label), the two-phase contraction
+    of the public MapReduce-CC literature (Kiveris et al.'s
+    large-star/small-star family). Plain propagation needs
+    diameter-many rounds — a 1M-link template-evolution chain at
+    100 TB would take 1M shuffles; shortcutting needs ~20. Labels only
+    ever decrease, convergence probe and update share one materialized
+    frame per round (same localCheckpoint discipline as
+    cluster_pairs)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("canonical_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("canonical_id").alias("old_id"),
+                F.least(
+                    "canonical_id",
+                    F.coalesce("nbr_min", "canonical_id"),
+                ).alias("mid_id"),
+            )
+        )
+        # shortcut: jump to the label OF my current label — the hop
+        # that turns linear convergence into logarithmic
+        parent = stepped.select(
+            F.col("doc_id").alias("p_doc"),
+            F.col("mid_id").alias("p_label"),
+        )
+        joined = (
+            stepped.join(parent, stepped.mid_id == parent.p_doc, "left")
+            .select(
+                "doc_id",
+                "old_id",
+                F.least(
+                    "mid_id", F.coalesce("p_label", "mid_id")
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            joined.where(F.col("canonical_id") < F.col("old_id"))
+            .limit(1)
+            .count()
+        )
+        labels = joined.select("doc_id", "canonical_id")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cluster_pairs_shortcut did not converge within {max_iters} "
+            "rounds; raise max_iters"
+        )
+    return labels
+
+
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc assignment for the whole near-dup graph: MinHash
     LSH pairs as edges, connected components via min-label
@@ -462,6 +536,18 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_properties.py."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     return cluster_pairs(pairs).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("canonical_id")
+    )
+
+
+def dedup_cluster_canonical_fast(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """dedup_cluster_canonical through the O(log diameter)
+    shortcutting solver — identical output (same recursive-CTE
+    oracle), logarithmic rounds: the variant to run when the near-dup
+    graph may contain long chains."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return cluster_pairs_shortcut(pairs).withColumn(
         "is_canonical", F.col("doc_id") == F.col("canonical_id")
     )
 
@@ -489,6 +575,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "dedup_cluster_canonical_fast": dedup_cluster_canonical_fast,
 }
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
@@ -715,3 +802,5 @@ def _emb_lsh_oracle() -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
+# identical output contract, different solver — same replay
+ORACLES["dedup_cluster_canonical_fast"] = ORACLES["dedup_cluster_canonical"]

@@ -220,6 +220,84 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONV_WINDOW_HOURS = 72
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: click within 72h OF THE VIEW,
+    purchase within 72h OF THE CLICK — the time-bounded variant of
+    events_funnel (product funnels expire; an unbounded sequence
+    overcounts). Same scale shape: per-stage conditional mins, each
+    stage joining the previous 1-row-per-user table, all shuffles
+    sharing the user_id key; the window bound is one extra predicate
+    on the already-joined pair. One summary row out — counts are
+    exact ints, rates int/int divisions, so both engines agree
+    bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {CONV_WINDOW_HOURS} HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("t_view"))
+               & (F.col("ts") <= F.col("t_view") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") >= F.col("t_click"))
+               & (F.col("ts") <= F.col("t_click") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    per_user = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    n_view = F.count(F.lit(1))
+    n_click = F.count("t_click")
+    n_buy = F.count("t_purchase")
+    return per_user.agg(
+        n_view.alias("n_viewed"),
+        n_click.alias("n_click_within"),
+        n_buy.alias("n_purchase_within"),
+        (n_click.cast("double") / F.nullif(n_view, F.lit(0)))
+        .alias("click_rate"),
+        (n_buy.cast("double") / F.nullif(n_click, F.lit(0)))
+        .alias("purchase_rate"),
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    week (the cohort), tracked across week offsets — the standard
+    product-analytics triangle view, generalizing events_retention's
+    single w→w+1 step. Two shuffles: the per-user first-week
+    aggregate, then the (cohort, offset) distinct count; the offset
+    is exact integer epoch arithmetic so both engines agree."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = uw.join(first, "user_id").select(
+        "user_id", "cohort_week",
+        ((F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+         / 604800).cast("int").alias("week_offset"),
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size"))
+            .alias("retention_rate"),
+        )
+    )
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour moving average of event value per user — a
     RANGE window frame (interval-bounded, peer-inclusive), the window
@@ -425,6 +503,8 @@ QUERIES = {
     "events_value_quartiles": events_value_quartiles,
     "events_windowed_agg": events_windowed_agg,
     "events_funnel": events_funnel,
+    "events_funnel_windowed": events_funnel_windowed,
+    "events_cohort_retention": events_cohort_retention,
     "events_moving_avg": events_moving_avg,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
@@ -525,6 +605,62 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON c.user_id = v.user_id
         LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events_funnel_windowed": f"""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+                 AND e.ts >= v.t_view
+                 AND e.ts <= v.t_view + INTERVAL {CONV_WINDOW_HOURS} HOUR
+            WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+                 AND e.ts >= c.t_click
+                 AND e.ts <= c.t_click + INTERVAL {CONV_WINDOW_HOURS} HOUR
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT COUNT(*) AS n_viewed,
+               COUNT(c.t_click) AS n_click_within,
+               COUNT(p.t_purchase) AS n_purchase_within,
+               CAST(COUNT(c.t_click) AS DOUBLE)
+                   / NULLIF(COUNT(*), 0) AS click_rate,
+               CAST(COUNT(p.t_purchase) AS DOUBLE)
+                   / NULLIF(COUNT(c.t_click), 0) AS purchase_rate
+        FROM v
+        LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events_cohort_retention": """
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+        ),
+        j AS (
+            SELECT uw.user_id, f.cohort_week,
+                   CAST((epoch(uw.week) - epoch(f.cohort_week))
+                        / 604800 AS INTEGER) AS week_offset
+            FROM uw JOIN first f ON uw.user_id = f.user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM first GROUP BY 1
+        )
+        SELECT j.cohort_week, j.week_offset,
+               COUNT(DISTINCT j.user_id) AS n_active,
+               s.cohort_size,
+               CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+                   AS retention_rate
+        FROM j JOIN sizes s ON j.cohort_week = s.cohort_week
+        GROUP BY 1, 2, 4
     """,
     "events_windowed_agg": """
         SELECT date_trunc('hour', ts) AS window_start,

@@ -914,6 +914,27 @@ class ManagedTable:
             df = df.coalesce(target_files)
         return self._rewrite(df, "compact", base_version=v)
 
+    def maybe_compact(self, spark: SparkSession, max_files: int = 64,
+                      target_files: int = 8,
+                      cluster_by: list[str] | None = None,
+                      zorder_by: list[str] | None = None) -> int | None:
+        """Small-files policy (the public Delta auto-compaction idea):
+        bin-pack only when the snapshot's file count exceeds
+        ``max_files``, so incremental MERGE ticks can call this every
+        cycle for free until fragmentation actually accumulates.
+        Losing an OCC race to a concurrent writer SKIPS the cycle
+        (returns None) instead of raising — maintenance must never
+        fail ingest; the next cycle sees the merged fragmentation and
+        retries. Returns the committed version, or None if nothing
+        was done."""
+        if len(self.manifest()["files"]) <= max_files:
+            return None
+        try:
+            return self.compact(spark, target_files=target_files,
+                                cluster_by=cluster_by, zorder_by=zorder_by)
+        except CommitConflict:
+            return None
+
     def delete_where(
         self,
         spark: SparkSession,
