@@ -220,6 +220,34 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: the events table carries a JSON
+    ``props`` payload; parse it schema-on-read with ``from_json`` (a
+    JVM expression — the parse happens inside whole-stage codegen,
+    never in Python) and aggregate the extracted field per event
+    type. The 100 TB point: JSON stays a string column in parquet
+    until the moment of use, and the parse is a narrow map feeding an
+    ordinary one-shuffle aggregate. Ints stay exact: avg is an
+    explicit decimal-free sum/count division, identical both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    n = F.count(F.lit(1))
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            n.alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.nullif(F.count("k"), F.lit(0)))
+            .alias("k_avg"),
+        )
+    )
+
+
 CONV_WINDOW_HOURS = 72
 
 
@@ -504,6 +532,7 @@ QUERIES = {
     "events_windowed_agg": events_windowed_agg,
     "events_funnel": events_funnel,
     "events_funnel_windowed": events_funnel_windowed,
+    "events_json_props": events_json_props,
     "events_cohort_retention": events_cohort_retention,
     "events_moving_avg": events_moving_avg,
     "events_sessionize": events_sessionize,
@@ -605,6 +634,21 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON c.user_id = v.user_id
         LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events_json_props": """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(k) AS n_with_k,
+               MIN(k) AS k_min,
+               MAX(k) AS k_max,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               CAST(SUM(k) AS DOUBLE) / NULLIF(COUNT(k), 0) AS k_avg
+        FROM t GROUP BY 1
     """,
     "events_funnel_windowed": f"""
         WITH v AS (
