@@ -893,3 +893,48 @@ def test_maybe_compact_small_files_policy(spark, catalog):
     assert len(t.manifest()["files"]) == 1
     assert t.read(spark).count() == 4
     assert t.maybe_compact(spark, max_files=3) is None      # now compact
+
+
+def test_scd2_history_and_point_in_time(spark, catalog):
+    """SCD Type 2 over MERGE: a changed key closes its current
+    version and opens a new one, unchanged keys keep their original
+    effective_from, new keys bootstrap open, and the as-of view
+    reconstructs the dimension at any timestamp."""
+    from university_data_lakehouse_spark.tables.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_current,
+    )
+
+    t = catalog.table("dim_scd")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [Row(id=i, name=n, tier=tr) for i, n, tr in rows])
+
+    scd2_apply(t, mk([(1, "ann", "gold"), (2, "bob", "silver")]),
+               keys=["id"], tracked=["tier"], effective_ts="2024-01-01")
+    scd2_apply(t, mk([(1, "ann", "platinum"),      # tier changed
+                      (2, "bob", "silver"),        # unchanged
+                      (3, "eve", "bronze")]),      # new key
+               keys=["id"], tracked=["tier"], effective_ts="2024-02-01")
+
+    rows = {(r.id, str(r.effective_from)[:10], str(r.effective_to)[:10]
+             if r.effective_to else None, r.is_current, r.tier)
+            for r in t.read(spark).collect()}
+    assert rows == {
+        (1, "2024-01-01", "2024-02-01", False, "gold"),
+        (1, "2024-02-01", None, True, "platinum"),
+        (2, "2024-01-01", None, True, "silver"),
+        (3, "2024-02-01", None, True, "bronze"),
+    }
+    cur = {(r.id, r.tier) for r in scd2_current(spark, t).collect()}
+    assert cur == {(1, "platinum"), (2, "silver"), (3, "bronze")}
+    asof = {(r.id, r.tier)
+            for r in scd2_as_of(spark, t, "2024-01-15").collect()}
+    assert asof == {(1, "gold"), (2, "silver")}
+    # an all-unchanged tick commits nothing
+    v = t.latest_version()
+    scd2_apply(t, mk([(2, "bob", "silver")]),
+               keys=["id"], tracked=["tier"], effective_ts="2024-03-01")
+    assert t.latest_version() == v

@@ -540,6 +540,35 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 4
+
+
+def dedup_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking + edit-distance verify: candidate
+    name pairs share a BLOCK (the last token — entity type), then the
+    exact Levenshtein distance filters within the block. The classic
+    record-linkage shape: the block join is equi (shuffles on the
+    block key, never all-pairs), distances run only on candidates,
+    and the distinct-name projection collapses the table to its name
+    vocabulary first (64 names here; vocabulary-sized, not row-count-
+    sized, at any scale). Levenshtein is a JVM expression with
+    identical semantics in DuckDB — oracle-checked."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct().select(
+        "name", F.element_at(F.split("name", " "), -1).alias("block"))
+    a = names.select(F.col("name").alias("name_a"),
+                     F.col("block").alias("block_a"))
+    b = names.select(F.col("name").alias("name_b"),
+                     F.col("block").alias("block_b"))
+    return (
+        a.join(b, (F.col("block_a") == F.col("block_b"))
+               & (F.col("name_a") < F.col("name_b")))
+        .where(F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b",
+                F.levenshtein("name_a", "name_b").alias("distance"))
+    )
+
+
 def dedup_cluster_canonical_fast(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """dedup_cluster_canonical through the O(log diameter)
@@ -576,6 +605,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_cluster_canonical_fast": dedup_cluster_canonical_fast,
+    "dedup_name_fuzzy": dedup_name_fuzzy,
 }
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
@@ -804,3 +834,15 @@ def _emb_lsh_oracle() -> str:
 ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
 # identical output contract, different solver — same replay
 ORACLES["dedup_cluster_canonical_fast"] = ORACLES["dedup_cluster_canonical"]
+
+ORACLES["dedup_name_fuzzy"] = f"""
+    WITH names AS (
+        SELECT DISTINCT p_name AS name,
+               list_extract(string_split(p_name, ' '), -1) AS block
+        FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+    FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+"""
