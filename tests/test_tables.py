@@ -938,3 +938,18 @@ def test_scd2_history_and_point_in_time(spark, catalog):
     scd2_apply(t, mk([(2, "bob", "silver")]),
                keys=["id"], tracked=["tier"], effective_ts="2024-03-01")
     assert t.latest_version() == v
+
+
+def test_row_count_from_manifest_metadata(spark, catalog):
+    """COUNT(*) answered from the manifest alone — parquet footer row
+    counts recorded at stage time sum across appends, merges, and
+    deletes without opening a single data file."""
+    t = catalog.table("trc")
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    assert t.row_count() == 3 == t.read(spark).count()
+    t.merge(_df(spark, [(3, "C*"), (4, "d")]), keys=["id"])
+    assert t.row_count() == 4 == t.read(spark).count()
+    t.delete_where(spark, {"id": (1, 1)})
+    assert t.row_count() == 3 == t.read(spark).count()
+    assert t.row_count(version=1) == 2     # time-travel counts too

@@ -177,7 +177,77 @@ def _oracle_value_range() -> str:
     return _sql_union(sel)
 
 
+# (column, is_numeric) spec for the profiled table — static so the
+# Spark plan and the SQL oracle are generated from the same list
+_PROFILE_TABLE = "orders"
+_PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+)
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (the dbt/Deequ-style profile every
+    quality framework starts from): per column — null count/fraction,
+    exact distinct count, numeric min/max. Computed as ONE wide
+    aggregate over ONE scan (all columns' metrics in the same pass,
+    map-side partials), then unpivoted to long form with inline() —
+    profile cost never multiplies by column count."""
+    df = load_table(spark, sf_dir, _PROFILE_TABLE)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if numeric:
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    wide = df.agg(*aggs)
+    structs = []
+    for c, numeric in _PROFILE_COLS:
+        mn = F.col(f"mn_{c}") if numeric else F.lit(None).cast("double")
+        mx = F.col(f"mx_{c}") if numeric else F.lit(None).cast("double")
+        structs.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("null_count"),
+            ((F.col("n") - F.col(f"nn_{c}")).cast("double") / F.col("n"))
+            .alias("null_frac"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            mn.alias("num_min"),
+            mx.alias("num_max"),
+        ))
+    return wide.select(F.inline(F.array(*structs)))
+
+
+def _oracle_profile() -> str:
+    aggs = ["COUNT(*) AS n"]
+    sel = []
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(f"COUNT({c}) AS nn_{c}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
+        if numeric:
+            aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}")
+        mn = f"mn_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        sel.append(
+            f"SELECT '{c}' AS column_name, n AS n_rows, "
+            f"n - nn_{c} AS null_count, "
+            f"CAST(n - nn_{c} AS DOUBLE) / n AS null_frac, "
+            f"nd_{c} AS n_distinct, {mn} AS num_min, {mx} AS num_max "
+            "FROM a"
+        )
+    body = " UNION ALL ".join(sel)
+    return (f"WITH a AS (SELECT {', '.join(aggs)} "
+            f"FROM {_PROFILE_TABLE}) {body}")
+
+
 QUERIES = {
+    "dq_profile": dq_profile,
     "dq_not_null_pk": dq_not_null_pk,
     "dq_no_duplicates": dq_no_duplicates,
     "dq_row_count": dq_row_count,
@@ -186,6 +256,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_profile": _oracle_profile(),
     "dq_not_null_pk": _oracle_not_null_pk(),
     "dq_no_duplicates": _oracle_no_duplicates(),
     "dq_row_count": _oracle_row_count(),

@@ -64,10 +64,10 @@ _CKPT_FMT = "v{:08d}.checkpoint.json"
 CHECKPOINT_INTERVAL = 10
 
 
-def _footer_stats(path: str) -> dict[str, list]:
-    """Per-column [min, max] from the parquet footer, for top-level
-    int/float/string columns with statistics. One metadata read per
-    staged file — no data scan."""
+def _footer_stats(path: str) -> tuple[dict[str, list], int]:
+    """(per-column [min, max], row count) from the parquet footer,
+    for top-level int/float/string columns with statistics. One
+    metadata read per staged file — no data scan."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     md = pq.ParquetFile(path).metadata
@@ -91,7 +91,8 @@ def _footer_stats(path: str) -> dict[str, list]:
                 continue
             mins[name] = st.min if name not in mins else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
-    return {n: [mins[n], maxs[n]] for n in mins if n not in skip}
+    return ({n: [mins[n], maxs[n]] for n in mins if n not in skip},
+            md.num_rows)
 
 
 _TRANSFORM_RE = re.compile(
@@ -263,6 +264,16 @@ class ManagedTable:
 
     def check_constraints(self, version: int | None = None) -> dict[str, str]:
         return dict(self.manifest(version).get("constraints") or {})
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) answered from MANIFEST metadata alone — no file is
+        opened (the lakehouse metadata-query optimization: Delta and
+        Iceberg both satisfy plain counts from their logs). Returns
+        None when any referenced file predates row tracking."""
+        counts = [f.get("rows") for f in self.manifest(version)["files"]]
+        if any(c is None for c in counts):
+            return None
+        return sum(counts)
 
     def _enforce_constraints(self, df: DataFrame,
                              cons: dict[str, str]) -> None:
@@ -443,10 +454,12 @@ class ManagedTable:
             dest = os.path.join(self.data_dir, *rel_name.split("/"))
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             shutil.move(p, dest)
+            stats, n_rows = _footer_stats(dest)
             entry = {
                 "name": rel_name,
                 "bytes": os.path.getsize(dest),
-                "stats": _footer_stats(dest),
+                "rows": n_rows,
+                "stats": stats,
             }
             if pvals:
                 entry["partition_values"] = pvals
