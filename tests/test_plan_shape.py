@@ -413,3 +413,48 @@ def test_excess_suppliers_semi_join_broadcasts(spark, sf_dir):
     tree = _tree(_plan(olap.olap_excess_suppliers(spark, sf_dir)))
     assert "BroadcastHashJoin LeftSemi" in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_json_props_parses_in_codegen_no_python(spark, sf_dir):
+    """The JSON parse must be a JVM expression (from_json inside the
+    codegen stage) — no Python evaluation node — over one scan and
+    one aggregation pass."""
+    tree = _tree(_plan(events.events_json_props(spark, sf_dir)))
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree
+
+
+def test_name_fuzzy_blocked_equi_join_no_cartesian(spark, sf_dir):
+    """Entity-resolution blocking must be an EQUI join on the block
+    key — Levenshtein runs as a post-join filter on candidates, never
+    as a cartesian product of the name vocabulary."""
+    from university_data_lakehouse_spark.operators import dedup
+
+    tree = _tree(_plan(dedup.dedup_name_fuzzy(spark, sf_dir)))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_dq_profile_single_scan_single_agg(spark, sf_dir):
+    """All columns' profile metrics must come from ONE scan and ONE
+    aggregation (multi-countDistinct expands, but never to a second
+    parquet scan)."""
+    from university_data_lakehouse_spark.operators import quality
+
+    tree = _tree(_plan(quality.dq_profile(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_cohort_retention_single_events_scan(spark, sf_dir):
+    """Raw events must be scanned ONCE: the (user, week) distinct and
+    the cohort aggregate are cached for their second uses, so both
+    reuse branches read InMemoryRelation, and nothing degenerates
+    into a cartesian."""
+    tree = _tree(_plan(events.events_cohort_retention(spark, sf_dir)))
+    assert "CartesianProduct" not in tree, tree
+    # every consumer branch reads the caches (the raw scans in the
+    # dump live INSIDE InMemoryRelation build fragments, which
+    # materialize once), so ≥2 cache reads and ≥2 cached fragments
+    assert tree.count("InMemoryTableScan") >= 2, tree
+    assert tree.count("InMemoryRelation") >= 2, tree

@@ -304,20 +304,28 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then the (cohort, offset) distinct count; the offset
     is exact integer epoch arithmetic so both engines agree."""
     ev = load_table(spark, sf_dir, "events")
+    # (user, week) distinct is reused by the cohort aggregate AND the
+    # membership join; cache it so raw events are scanned ONCE (the
+    # cached frame is users × weeks — orders of magnitude smaller
+    # than events at any scale)
     uw = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct().cache()
     first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     joined = uw.join(first, "user_id").select(
         "user_id", "cohort_week",
         ((F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
          / 604800).cast("int").alias("week_offset"),
     )
-    sizes = first.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size"))
+    # cohort_size == n_active at offset 0 (every user is active in
+    # their own cohort week by construction) — the size branch reads
+    # the SAME cached aggregate instead of re-deriving from events
+    act = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")).cache()
+    sizes = act.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size"))
     return (
-        joined.groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
-        .join(sizes, "cohort_week")
+        act.join(F.broadcast(sizes), "cohort_week")
         .select(
             "cohort_week", "week_offset", "n_active", "cohort_size",
             (F.col("n_active").cast("double") / F.col("cohort_size"))
@@ -694,17 +702,19 @@ ORACLES = {
                         / 604800 AS INTEGER) AS week_offset
             FROM uw JOIN first f ON uw.user_id = f.user_id
         ),
+        act AS (
+            SELECT cohort_week, week_offset,
+                   COUNT(DISTINCT user_id) AS n_active
+            FROM j GROUP BY 1, 2
+        ),
         sizes AS (
-            SELECT cohort_week, COUNT(*) AS cohort_size
-            FROM first GROUP BY 1
+            SELECT cohort_week, n_active AS cohort_size
+            FROM act WHERE week_offset = 0
         )
-        SELECT j.cohort_week, j.week_offset,
-               COUNT(DISTINCT j.user_id) AS n_active,
-               s.cohort_size,
-               CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+        SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+               CAST(a.n_active AS DOUBLE) / s.cohort_size
                    AS retention_rate
-        FROM j JOIN sizes s ON j.cohort_week = s.cohort_week
-        GROUP BY 1, 2, 4
+        FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
     """,
     "events_windowed_agg": """
         SELECT date_trunc('hour', ts) AS window_start,
