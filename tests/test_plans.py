@@ -274,3 +274,45 @@ def test_run_history_records_and_latest_status(spark, sf_dir, tmp_path):
     assert latest["bronze/part"] == ("ok", "run-1")
     # history itself is a versioned managed table
     assert catalog.table("meta/run_history").latest_version() == 2
+
+
+def test_dlt_style_expectations_warn_drop_fail(spark, sf_dir, tmp_path):
+    """Row-level expectations (Delta Live Tables parity): warn counts
+    and publishes all rows, drop publishes only conforming rows,
+    fail blocks the asset and its downstream; all violation counts
+    surface in the result."""
+    from university_data_lakehouse_spark.plans.assets import Asset, AssetGraph
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    def src(spark, sf_dir):
+        return spark.range(10).selectExpr(
+            "id", "CASE WHEN id < 7 THEN id ELSE NULL END AS v")
+
+    ok_graph = AssetGraph([
+        Asset(key="a", fn=src, expectations=(
+            ("v_small", "v < 5", "warn"),
+            ("v_not_null", "v IS NOT NULL", "drop"),
+        )),
+        Asset(key="b", fn=lambda s, d, **dep: dep["a"], deps=("a",)),
+    ])
+    cat = TableCatalog(str(tmp_path / "wh"))
+    res = ok_graph.materialize(spark, sf_dir, catalog=cat)
+    # NULL v passes the warn predicate (SQL UNKNOWN), so warn counts
+    # only the non-null ids 5,6; drop removes the 3 NULL rows
+    assert res["a"].status == "ok"
+    assert res["a"].expectations == {"v_small": 2, "v_not_null": 3}
+    assert res["a"].rows == 7
+    assert cat.table("a").read(spark).count() == 7
+    assert res["b"].status == "ok" and res["b"].rows == 7
+
+    fail_graph = AssetGraph([
+        Asset(key="a", fn=src, expectations=(
+            ("v_complete", "v IS NOT NULL", "fail"),)),
+        Asset(key="b", fn=lambda s, d, **dep: dep["a"], deps=("a",)),
+    ])
+    cat2 = TableCatalog(str(tmp_path / "wh2"))
+    res = fail_graph.materialize(spark, sf_dir, catalog=cat2)
+    assert res["a"].status == "check_failed"
+    assert res["a"].expectations == {"v_complete": 3}
+    assert res["b"].status == "skipped"
+    assert "a" not in cat2.tables()        # nothing published

@@ -30,6 +30,16 @@ class Asset:
     kind: str = "spark"
     # checks: name → fn(DataFrame) → (passed: bool, metadata: dict)
     checks: tuple[tuple[str, Callable[[DataFrame], tuple[bool, dict]]], ...] = ()
+    # expectations: DLT-style ROW-LEVEL quality policies, applied
+    # before checks: (name, SQL predicate, action). Like their public
+    # Delta Live Tables namesakes — "warn" records the violation
+    # count and publishes everything, "drop" filters violating rows
+    # out of what is published, "fail" blocks the asset (and its
+    # downstream) when any row violates. NULL predicates pass (same
+    # SQL-standard rule as table CHECK constraints). All violation
+    # counts come from ONE aggregate pass regardless of how many
+    # expectations an asset declares.
+    expectations: tuple[tuple[str, str, str], ...] = ()
 
 
 @dataclass
@@ -39,6 +49,8 @@ class AssetResult:
     rows: int | None = None
     checks: dict[str, bool] = field(default_factory=dict)
     error: str | None = None
+    # expectation name → violating-row count (pre-drop)
+    expectations: dict[str, int] = field(default_factory=dict)
 
 
 class AssetGraph:
@@ -129,6 +141,8 @@ class AssetGraph:
             try:
                 dep_dfs = {d: materialized[d] for d in asset.deps if d in materialized}
                 df = asset.fn(spark, sf_dir, **dep_dfs) if dep_dfs else asset.fn(spark, sf_dir)
+                df, exp_metrics, exp_failed = self._apply_expectations(
+                    asset, df)
                 df = df.cache()
                 rows = df.count()
             except Exception as e:  # noqa: BLE001 — orchestrator boundary
@@ -136,16 +150,43 @@ class AssetGraph:
                 blocked |= self.downstream_of(key)
                 continue
             check_outcomes: dict[str, bool] = {}
-            failed = False
+            failed = exp_failed
             for name, check in asset.checks:
                 ok, _meta = check(df)
                 check_outcomes[name] = ok
                 failed = failed or not ok
             materialized[key] = df
             if failed:
-                results[key] = AssetResult(key, "check_failed", rows, check_outcomes)
+                results[key] = AssetResult(key, "check_failed", rows,
+                                           check_outcomes,
+                                           expectations=exp_metrics)
                 blocked |= self.downstream_of(key)
             else:
                 if catalog is not None:
                     catalog.write(key, df, mode="overwrite")
-                results[key] = AssetResult(key, "ok", rows, check_outcomes)
+                results[key] = AssetResult(key, "ok", rows, check_outcomes,
+                                           expectations=exp_metrics)
+
+    @staticmethod
+    def _apply_expectations(asset: Asset, df: DataFrame):
+        """Evaluate every expectation's violation count in ONE
+        aggregate pass, then apply drop filters; returns
+        (possibly-filtered df, metrics, any_fail_violated)."""
+        if not asset.expectations:
+            return df, {}, False
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        ok = {name: F.coalesce(F.expr(pred), F.lit(True))
+              for name, pred, _ in asset.expectations}
+        row = df.agg(*[
+            F.count(F.when(~ok[name], 1)).alias(name)
+            for name, _, _ in asset.expectations
+        ]).collect()[0]
+        metrics = {name: row[name] for name, _, _ in asset.expectations}
+        failed = any(metrics[name] > 0
+                     for name, _, action in asset.expectations
+                     if action == "fail")
+        for name, _, action in asset.expectations:
+            if action == "drop" and metrics[name] > 0:
+                df = df.where(ok[name])
+        return df, metrics, failed
