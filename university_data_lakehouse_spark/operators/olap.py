@@ -221,6 +221,28 @@ def olap_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are
+    shorthands of: exactly the (year), (status), and grand-total
+    slices, WITHOUT the (year, status) cross ROLLUP would force.
+    Catalyst expands the sets map-side into one aggregation pass
+    (single shuffle), same as the rollup/cube operators."""
+    for t in ("orders",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL')
+                   AS order_year,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(year(o_orderdate)) * 2
+                    + GROUPING(o_orderstatus) AS INT) AS grouping_lvl
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+    """)
+
+
 def olap_market_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-style conditional aggregation: revenue per order-year ×
     market segment as columns (fixed segment list → static schema,
@@ -951,6 +973,7 @@ QUERIES = {
     "olap_top_k_per_group": olap_top_k_per_group,
     "olap_rollup_revenue": olap_rollup_revenue,
     "olap_cube_revenue": olap_cube_revenue,
+    "olap_grouping_sets": olap_grouping_sets,
     "olap_market_pivot": olap_market_pivot,
     "olap_running_revenue": olap_running_revenue,
     "olap_inactive_customers": olap_inactive_customers,
@@ -978,6 +1001,18 @@ _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
              " * CAST(1 - l_discount AS DECIMAL(12,6))")
 
 ORACLES = {
+    "olap_grouping_sets": """
+        SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL')
+                   AS order_year,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(year(o_orderdate)) * 2
+                    + GROUPING(o_orderstatus) AS INTEGER) AS grouping_lvl
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+    """,
     "olap_profit_by_nation": f"""
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
