@@ -413,3 +413,44 @@ def test_table_change_feed_propagates_to_downstream_table(spark, tmp_path):
     feed2 = TableChangeFeed(src, str(tmp_path / "chk"), keys=["id"])
     df, cur = feed2.poll(spark)
     assert df is None and cur == 5
+
+
+def test_streaming_sink_expectations_drop_to_quarantine(spark, tmp_path):
+    """Streaming expectations (DLT parity in the sink): dropped rows
+    land in the quarantine table tagged with the violated expectation
+    instead of vanishing; only conforming rows reach the MERGE; a
+    fail-action violation fails the batch and leaves the checkpoint
+    replayable."""
+    from university_data_lakehouse_spark.streaming.sink import (
+        merge_into_table,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    landing = str(tmp_path / "landing")
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    table = catalog.table("silver/clean_events")
+    quarantine = catalog.table("meta/quarantine")
+
+    def tick(chk, expectations):
+        q = merge_into_table(
+            spark.readStream.schema(EVENT_SCHEMA).parquet(landing),
+            table, keys=["event_id"], checkpoint_dir=chk,
+            expectations=expectations, quarantine=quarantine,
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, landing, [(1, _ts(0), 1, "click", 1.0),
+                                  (2, _ts(1), 1, "view", -5.0),
+                                  (3, _ts(2), 2, "view", 2.0)])
+    tick(str(tmp_path / "chk1"),
+         (("value_nonneg", "value >= 0", "drop"),))
+    assert {r.event_id for r in table.read(spark).collect()} == {1, 3}
+    qr = quarantine.read(spark).collect()
+    assert [(r.event_id, r._violated) for r in qr] == [(2, "value_nonneg")]
+
+    # a fail-action violation fails the query (checkpoint replayable)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        tick(str(tmp_path / "chk2"),
+             (("value_nonneg", "value >= 0", "fail"),))

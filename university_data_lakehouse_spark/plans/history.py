@@ -39,6 +39,8 @@ def record_run(
             "status": r.status,
             "rows": r.rows,
             "checks_json": json.dumps(r.checks, sort_keys=True),
+            "expectations_json": json.dumps(
+                getattr(r, "expectations", {}), sort_keys=True),
             "error": r.error,
             "ts": ts.replace(tzinfo=None),
         }
@@ -47,12 +49,15 @@ def record_run(
     df = spark.createDataFrame(
         rows,
         "run_id string, asset_key string, status string, rows long, "
-        "checks_json string, error string, ts timestamp",
+        "checks_json string, expectations_json string, error string, "
+        "ts timestamp",
     )
     table = catalog.table(HISTORY_TABLE)
     if not table.exists():
         return table.write(df, operation="bootstrap")
-    return table.write(df, mode="append")
+    # evolve: history tables created before expectation tracking
+    # null-fill the new column instead of refusing the append
+    return table.write(df, mode="append", evolve=True)
 
 
 def latest_status(spark: SparkSession, catalog: TableCatalog):

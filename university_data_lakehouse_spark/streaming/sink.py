@@ -37,6 +37,8 @@ def merge_into_table(
     checkpoint_dir: str,
     prepare: Callable[[DataFrame], DataFrame] | None = None,
     available_now: bool = True,
+    expectations: tuple[tuple[str, str, str], ...] = (),
+    quarantine: ManagedTable | None = None,
 ) -> StreamingQuery:
     """Upsert every micro-batch into ``table`` on ``keys``.
 
@@ -46,11 +48,38 @@ def merge_into_table(
     semantics insert one row per source duplicate, so the caller
     chooses the collapse rule, e.g. max-by-timestamp). First batch
     against a never-materialized table bootstraps with a full write
-    (same rule as plans/medallion.py)."""
+    (same rule as plans/medallion.py).
+
+    ``expectations`` are the same (name, predicate, action) row-level
+    policies the asset graph runs (DLT parity), applied per
+    micro-batch: "drop" rows never reach the MERGE — with a
+    ``quarantine`` table they append there (tagged with the violated
+    expectation) instead of vanishing; "fail" raises inside the batch,
+    which fails the streaming query and leaves the checkpoint ready
+    to replay the batch after the upstream fix; "warn" is a no-op in
+    the streaming path (no result object to carry counts)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         if prepare is not None:
             batch_df = prepare(batch_df)
+        for name, pred, action in expectations:
+            ok = F.coalesce(F.expr(pred), F.lit(True))
+            if action == "fail":
+                n_bad = batch_df.where(~ok).limit(1).count()
+                if n_bad:
+                    raise ValueError(
+                        f"expectation {name!r} ({pred}) violated in batch")
+            elif action == "drop":
+                if quarantine is not None:
+                    bad = batch_df.where(~ok).withColumn(
+                        "_violated", F.lit(name))
+                    if not bad.isEmpty():
+                        if quarantine.exists():
+                            quarantine.write(bad, mode="append")
+                        else:
+                            quarantine.write(bad, operation="quarantine")
+                batch_df = batch_df.where(ok)
         if batch_df.isEmpty():
             return
         if not table.exists():
