@@ -272,8 +272,8 @@ def test_compact_loses_race_to_concurrent_commit(spark, catalog, monkeypatch):
     t.write(_df(spark, [(1, "a")]))                      # v1
     orig_stage = t._stage
 
-    def racing_stage(df, partition_by=None):
-        staged = orig_stage(df, partition_by=partition_by)
+    def racing_stage(df, partition_by=None, **kw):
+        staged = orig_stage(df, partition_by=partition_by, **kw)
         # concurrent writer lands mid-compaction (during the rewrite job)
         ManagedTable(t.path).write(_df(spark, [(2, "b")]), mode="append")
         return staged
@@ -579,8 +579,8 @@ def test_concurrent_writers_with_retry_lose_no_rows(spark, catalog):
     orig = t._stage
     raced = []
 
-    def racing(df, partition_by=None):
-        staged = orig(df, partition_by=partition_by)
+    def racing(df, partition_by=None, **kw):
+        staged = orig(df, partition_by=partition_by, **kw)
         if not raced:
             raced.append(True)
             ManagedTable(t.path).write(
@@ -953,3 +953,33 @@ def test_row_count_from_manifest_metadata(spark, catalog):
     t.delete_where(spark, {"id": (1, 1)})
     assert t.row_count() == 3 == t.read(spark).count()
     assert t.row_count(version=1) == 2     # time-travel counts too
+
+
+def test_bloom_filter_columns_written_and_inherited(spark, catalog):
+    """Declared bloom-filter columns produce parquet bloom filters in
+    every staged file (pyarrow 16 doesn't expose bloom metadata, so
+    verified by the filter's deterministic size footprint vs a
+    bloom-less twin of the same data), and the property survives
+    appends, merges, repartitioning, and constraint-metadata
+    commits."""
+
+    def data_bytes(table):
+        return sum(f["bytes"] for f in table.manifest()["files"])
+
+    rows = [(i, f"v{i}") for i in range(50)]
+    plain = catalog.table("tbf_plain")
+    plain.write(_df(spark, rows).coalesce(1))
+    t = catalog.table("tbf")
+    t.write(_df(spark, rows).coalesce(1), bloom_filter_columns=["val"])
+    assert t.bloom_filter_columns() == ["val"]
+    # ~100k-NDV bloom ≈ 100+ KB per file vs a few KB of data
+    assert data_bytes(t) > data_bytes(plain) + 50_000
+
+    t.merge(_df(spark, [(2, "B*")]), keys=["id"])     # carried by rewrite
+    assert data_bytes(t) > data_bytes(plain) + 50_000
+    t.add_check_constraint(spark, "pos", "id >= 0")   # metadata commit
+    assert t.bloom_filter_columns() == ["val"]
+    t.repartition_layout(spark, [])                   # layout rewrite
+    assert t.bloom_filter_columns() == ["val"]
+    assert t.check_constraints() == {"pos": "id >= 0"}
+    assert data_bytes(t) > data_bytes(plain) + 50_000

@@ -248,6 +248,7 @@ class ManagedTable:
             "schema": meta["schema"],
             "partition_by": meta.get("partition_by") or [],
             "constraints": meta.get("constraints") or {},
+            "bloom_filters": meta.get("bloom_filters") or [],
             "files": list(files.values()),
         }
 
@@ -264,6 +265,9 @@ class ManagedTable:
 
     def check_constraints(self, version: int | None = None) -> dict[str, str]:
         return dict(self.manifest(version).get("constraints") or {})
+
+    def bloom_filter_columns(self, version: int | None = None) -> list[str]:
+        return list(self.manifest(version).get("bloom_filters") or [])
 
     def row_count(self, version: int | None = None) -> int | None:
         """COUNT(*) answered from MANIFEST metadata alone — no file is
@@ -410,7 +414,8 @@ class ManagedTable:
     # ---------------------------------------------------------- write
 
     def _stage(self, df: DataFrame,
-               partition_by: list[str] | None = None) -> list[dict]:
+               partition_by: list[str] | None = None,
+               bloom_filters: list[str] | None = None) -> list[dict]:
         """Write df's partitions as uniquely named parquet files in
         data/; they are invisible until a manifest references them.
 
@@ -420,7 +425,15 @@ class ManagedTable:
         exactly as Delta/Hive lay tables out) and each file entry
         records its ``partition_values`` so readers and MERGE can prune
         whole partitions from the MANIFEST alone, before any footer —
-        the Iceberg partition-spec idea."""
+        the Iceberg partition-spec idea.
+
+        ``bloom_filters`` columns get parquet BLOOM FILTERS written in
+        every file (parquet-mr's native feature): footer min/max is
+        useless for hash-distributed keys (every file spans the whole
+        range), but a bloom answers "key definitely absent from this
+        row group" — the point-lookup complement to range stats, and
+        applied transparently by the parquet reader on pushed equality
+        predicates."""
         os.makedirs(self.data_dir, exist_ok=True)
         tmp = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         spec_by_dir: dict[str, str] = {}
@@ -434,6 +447,14 @@ class ManagedTable:
                 *[fld.dir_name for fld in fields])
         else:
             writer = df.write.mode("overwrite")
+        for col in bloom_filters or []:
+            writer = (
+                writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                # parquet-mr's default expected NDV is 1M (~1.2 MB of
+                # filter per column chunk) — size for file-grain NDV
+                .option(f"parquet.bloom.filter.expected.ndv#{col}",
+                        str(self.BLOOM_NDV))
+            )
         writer.parquet(tmp)
         staged = []
         pattern = os.path.join(tmp, "**", "part-*.parquet")
@@ -550,6 +571,7 @@ class ManagedTable:
         operation: str | None = None,
         partition_by: list[str] | None = None,
         constraints: dict[str, str] | None = None,
+        bloom_filter_columns: list[str] | None = None,
     ) -> int:
         """ACID append/overwrite; returns the committed version.
 
@@ -557,9 +579,14 @@ class ManagedTable:
         inherited afterwards) lays data out under Hive-style partition
         directories so reads and MERGEs can prune at the manifest.
         ``constraints`` ({name: SQL predicate}, set on first write and
-        inherited) are CHECK-enforced on every incoming frame."""
+        inherited) are CHECK-enforced on every incoming frame.
+        ``bloom_filter_columns`` (set on first write and inherited)
+        get parquet bloom filters in every staged file — row-group
+        point-lookup skipping for hash-distributed keys."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode {mode!r}")
+        blooms = (self.bloom_filter_columns() if self.exists()
+                  else list(bloom_filter_columns or []))
         cons = (self.check_constraints() if self.exists()
                 else dict(constraints or {}))
         if self.exists() and constraints is not None and (
@@ -585,7 +612,8 @@ class ManagedTable:
                     "NaN/precision soundly"
                 )
         schema = self._check_schema(df, evolve)
-        staged = self._stage(df, partition_by=pby or None)
+        staged = self._stage(df, partition_by=pby or None,
+                             bloom_filters=blooms or None)
         base = self._versions()
         version = (base[-1] + 1) if base else 1
         removed: list[str] = []
@@ -599,6 +627,7 @@ class ManagedTable:
             "schema": json.loads(schema.json()),
             "partition_by": pby,
             "constraints": cons,
+            "bloom_filters": blooms,
             "add": staged,
             "remove": removed,
         })
@@ -799,8 +828,10 @@ class ManagedTable:
             # compact/restore only re-reference rows that already
             # passed the gate; every data-changing rewrite re-validates
             self._enforce_constraints(df, cons)
+        blooms = base_manifest.get("bloom_filters") or []
         schema = self._check_schema(df, evolve=evolve)
-        staged = self._stage(df, partition_by=pby or None)
+        staged = self._stage(df, partition_by=pby or None,
+                             bloom_filters=blooms or None)
         version = base_version + 1
         # carried (stats/partition-pruned) files simply stay in the
         # snapshot: the action only removes the files actually rewritten
@@ -814,6 +845,7 @@ class ManagedTable:
             "schema": json.loads(schema.json()),
             "partition_by": pby,
             "constraints": cons,
+            "bloom_filters": blooms,
             "add": staged,
             "remove": removed,
         })
@@ -821,6 +853,11 @@ class ManagedTable:
 
 
     # ------------------------------------------------------ lifecycle
+
+    #: expected distinct keys PER FILE for parquet bloom filters
+    #: (~1.2 bytes each at the default 1% FPP); tune to the table's
+    #: file-grain key cardinality
+    BLOOM_NDV = 100_000
 
     #: bits per dimension for the Z-order curve: 2^8 = 256 quantile
     #: cells per column — finer than any realistic file count, coarse
@@ -1091,7 +1128,8 @@ class ManagedTable:
             raise SchemaMismatch(
                 f"partition source columns {missing} absent from table"
             )
-        staged = self._stage(df, partition_by=pby or None)
+        staged = self._stage(df, partition_by=pby or None,
+                             bloom_filters=m.get("bloom_filters") or None)
         version = v + 1
         self._commit(version, {
             "version": version,
@@ -1099,6 +1137,8 @@ class ManagedTable:
             "operation": f"repartition[{','.join(pby) or 'none'}]",
             "schema": m["schema"],
             "partition_by": pby,
+            "constraints": m.get("constraints") or {},
+            "bloom_filters": m.get("bloom_filters") or [],
             "add": staged,
             "remove": [f["name"] for f in m["files"]],
         })
@@ -1117,6 +1157,7 @@ class ManagedTable:
             "schema": m["schema"],
             "partition_by": m.get("partition_by") or [],
             "constraints": constraints,
+            "bloom_filters": m.get("bloom_filters") or [],
             "add": [],
             "remove": [],
         })
