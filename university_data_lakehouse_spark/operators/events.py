@@ -220,6 +220,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's irregular
+    events onto a dense 1-hour grid (their own min..max hour) with
+    FORWARD-FILLED hourly averages across the gaps — the
+    gap-filling + LOCF operator every time-series store exposes
+    (`time_bucket_gapfill`/`locf` in the public TimescaleDB surface)
+    that plain GROUP BY cannot express (empty buckets simply don't
+    exist in the input). Shape: hourly pre-aggregate (one shuffle),
+    per-user grid via sequence+explode (fan-out = span-hours, bounded
+    and data-independent per user), one join back on the SAME
+    (user, hour) key, and a single ordered window for the fill. The
+    hourly avg is an exact-decimal sum ÷ count — both engines carry
+    the identical doubles through the fill."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast(DEC)).cast("double")
+             / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("h_min"),
+             F.date_trunc("hour", F.max("ts")).alias("h_max"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(
+                "h_min", "h_max", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id", "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w)
+            .alias("filled_avg"),
+            F.col("avg_value").isNull().alias("is_gap"),
+        )
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured handling: the events table carries a JSON
     ``props`` payload; parse it schema-on-read with ``from_json`` (a
@@ -541,6 +589,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_funnel_windowed": events_funnel_windowed,
     "events_json_props": events_json_props,
+    "events_resample_1h": events_resample_1h,
     "events_cohort_retention": events_cohort_retention,
     "events_moving_avg": events_moving_avg,
     "events_sessionize": events_sessionize,
@@ -642,6 +691,37 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON c.user_id = v.user_id
         LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events_resample_1h": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       / COUNT(*) AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id,
+                   date_trunc('hour', MIN(ts)) AS h_min,
+                   date_trunc('hour', MAX(ts)) AS h_max
+            FROM events GROUP BY 1
+        ),
+        grid AS (
+            SELECT b.user_id, g.h AS hour
+            FROM bounds b,
+                 LATERAL unnest(generate_series(
+                     b.h_min, b.h_max, INTERVAL 1 HOUR)) AS g(h)
+        )
+        SELECT g.user_id, g.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_avg,
+               h.avg_value IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN hourly h
+               ON g.user_id = h.user_id AND g.hour = h.hour
     """,
     "events_json_props": """
         WITH t AS (
