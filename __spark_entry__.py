@@ -46,7 +46,7 @@ _PRIORITY_KEYS = (
     "events_funnel_windowed", "events_cohort_retention",
     "dedup_cluster_canonical_fast", "events_json_props",
     "dedup_name_fuzzy", "dq_profile", "olap_grouping_sets",
-    "events_resample_1h",
+    "events_resample_1h", "events_error_attribution",
     # one driver row (first green in r04)
     "sim_knn_lsh", "sim_knn_ivf",
     # green before r5 but materially changed in r5 (localCheckpoint

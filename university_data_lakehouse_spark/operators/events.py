@@ -220,6 +220,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_GAP_MIN = 720   # 12h sessions: testdata density is a few
+#                             events/user/day, so 30-min sessions would be
+#                             zero-width points and every error an orphan
+
+
+def events_error_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-INTERVAL join: attribute each error event to the
+    same user's activity session whose [start, end] interval contains
+    it (sessions built from the NON-error stream), keeping orphan
+    errors with a null session — the range-join class (equi prefix +
+    BETWEEN residual) that powers attribution, billing-window, and
+    SLA lookups. Spark executes it as ONE hash join on user_id with
+    the interval predicate as the join residual — never a cartesian;
+    a user's sessions are disjoint, so each error matches ≤ 1 row and
+    the left join preserves the error grain."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nonerr = ev.where(F.col("event_type") != "error")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > ATTRIBUTION_GAP_MIN * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        nonerr.withColumn("session_num", F.sum(is_new).over(wcum))
+        .groupBy(F.col("user_id").alias("s_user"), "session_num")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+    )
+    errors = ev.where(F.col("event_type") == "error")
+    return (
+        errors.join(
+            sessions,
+            (errors.user_id == sessions.s_user)
+            & (errors.ts >= sessions.session_start)
+            & (errors.ts <= sessions.session_end),
+            "left",
+        )
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("session_num").cast("long").alias("session_num"),
+            "session_start",
+            F.col("session_num").isNull().alias("is_orphan"),
+        )
+    )
+
+
 def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: resample each user's irregular
     events onto a dense 1-hour grid (their own min..max hour) with
@@ -590,6 +638,7 @@ QUERIES = {
     "events_funnel_windowed": events_funnel_windowed,
     "events_json_props": events_json_props,
     "events_resample_1h": events_resample_1h,
+    "events_error_attribution": events_error_attribution,
     "events_cohort_retention": events_cohort_retention,
     "events_moving_avg": events_moving_avg,
     "events_sessionize": events_sessionize,
@@ -691,6 +740,39 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON c.user_id = v.user_id
         LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    "events_error_attribution": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w
+                                > INTERVAL {ATTRIBUTION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WHERE event_type <> 'error'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                       AS session_num
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id AS s_user, session_num,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               CAST(s.session_num AS BIGINT) AS session_num,
+               s.session_start,
+               s.session_num IS NULL AS is_orphan
+        FROM events e
+        LEFT JOIN sessions s
+               ON e.user_id = s.s_user
+              AND e.ts >= s.session_start AND e.ts <= s.session_end
+        WHERE e.event_type = 'error'
     """,
     "events_resample_1h": """
         WITH hourly AS (
