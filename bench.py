@@ -61,6 +61,7 @@ HEADLINE = [
     "text_contamination_semantic",
     "multimodal_decoded",
     "multimodal_features",
+    "chunk_documents",
     "corpus_build",
 ]
 

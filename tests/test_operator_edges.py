@@ -84,3 +84,65 @@ def test_sample_weighted_copy_arithmetic(spark, tmp_path):
             assert sorted(grp.epoch) == list(range(grp.n_copies.iloc[0]))
     zh = out[out.lang == "zh"]
     assert len(zh) == 40 and set(zh.n_copies) == {1}   # weight exactly 1.0
+
+
+def test_chunk_documents_boundary_arithmetic(spark, tmp_path):
+    """Chunk counts at the exact boundaries: len <= SIZE is one chunk;
+    len = SIZE + 1 needs a second (tail) chunk of SIZE - STRIDE + 1
+    chars; len = SIZE + STRIDE lands exactly on the last stride (no
+    extra chunk); every non-final chunk is exactly SIZE chars and
+    consecutive chunks overlap by SIZE - STRIDE."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    lens = [1, CHUNK_SIZE - 1, CHUNK_SIZE, CHUNK_SIZE + 1,
+            CHUNK_SIZE + CHUNK_STRIDE, CHUNK_SIZE + CHUNK_STRIDE + 1,
+            CHUNK_SIZE + 3 * CHUNK_STRIDE]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [Row(doc_id=i, text="a" * n, lang="en", source="s", n_chars=n)
+         for i, n in enumerate(lens)]
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = chunk_documents(spark, d).toPandas()
+    expect_chunks = [1, 1, 1, 2, 2, 3, 4]
+    for i, n in enumerate(lens):
+        sub = out[out.doc_id == i].sort_values("chunk_idx")
+        assert list(sub.chunk_idx) == list(range(expect_chunks[i])), (i, n)
+        assert set(sub.n_chunks) == {expect_chunks[i]}
+        # non-final chunks are full SIZE; the tail covers through n
+        assert all(sub.chunk_len.iloc[:-1] == CHUNK_SIZE)
+        last_start = (expect_chunks[i] - 1) * CHUNK_STRIDE
+        assert sub.chunk_len.iloc[-1] == n - last_start
+    # len = SIZE+1: tail chunk is SIZE - STRIDE + 1 chars
+    tail = out[(out.doc_id == 3) & (out.chunk_idx == 1)].chunk_len.iloc[0]
+    assert tail == CHUNK_SIZE - CHUNK_STRIDE + 1
+
+
+def test_sample_split_deterministic_and_disjoint(spark, tmp_path):
+    """The split is a pure function of doc_id (same assignment on
+    re-run and after corpus growth), every doc lands in exactly one
+    split, and observed fractions sit near the 90/5/5 thresholds."""
+    from university_data_lakehouse_spark.operators.pipeline import sample_split
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+
+    def write(n):
+        spark.createDataFrame(
+            [Row(doc_id=i, text="x", lang="en", source="s", n_chars=1)
+             for i in range(n)]
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    write(500)
+    first = sample_split(spark, d).toPandas().set_index("doc_id")["split"]
+    write(2000)   # corpus grew: earlier docs must not migrate
+    grown = sample_split(spark, d).toPandas().set_index("doc_id")["split"]
+    assert (grown.loc[first.index] == first).all()
+    frac = grown.value_counts(normalize=True)
+    assert 0.85 < frac.get("train", 0) < 0.95
+    assert 0.02 < frac.get("validation", 0) < 0.08
+    assert 0.02 < frac.get("test", 0) < 0.08

@@ -458,3 +458,26 @@ def test_cohort_retention_single_events_scan(spark, sf_dir):
     # materialize once), so ≥2 cache reads and ≥2 cached fragments
     assert tree.count("InMemoryTableScan") >= 2, tree
     assert tree.count("InMemoryRelation") >= 2, tree
+
+
+def test_chunking_is_narrow_generate_only(spark, sf_dir):
+    """Sliding-window chunking must stay scan → generate → project:
+    zero exchanges (the fan-out is per-row, never cross-row)."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        chunk_documents,
+    )
+
+    tree = _tree(_plan(chunk_documents(spark, sf_dir)))
+    assert "Exchange" not in tree, tree
+    assert "Generate" in tree, tree
+
+
+def test_split_assignment_is_scan_plus_project_only(spark, sf_dir):
+    """Hash-gated split assignment is a pure narrow map: zero
+    exchanges, no joins."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        sample_split,
+    )
+
+    tree = _tree(_plan(sample_split(spark, sf_dir)))
+    assert "Exchange" not in tree, tree

@@ -295,6 +295,85 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+# --- context-window chunking ---------------------------------------------
+# Sliding character windows with overlap: the pre-tokenization split a
+# training pipeline applies to documents longer than the model context.
+# Chunks start at 0, STRIDE, 2·STRIDE, …; each spans CHUNK_SIZE chars,
+# so consecutive chunks overlap by CHUNK_SIZE - STRIDE chars and the
+# final chunk is the (non-empty, since SIZE > STRIDE) tail.
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (fixed width + overlap): each
+    doc yields ceil-spaced windows of CHUNK_SIZE chars every
+    CHUNK_STRIDE — the canonical long-document split ahead of
+    tokenization. Pure narrow map + bounded explode (fan-out =
+    len/STRIDE, data-independent of other rows): no shuffle at all, so
+    at 100 TB it runs at scan speed and the chunk count per task is
+    proportional to its input bytes. Chunk identity travels as an md5
+    fingerprint so the output stays thin; shard assembly re-slices the
+    text by (doc_id, chunk_idx) downstream."""
+    doc = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    extra = F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(CHUNK_SIZE)).cast("double") / F.lit(CHUNK_STRIDE)),
+    )
+    chunk = F.col("text").substr(
+        F.col("chunk_idx") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE)
+    )
+    return (
+        doc.select(
+            "doc_id", "lang", "text",
+            (F.lit(1) + extra).cast("int").alias("n_chunks"),
+        )
+        .select(
+            "doc_id", "lang", "n_chunks", "text",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id", "lang", "n_chunks", "chunk_idx",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+# --- deterministic train/validation/test split ---------------------------
+# Same fixed-width-hex hash-gate discipline as SAMPLE_RATE_HEX: the
+# split is a pure function of doc_id, so it is stable under re-runs,
+# repartitioning, and late-arriving data, and a doc can NEVER migrate
+# between splits as the corpus grows (the leakage mode of
+# randomSplit()/row_number()-based splits).
+SPLIT_TRAIN_HEX = "e6666666"   # ~0.90 of the 32-bit key space
+SPLIT_VAL_HEX = "f3333333"     # next ~0.05; remainder is test
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment: a doc's split
+    is decided by where the first 8 hex chars of md5('split:'||doc_id)
+    fall between fixed thresholds. Stateless narrow map — no RNG, no
+    global count, no coordination — so the assignment is reproducible
+    on any cluster layout and append-only growth never reshuffles
+    earlier docs across splits."""
+    doc = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return doc.select(
+        "doc_id", "lang", key.alias("split_key")
+    ).withColumn(
+        "split",
+        F.when(F.col("split_key") < SPLIT_TRAIN_HEX, "train")
+        .when(F.col("split_key") < SPLIT_VAL_HEX, "validation")
+        .otherwise("test"),
+    )
+
+
 QUALITY_TAU = 0.645     # documents' scores cluster 0.63-0.66; ~median
 
 
@@ -393,6 +472,8 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_weighted": sample_weighted,
+    "sample_split": sample_split,
+    "chunk_documents": chunk_documents,
     "corpus_build": corpus_build,
     "corpus_stats": corpus_stats,
     "pack_token_bins": pack_token_bins,
@@ -530,6 +611,38 @@ _W_FRAC_SQL = ("CASE lang "
                + f" ELSE '{WEIGHTED_DEFAULT[1]}' END")
 
 ORACLES = {
+    "chunk_documents": f"""
+        WITH d AS (
+            SELECT doc_id, lang, text,
+                   CAST(1 + GREATEST(0,
+                       CEIL(CAST(length(text) - {CHUNK_SIZE} AS DOUBLE)
+                            / {CHUNK_STRIDE})) AS INTEGER) AS n_chunks
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, lang, n_chunks, text,
+                   CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+            FROM d
+        )
+        SELECT doc_id, lang, n_chunks, chunk_idx,
+               CAST(length(substr(text, chunk_idx * {CHUNK_STRIDE} + 1,
+                                  {CHUNK_SIZE})) AS INTEGER) AS chunk_len,
+               md5(substr(text, chunk_idx * {CHUNK_STRIDE} + 1,
+                          {CHUNK_SIZE})) AS chunk_md5
+        FROM e
+    """,
+    "sample_split": f"""
+        SELECT doc_id, lang, split_key,
+               CASE WHEN split_key < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                    WHEN split_key < '{SPLIT_VAL_HEX}' THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, lang,
+                   substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS split_key
+            FROM documents
+        )
+    """,
     "sample_weighted": f"""
         WITH d AS (
             SELECT doc_id, lang,
