@@ -28,7 +28,7 @@ from university_data_lakehouse_spark.session import tune_existing
 # identical pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
     # zero driver rows before r5 (capped in r4 or new in r5)
-    "chunk_documents", "sample_split",
+    "chunk_documents", "sample_split", "dedup_boilerplate",
     "sample_stratified", "corpus_build", "corpus_stats", "pack_token_bins",
     "text_contamination", "text_pii_redact", "multimodal_decoded",
     "multimodal_features", "text_lm_quality", "events_value_quartiles",

@@ -146,3 +146,38 @@ def test_sample_split_deterministic_and_disjoint(spark, tmp_path):
     assert 0.85 < frac.get("train", 0) < 0.95
     assert 0.02 < frac.get("validation", 0) < 0.08
     assert 0.02 < frac.get("test", 0) < 0.08
+
+
+def test_dedup_boilerplate_span_arithmetic(spark, tmp_path):
+    """Docs 0 and 1 share their first 8-token span (boilerplate); doc
+    2 is unique; doc 3 is shorter than one span (0 spans, fraction
+    0.0, never flagged). The partial tail span never counts."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        dedup_boilerplate,
+    )
+
+    header = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        Row(doc_id=0, text=header + " one two three four five six seven eight",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text=header + " nine ten eleven twelve th fo fi si",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text="uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8 tail",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text="only seven tokens here not even eight",
+            lang="en", source="s", n_chars=1),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    out = dedup_boilerplate(spark, d).toPandas().set_index("doc_id")
+    assert out.loc[0].n_spans == 2 and out.loc[0].n_boilerplate == 1
+    assert out.loc[0].boiler_fraction == 0.5
+    assert bool(out.loc[0].is_boilerplate_doc)        # 0.5 >= tau
+    assert out.loc[1].n_boilerplate == 1
+    assert out.loc[2].n_spans == 1 and out.loc[2].n_boilerplate == 0
+    assert not bool(out.loc[2].is_boilerplate_doc)
+    assert out.loc[3].n_spans == 0
+    assert out.loc[3].boiler_fraction == 0.0
+    assert not bool(out.loc[3].is_boilerplate_doc)

@@ -595,7 +595,79 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"))
 
 
+# --- cross-doc repeated-span (boilerplate) filter ------------------------
+# The C4/RefinedWeb curation step the DOC-level families can't express:
+# a span repeated across otherwise-distinct documents (headers, nav
+# text, license blurbs) is boilerplate even when no two docs are
+# near-dups. Spans here are fixed SPAN_W-token windows (the testdata
+# has no line structure to split on); the partial tail span is dropped
+# so every span is exactly SPAN_W tokens.
+SPAN_W = 8
+BOILER_MIN_DOCS = 2     # span in ≥ this many DISTINCT docs → boilerplate
+BOILER_TAU = 0.5        # doc flagged when this fraction of spans repeat
+
+
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection: every doc is cut into
+    non-overlapping SPAN_W-token spans, a span seen in ≥
+    BOILER_MIN_DOCS distinct docs is boilerplate, and each doc reports
+    its span counts + boilerplate fraction + flag. Three shuffles, all
+    carrying only (doc_id, span-md5): explode → span-count aggregate →
+    join back → per-doc aggregate. At 100 TB the span-count table is
+    vocabulary-sized (spans hash to 16 bytes regardless of text
+    length) and hot spans are exactly what AQE's skew-join splits."""
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.select(
+        "doc_id",
+        F.floor(F.size(tokens(F.col("text"))).cast("double") / SPAN_W)
+        .cast("int").alias("n_spans"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    spans = (
+        base.where(F.col("n_spans") > 0)
+        .select(
+            "doc_id", "tk",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_spans") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(
+                F.slice("tk", F.col("i") * SPAN_W + 1, SPAN_W), " "
+            )).alias("h"),
+        )
+    )
+    counts = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("nd") >= BOILER_MIN_DOCS).cast("long"))
+             .alias("n_boiler"))
+    )
+    frac = F.coalesce(
+        F.col("n_boilerplate").cast("double")
+        / F.nullif(F.col("n_spans"), F.lit(0)),
+        F.lit(0.0),
+    )
+    return (
+        base.select("doc_id", "n_spans")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_spans",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id", "n_spans", "n_boilerplate",
+            frac.alias("boiler_fraction"),
+            (frac >= BOILER_TAU).alias("is_boilerplate_doc"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_boilerplate": dedup_boilerplate,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -834,6 +906,42 @@ def _emb_lsh_oracle() -> str:
 ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
 # identical output contract, different solver — same replay
 ORACLES["dedup_cluster_canonical_fast"] = ORACLES["dedup_cluster_canonical"]
+
+ORACLES["dedup_boilerplate"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    base AS (
+        SELECT doc_id,
+               CAST(FLOOR(CAST(len(tk) AS DOUBLE) / {SPAN_W}) AS INTEGER)
+                   AS n_spans,
+               tk
+        FROM toks
+    ),
+    seg AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   tk[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})], ' '
+               )) AS h
+        FROM (
+            SELECT doc_id, tk, unnest(range(0, n_spans)) AS i
+            FROM base WHERE n_spans > 0
+        )
+    ),
+    counts AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY 1),
+    per_doc AS (
+        SELECT seg.doc_id,
+               SUM(CASE WHEN counts.nd >= {BOILER_MIN_DOCS}
+                   THEN 1 ELSE 0 END) AS n_boiler
+        FROM seg JOIN counts USING (h) GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_spans,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boilerplate,
+           COALESCE(CAST(COALESCE(p.n_boiler, 0) AS DOUBLE)
+                    / NULLIF(b.n_spans, 0), 0.0) AS boiler_fraction,
+           COALESCE(CAST(COALESCE(p.n_boiler, 0) AS DOUBLE)
+                    / NULLIF(b.n_spans, 0), 0.0) >= {BOILER_TAU}
+               AS is_boilerplate_doc
+    FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+"""
 
 ORACLES["dedup_name_fuzzy"] = f"""
     WITH names AS (
