@@ -193,6 +193,7 @@ def test_corpus_ops_compose_on_streams(spark, sf_dir, tmp_path):
     import os as _os
 
     from university_data_lakehouse_spark.operators.pipeline import (
+        chunk_docs,
         pii_scrub,
         sample_gate,
     )
@@ -210,7 +211,8 @@ def test_corpus_ops_compose_on_streams(spark, sf_dir, tmp_path):
     )
 
     out = {}
-    for name, fn in (("samp", sample_gate), ("pii", pii_scrub)):
+    for name, fn in (("samp", sample_gate), ("pii", pii_scrub),
+                     ("chunk", chunk_docs)):
         q = (
             fn(stream_docs).writeStream.format("memory")
             .queryName(f"corpus_{name}")
@@ -224,6 +226,7 @@ def test_corpus_ops_compose_on_streams(spark, sf_dir, tmp_path):
         }
     assert out["samp"] == {tuple(r) for r in sample_gate(batch_docs).collect()}
     assert out["pii"] == {tuple(r) for r in pii_scrub(batch_docs).collect()}
+    assert out["chunk"] == {tuple(r) for r in chunk_docs(batch_docs).collect()}
     assert len(out["pii"]) > 0
 
 

@@ -305,17 +305,11 @@ CHUNK_SIZE = 200
 CHUNK_STRIDE = 150
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking (fixed width + overlap): each
-    doc yields ceil-spaced windows of CHUNK_SIZE chars every
-    CHUNK_STRIDE — the canonical long-document split ahead of
-    tokenization. Pure narrow map + bounded explode (fan-out =
-    len/STRIDE, data-independent of other rows): no shuffle at all, so
-    at 100 TB it runs at scan speed and the chunk count per task is
-    proportional to its input bytes. Chunk identity travels as an md5
-    fingerprint so the output stays thin; shard assembly re-slices the
-    text by (doc_id, chunk_idx) downstream."""
-    doc = load_table(spark, sf_dir, "documents")
+def chunk_docs(doc: DataFrame) -> DataFrame:
+    """Frame-level chunking — a stateless narrow map + bounded
+    explode, so the SAME transform runs on a batch frame or a
+    streaming one (pytest: tests/test_streaming.py stream/batch
+    equivalence)."""
     n = F.length("text")
     extra = F.greatest(
         F.lit(0),
@@ -341,6 +335,19 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (fixed width + overlap): each
+    doc yields ceil-spaced windows of CHUNK_SIZE chars every
+    CHUNK_STRIDE — the canonical long-document split ahead of
+    tokenization. Pure narrow map + bounded explode (fan-out =
+    len/STRIDE, data-independent of other rows): no shuffle at all, so
+    at 100 TB it runs at scan speed and the chunk count per task is
+    proportional to its input bytes. Chunk identity travels as an md5
+    fingerprint so the output stays thin; shard assembly re-slices the
+    text by (doc_id, chunk_idx) downstream."""
+    return chunk_docs(load_table(spark, sf_dir, "documents"))
 
 
 # --- deterministic train/validation/test split ---------------------------
