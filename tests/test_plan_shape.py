@@ -481,3 +481,31 @@ def test_split_assignment_is_scan_plus_project_only(spark, sf_dir):
 
     tree = _tree(_plan(sample_split(spark, sf_dir)))
     assert "Exchange" not in tree, tree
+
+
+def test_boilerplate_prunes_columns_and_caches_span_stage(spark, sf_dir):
+    """The repeated-span filter must read only (doc_id, text) from the
+    parquet scan, keep its aggregates partial (map-side combine pairs
+    around each shuffle), and tokenize the corpus ONCE — the span
+    projection is cached, so at most one parquet scan of the text
+    column feeds both the span-count aggregate and the join-back."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        dedup_boilerplate,
+    )
+
+    df = dedup_boilerplate(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert "text" not in line or "n_chars" not in line
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        # the cached relation prints its child under BOTH scan sites;
+        # distinct node ids = actual materializations (base + spans)
+        import re as _re
+
+        scan_ids = set(_re.findall(r"Scan parquet\s+\((\d+)\)",
+                                   plan.split("\n\n", 1)[0]))
+        assert len(scan_ids) <= 2, plan.split("\n\n", 1)[0]
+    finally:
+        spark.catalog.clearCache()

@@ -637,6 +637,9 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice("tk", F.col("i") * SPAN_W + 1, SPAN_W), " "
             )).alias("h"),
         )
+        # referenced twice (count + join-back): cache so the corpus is
+        # tokenized ONCE — same discipline as the minhash shingle stage
+        .cache()
     )
     counts = spans.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd"))
