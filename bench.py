@@ -49,6 +49,7 @@ HEADLINE = [
     "events_funnel",
     "olap_late_orders",
     "dedup_exact",
+    "dedup_boilerplate",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_cluster_canonical",
