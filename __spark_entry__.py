@@ -29,6 +29,7 @@ from university_data_lakehouse_spark.session import tune_existing
 _PRIORITY_KEYS = (
     # zero driver rows before r5 (capped in r4 or new in r5)
     "chunk_documents", "sample_split", "dedup_boilerplate",
+    "corpus_manifest",
     "sample_stratified", "corpus_build", "corpus_stats", "pack_token_bins",
     "text_contamination", "text_pii_redact", "multimodal_decoded",
     "multimodal_features", "text_lm_quality", "events_value_quartiles",
@@ -52,8 +53,9 @@ _PRIORITY_KEYS = (
     "sim_knn_lsh", "sim_knn_ivf",
     # green before r5 but materially changed in r5 (localCheckpoint
     # loop; sub-second RANGE frame): keep inside the window so the
-    # changes get fresh driver rows — and events_funnel (single r04
-    # row) stays in rather than being displaced by them
+    # changes get fresh driver rows. events_funnel (green r04 row,
+    # unchanged since) sits last — the one key a strict 50-cap
+    # displaces, covered by its standing row + the pytest gate.
     "dedup_cluster_canonical", "events_moving_avg", "events_funnel",
 )
 

@@ -439,6 +439,27 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_build_df(load_table(spark, sf_dir, "documents"))
 
 
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest over the packed corpus — the index a
+    trainer's data loader reads instead of listing files: one row per
+    (lang, bin_id) with doc count, token total, doc_id range, and an
+    order-canonical md5 of the member list (sorted doc_ids joined) so
+    shard integrity is checkable without re-reading text. One extra
+    aggregation on the packing output, sharing its (lang) shuffle
+    lineage; the manifest is shard-count-sized — tiny at any SF."""
+    shards = corpus_build(spark, sf_dir)
+    members = F.array_join(
+        F.transform(F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string")), ",")
+    return shards.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(members).alias("members_md5"),
+    )
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus composition report — the funnel numbers a
     data curator reads before training: docs → exact-dedup canonicals
@@ -483,6 +504,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "corpus_build": corpus_build,
     "corpus_stats": corpus_stats,
+    "corpus_manifest": corpus_manifest,
     "pack_token_bins": pack_token_bins,
     "text_contamination": text_contamination,
     "text_contamination_semantic": text_contamination_semantic,
@@ -736,6 +758,18 @@ ORACLES = {
 }
 
 ORACLES["corpus_build"] = _corpus_build_oracle()
+
+ORACLES["corpus_manifest"] = f"""
+    WITH shards AS ({_corpus_build_oracle()})
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS members_md5
+    FROM shards GROUP BY 1, 2
+"""
 
 
 def _corpus_stats_oracle() -> str:
