@@ -316,3 +316,43 @@ def test_dlt_style_expectations_warn_drop_fail(spark, sf_dir, tmp_path):
     assert res["a"].expectations == {"v_complete": 3}
     assert res["b"].status == "skipped"
     assert "a" not in cat2.tables()        # nothing published
+
+
+def test_volume_anomaly_flags_row_count_drift(spark, sf_dir, tmp_path):
+    """Deequ-style anomaly detection over run history: a stable asset
+    never flags, a 4x row-count jump flags once enough baseline runs
+    exist, and an asset with too little history never flags no matter
+    how wild its latest count."""
+    import datetime as dt
+
+    from university_data_lakehouse_spark.plans.assets import AssetResult
+    from university_data_lakehouse_spark.plans.history import (
+        record_run,
+        volume_anomaly,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    t0 = dt.datetime(2026, 8, 14, 8, 0, tzinfo=dt.timezone.utc)
+
+    def run(i, stable, jumpy, young=None):
+        res = {
+            "gold/stable": AssetResult("gold/stable", "ok", rows=stable),
+            "gold/jumpy": AssetResult("gold/jumpy", "ok", rows=jumpy),
+        }
+        if young is not None:
+            res["gold/young"] = AssetResult("gold/young", "ok", rows=young)
+        record_run(spark, catalog, res, run_id=f"run-{i}",
+                   ts=t0 + dt.timedelta(hours=i))
+
+    run(1, 100, 100)
+    run(2, 101, 102)
+    run(3, 99, 98)
+    run(4, 100, 400, young=12345)     # jumpy quadruples; young is new
+    out = {r.asset_key: r for r in volume_anomaly(
+        spark, catalog, tolerance=0.5, min_history=3).collect()}
+    assert not out["gold/stable"].is_anomaly
+    assert out["gold/jumpy"].is_anomaly
+    assert out["gold/jumpy"].n_prior == 3
+    assert out["gold/young"].n_prior == 0
+    assert not out["gold/young"].is_anomaly

@@ -60,6 +60,56 @@ def record_run(
     return table.write(df, mode="append", evolve=True)
 
 
+def volume_anomaly(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    tolerance: float = 0.5,
+    min_history: int = 3,
+):
+    """Deequ-style volume anomaly detection over the run history: per
+    asset, compare the LATEST successful run's row count against the
+    trailing mean of its prior successful runs and flag deviations
+    beyond ``tolerance`` (fractional). Assets with fewer than
+    ``min_history`` prior runs never flag — a new asset has no
+    baseline. One window + one aggregate over the (tiny,
+    runs×assets-sized) history table; the check reads METRICS, never
+    the data, so it costs the same at any corpus scale."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    hist = (
+        catalog.table(HISTORY_TABLE).read(spark)
+        .where((F.col("status") == "ok") & F.col("rows").isNotNull())
+    )
+    w = Window.partitionBy("asset_key").orderBy(
+        F.col("ts").desc(), F.col("run_id").desc())
+    ranked = hist.withColumn("rn", F.row_number().over(w))
+    latest = ranked.where(F.col("rn") == 1).select(
+        "asset_key", F.col("rows").alias("latest_rows"), "run_id", "ts")
+    prior = ranked.where(F.col("rn") > 1).groupBy("asset_key").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.avg("rows").alias("mean_rows"),
+    )
+    deviation = F.when(
+        F.col("mean_rows") > 0,
+        F.abs(F.col("latest_rows") - F.col("mean_rows"))
+        / F.col("mean_rows"),
+    )
+    return (
+        latest.join(prior, "asset_key", "left")
+        .select(
+            "asset_key", "latest_rows", "run_id", "ts",
+            F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
+            "mean_rows",
+            deviation.alias("deviation"),
+            (
+                (F.coalesce("n_prior", F.lit(0)) >= min_history)
+                & (F.coalesce(deviation, F.lit(0.0)) > tolerance)
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 def latest_status(spark: SparkSession, catalog: TableCatalog):
     """Most recent status per asset — the operator dashboard query
     (one window over the history table)."""
