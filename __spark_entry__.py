@@ -20,43 +20,37 @@ from university_data_lakehouse_spark.session import tune_existing
 
 
 # The driver's CORRECTNESS gate checks the first ~50 registry keys, and
-# the registry now exceeds that — so ordering is PRIORITY-BASED: keys
-# with the fewest historical driver rows register first (new r5 keys
-# and the r4-capped set have zero rows; similarity first went green in
-# r04).  Keys displaced past the cap are green in CORRECTNESS_r01..r04
-# as standing proof, and EVERY key regardless of position passes the
-# identical pytest oracle gate (tests/test_oracle_parity.py).
+# the registry exceeds that — so ordering is PRIORITY-BASED and the
+# window ROTATES every round: keys whose last driver row is oldest
+# register first, plus any key materially changed this round.  Keys
+# displaced past the cap are green in CORRECTNESS_r01..r05 as standing
+# proof, and EVERY key regardless of position passes the identical
+# pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # zero driver rows before r5 (capped in r4 or new in r5)
-    "chunk_documents", "sample_split", "dedup_boilerplate",
-    "corpus_manifest",
-    "sample_stratified", "corpus_build", "corpus_stats", "pack_token_bins",
-    "text_contamination", "text_pii_redact", "multimodal_decoded",
-    "multimodal_features", "text_lm_quality", "events_value_quartiles",
-    "olap_customer_distribution", "olap_returned_items",
-    "olap_promo_revenue", "olap_avg_yearly", "olap_big_orders",
-    "olap_nation_trade", "events_anomaly", "text_contamination_semantic",
-    "olap_prospect_customers", "dedup_cluster_sizes",
-    "events_value_percentiles",
-    "sim_knn_pq", "sim_knn_ivfpq",
-    # new in r5 (TPC-H lattice completion: Q9 Q11 Q12 Q15 Q16 Q19 Q20 Q21)
-    "olap_profit_by_nation", "olap_important_parts",
-    "olap_priority_shipmode", "olap_top_supplier",
-    "olap_supplier_part_counts", "olap_disjunctive_revenue",
-    "olap_excess_suppliers", "olap_waiting_suppliers",
-    "text_repetition", "sample_weighted",
-    "events_funnel_windowed", "events_cohort_retention",
-    "dedup_cluster_canonical_fast", "events_json_props",
-    "dedup_name_fuzzy", "dq_profile", "olap_grouping_sets",
-    "events_resample_1h", "events_error_attribution",
-    # one driver row (first green in r04)
-    "sim_knn_lsh", "sim_knn_ivf",
-    # green before r5 but materially changed in r5 (localCheckpoint
-    # loop; sub-second RANGE frame): keep inside the window so the
-    # changes get fresh driver rows. events_funnel (green r04 row,
-    # unchanged since) sits last — the one key a strict 50-cap
-    # displaces, covered by its standing row + the pytest gate.
-    "dedup_cluster_canonical", "events_moving_avg", "events_funnel",
+    # r6 rotation: the 46 keys whose last driver row is CORRECTNESS_r04
+    # (they sat outside r5's 50-key window) lead this round, so the
+    # union of r5+r6 driver rows covers all keys at <=1 round of age.
+    "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
+    "silver_fact_lineitems", "silver_fact_orders", "silver_fact_contacts",
+    "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
+    "dq_not_null_pk", "dq_no_duplicates", "dq_row_count",
+    "dq_referential_integrity", "dq_value_range",
+    "olap_pricing_summary", "olap_shipping_priority",
+    "olap_local_supplier_volume", "olap_revenue_forecast",
+    "olap_top_k_per_group", "olap_rollup_revenue", "olap_cube_revenue",
+    "olap_market_pivot", "olap_running_revenue", "olap_inactive_customers",
+    "olap_price_percentiles", "olap_min_cost_supplier", "olap_market_share",
+    "olap_late_orders",
+    "events_windowed_agg", "events_sessionize", "events_asof_join",
+    "events_user_stats", "events_retention", "events_funnel",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "text_token_stats", "text_quality_score", "text_langid",
+    "text_fingerprint",
+    "multimodal_meta", "sim_knn_bruteforce",
+    # materially changed in r6 (sample-based quantizer training; new
+    # PNG decode key) — kept inside the window for fresh rows.
+    "sim_knn_ivf", "sim_knn_pq", "sim_knn_ivfpq", "multimodal_png",
 )
 
 

@@ -66,6 +66,23 @@ HEADLINE = [
     "corpus_build",
 ]
 
+# Frozen r4 headline set: `core_total` sums exactly these 27 queries
+# every round so the round-over-round trend is directly comparable
+# even as HEADLINE grows.  DO NOT edit this list.
+CORE_QUERIES = frozenset([
+    "silver_dim_customers", "silver_fact_lineitems", "silver_fact_contacts",
+    "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
+    "olap_pricing_summary", "olap_local_supplier_volume",
+    "olap_top_k_per_group", "olap_price_percentiles",
+    "olap_min_cost_supplier", "olap_market_share",
+    "events_sessionize", "events_asof_join", "events_retention",
+    "events_funnel", "olap_late_orders",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh",
+    "dedup_cluster_canonical",
+    "sim_knn_bruteforce", "sim_knn_lsh", "sim_knn_ivf",
+    "text_quality_score", "multimodal_decoded", "corpus_build",
+])
+
 REPEATS = 4           # this VM shows 3-5x first-run jitter; the
 SCALING_REPEATS = 3   # medians need >3 samples for headline queries,
 #                       fewer for the secondary scaling section —
@@ -110,6 +127,8 @@ def main() -> None:
             timings[key], _ = time_key(key, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    core_total = round(
+        sum(v for k, v in timings.items() if k in CORE_QUERIES), 3)
 
     # scaling slope: re-time the 5 most expensive headline queries at a
     # second (smaller) scale factor so per-round numbers carry a
@@ -134,11 +153,35 @@ def main() -> None:
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
+        "core_total": core_total,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if scaling:
         out["scaling"] = scaling
+
+    # upward scale point: if a synthesized ~sf1 dataset exists (see
+    # tools/synth_scale.py), re-time the headline set there so the
+    # per-round record carries a measurement where shuffles actually
+    # cost something.  Opt-out via SPARK_GRAFT_SYNTH_DIR=""
+    synth_dir = os.environ.get(
+        "SPARK_GRAFT_SYNTH_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".synthdata", "sf1"))
+    if synth_dir and os.path.isdir(synth_dir):
+        print(f"# synth-sf1 run at {synth_dir}", file=sys.stderr)
+        big = {}
+        for key in HEADLINE:
+            if key in queries:
+                big[key] = time_key(key, synth_dir, SCALING_REPEATS)[0]
+        out["sf1_synth"] = {
+            "sf": 1.0,
+            "dir": synth_dir,
+            "queries": big,
+            "total": round(sum(big.values()), 3),
+            "core_total": round(
+                sum(v for k, v in big.items() if k in CORE_QUERIES), 3),
+        }
     print(json.dumps(out))
 
 
