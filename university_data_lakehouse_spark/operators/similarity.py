@@ -244,6 +244,22 @@ IVF_CELLS = 16           # coarse-quantizer centroids
 IVF_NPROBE = 2           # cells probed per query
 IVF_ITERS = 2            # Lloyd refinement rounds
 
+# Quantizer-training sample: Lloyd rounds see only vectors with
+# md5(vec_id) < this hex digit — a deterministic ~int(h,16)/16 fraction
+# ('8' = 1/2).  THIS is the 100 TB knob: training cost per round drops
+# from a full-corpus pass to sample_fraction x corpus (at 100 TB you'd
+# dial it to ~'0001…' for a fixed ~1M-vector training set), while
+# encoding/probing still covers every vector.  md5 is an engine-stable
+# string compare, and the md5-ordered seed pick is a subset of any
+# md5-prefix sample by construction, so the whole sampled training
+# replays bit-for-bit in the DuckDB oracle.
+TRAIN_SAMPLE_HEX = "8"
+
+
+def _train_sample(v: DataFrame) -> DataFrame:
+    return v.where(
+        F.md5(F.col("vec_id").cast("string")) < TRAIN_SAMPLE_HEX)
+
 
 def _centroid_scores(centroids: list[list[float]]) -> F.Column:
     """Array of (score-to-centroid, cell-idx) structs for column v.
@@ -280,7 +296,9 @@ def _centroid_scores(centroids: list[list[float]]) -> F.Column:
 def _ivf_centroids(v: DataFrame) -> list[list[float]]:
     """Deterministic coarse quantizer: seed cells with the IVF_CELLS
     vectors of smallest md5(vec_id) (engine-independent pseudorandom
-    pick), then IVF_ITERS Lloyd-style rounds — assignment is a map
+    pick), then IVF_ITERS Lloyd-style rounds over the deterministic
+    md5 TRAINING SAMPLE (TRAIN_SAMPLE_HEX — rounds cost
+    sample_fraction x corpus, not a full pass) — assignment is a map
     stage with broadcast centroid literals; the update is ONE shuffle
     (groupBy cell). Only the K x 64 centroid matrix ever reaches the
     driver; the corpus never does.
@@ -302,9 +320,10 @@ def _ivf_centroids(v: DataFrame) -> list[list[float]]:
         .collect()
     )
     centroids = [_normalize([float(x) for x in r["v"]]) for r in seeds]
+    vt = _train_sample(v)   # Lloyd rounds train on the md5 sample only
     for _ in range(IVF_ITERS):
         best = F.array_max(_centroid_scores(centroids))
-        assigned = v.select(
+        assigned = vt.select(
             "vec_id", "v",
             best.getField("cell").alias("cell"),
             best.getField("score").alias("score"),
@@ -460,9 +479,11 @@ def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
     medoid-style Lloyd rounds — the new entry is the member subvector
     CLOSEST to the old entry (min (dist, vec_id)): exact and
     order-independent, so the whole training replays in SQL (same
-    argument as _ivf_centroids). Per round: one Arrow-batched assign
-    pass + a 32-row champion aggregate + a 32-row subvector fetch —
-    only codebook-sized data ever reaches the driver."""
+    argument as _ivf_centroids, including the md5 training sample —
+    rounds scan sample_fraction x corpus). Per round: one
+    Arrow-batched assign pass + a 32-row champion aggregate + a
+    32-row subvector fetch — only codebook-sized data ever reaches
+    the driver."""
     sub = _sub_frame(v)
     wseed = Window.partitionBy("m").orderBy(
         F.md5(F.col("vec_id").cast("string")))
@@ -476,9 +497,10 @@ def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
     for r in seeds:
         cb[r["m"]][r["k"]] = [float(x) for x in r["s"]]
 
+    vt = _train_sample(v)   # Lloyd rounds train on the md5 sample only
     for _ in range(PQ_ITERS):
-        scored = v.select("vec_id", "v",
-                          pq_assign_kernel(cb)(F.col("v")).alias("cd"))
+        scored = vt.select("vec_id", "v",
+                           pq_assign_kernel(cb)(F.col("v")).alias("cd"))
         # the struct min orders on (d, vid); the champion's SUBVECTOR
         # rides along in the same aggregate, so each round is ONE job
         # returning PQ_M x PQ_K rows — nothing corpus-sized moves
@@ -774,6 +796,10 @@ def _knn_ivf_oracle() -> str:
             SELECT vec_id, {vv} AS vv, sqrt({sq(vv)}) AS nrm
             FROM embeddings
         ),
+        vt AS (
+            SELECT * FROM v
+            WHERE md5(CAST(vec_id AS VARCHAR)) < '{TRAIN_SAMPLE_HEX}'
+        ),
         seeds AS (
             SELECT vv, ROW_NUMBER() OVER (
                 ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
@@ -793,7 +819,7 @@ def _knn_ivf_oracle() -> str:
                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
                            ORDER BY {fold('v.vv', 'c.c')} DESC, c.cell DESC
                        ) AS rn
-                FROM v, {prev} c
+                FROM vt v, {prev} c
             ) WHERE rn = 1
         ),
         rep{r} AS (
@@ -877,6 +903,10 @@ def _knn_pq_oracle() -> str:
                                   i -> vv[m * {PQ_SUB} + i]) AS s
             FROM v, (SELECT unnest(range(0, {PQ_M})) AS m)
         ),
+        subt AS (
+            SELECT * FROM sub
+            WHERE md5(CAST(vec_id AS VARCHAR)) < '{TRAIN_SAMPLE_HEX}'
+        ),
         seeds AS (
             SELECT m, s, ROW_NUMBER() OVER (PARTITION BY m
                 ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS k
@@ -893,7 +923,7 @@ def _knn_pq_oracle() -> str:
                        ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
                            ORDER BY {dist('sub.s', 'cb.c')} ASC, cb.k ASC
                        ) AS rn
-                FROM sub JOIN {prev} cb ON cb.m = sub.m
+                FROM subt sub JOIN {prev} cb ON cb.m = sub.m
             ) WHERE rn = 1
         ),
         rep{r} AS (
@@ -1004,6 +1034,10 @@ def _knn_ivfpq_oracle() -> str:
             SELECT vec_id, {vv} AS vv, sqrt({sq(vv)}) AS nrm
             FROM embeddings
         ),
+        vt AS (
+            SELECT * FROM v
+            WHERE md5(CAST(vec_id AS VARCHAR)) < '{TRAIN_SAMPLE_HEX}'
+        ),
         iseeds AS (
             SELECT vv, ROW_NUMBER() OVER (
                 ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
@@ -1023,7 +1057,7 @@ def _knn_ivfpq_oracle() -> str:
                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
                            ORDER BY {fold64('v.vv', 'c.c')} DESC, c.cell DESC
                        ) AS rn
-                FROM v, {prev} c
+                FROM vt v, {prev} c
             ) WHERE rn = 1
         ),
         irep{r} AS (
@@ -1064,6 +1098,10 @@ def _knn_ivfpq_oracle() -> str:
                                   i -> vv[m * {PQ_SUB} + i]) AS s
             FROM v, (SELECT unnest(range(0, {PQ_M})) AS m)
         ),
+        subt AS (
+            SELECT * FROM sub
+            WHERE md5(CAST(vec_id AS VARCHAR)) < '{TRAIN_SAMPLE_HEX}'
+        ),
         pseeds AS (
             SELECT m, s, ROW_NUMBER() OVER (PARTITION BY m
                 ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS k
@@ -1080,7 +1118,7 @@ def _knn_ivfpq_oracle() -> str:
                        ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
                            ORDER BY {dist('sub.s', 'cb.c')} ASC, cb.k ASC
                        ) AS rn
-                FROM sub JOIN {prev} cb ON cb.m = sub.m
+                FROM subt sub JOIN {prev} cb ON cb.m = sub.m
             ) WHERE rn = 1
         ),
         prep{r} AS (
