@@ -178,3 +178,49 @@ def test_shortcut_cc_matches_plain_on_real_pairs(spark, sf_dir):
     b = {(r.doc_id, r.canonical_id)
          for r in cluster_pairs_shortcut(pairs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ngram_df_cap_prunes_boilerplate_candidates(spark, tmp_path):
+    """The df-cap guard (VERDICT r5 #5): a shingle shared by most of
+    the corpus must NOT generate candidate pairs (its fan-out is k²),
+    while pairs sharing RARE shingles are still found with their
+    EXACT full-set Jaccard.
+
+    Corpus: 60 docs that are one long shared boilerplate block plus a
+    per-doc unique tail (pairwise full-set Jaccard ~0.8 — an uncapped
+    join would emit all 1770 pairs), plus one planted pair sharing
+    only rare shingles. Only the planted pair may come back."""
+    import pandas as pd
+
+    boiler = " ".join(f"common{i}" for i in range(30))
+    rare = " ".join(f"rare{i}" for i in range(30))
+    rows = [(d, f"{boiler} unique{d}") for d in range(60)]
+    rows += [(100, rare), (101, rare + " tail")]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (100, 101) in pairs, "rare-shingle near-dup pair lost"
+    assert pairs[100, 101] >= 0.9  # exact FULL-set jaccard, uncapped
+    boiler_pairs = [p for p in pairs if p[0] < 100]
+    assert boiler_pairs == [], (
+        f"boilerplate-only pairs must be pruned, got {boiler_pairs[:5]}"
+    )
+    # the oracle applies the identical cap — parity on this corpus too
+    from oracle_utils import compare
+    from university_data_lakehouse_spark.operators.dedup import ORACLES
+
+    compare(
+        dedup_ngram_jaccard(spark, str(tmp_path)),
+        ORACLES["dedup_ngram_jaccard"],
+        str(tmp_path),
+        "dedup_ngram_jaccard[df-cap corpus]",
+    )

@@ -24,6 +24,9 @@ from ..functions.vector import as_double_vec, dot
 from ..sources.loader import load_table, scatter
 
 NGRAM_TAU = 0.5          # jaccard threshold for near-dup pairs
+NGRAM_DF_CAP_FRAC = 1    # % of corpus: shingles above this df are
+NGRAM_DF_CAP_MIN = 8     # boilerplate, excluded from candidate gen
+#                          (floor so tiny corpora keep candidates)
 MINHASH_K = 9            # minhash signature length
 LSH_BANDS = 3            # bands of MINHASH_K / LSH_BANDS rows
 SIMHASH_BITS = 32        # one bit per md5 hex nibble's high bit
@@ -122,31 +125,45 @@ def _jaccard_on_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
     )
 
 
+def _ngram_df_cap(n_docs: int) -> int:
+    """Document-frequency cap for shingles entering the candidate
+    self-join: max(NGRAM_DF_CAP_FRAC x corpus, NGRAM_DF_CAP_MIN).
+    Integer ceil, so both engines compute the identical literal."""
+    return max(-(-n_docs * NGRAM_DF_CAP_FRAC // 100), NGRAM_DF_CAP_MIN)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle explode → shingle-bucket self-join → exact
-    Jaccard ≥ τ pairs. The self-join is bucketed by shingle (no
-    crossJoin anywhere); frequent-shingle skew → AQE skew-join."""
+    """3-gram shingle explode → RARE-shingle-bucket self-join → exact
+    Jaccard ≥ τ verification of the candidate pairs.
+
+    The standard df-cap guard: a shingle present in k docs generates
+    k² candidate rows, so a boilerplate 3-gram in 10⁶ docs is 10¹²
+    pairs — AQE skew-join only splits that work, it doesn't shrink
+    it. Candidates therefore come ONLY from shingles with document
+    frequency ≤ cap (~1% of the corpus, floor NGRAM_DF_CAP_MIN):
+    per-shingle fan-out is ≤ cap², and near-dups share *rare*
+    shingles too, so recall is intact (property-tested in
+    tests/test_dedup_properties.py). Verification then computes
+    EXACT Jaccard over the FULL shingle sets (array_intersect on the
+    candidate pairs only), so reported similarity is uncapped."""
     sets = _doc_shingle_sets(spark, sf_dir)
+    cap = _ngram_df_cap(sets.count())
     sh = sets.select("doc_id", F.explode("ss").alias("s"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
-    inter = (
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= cap)
+        .select("s")
+    )
+    sh_rare = sh.join(rare, "s")
+    a = sh_rare.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh_rare.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    cand = (
         a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    na = sets.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sets.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = (
-        F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    )
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .where(jac >= NGRAM_TAU)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-    )
+    return _jaccard_on_pairs(cand, sets).where(F.col("jaccard") >= NGRAM_TAU)
 
 
 def _minhash_signatures(sets: DataFrame) -> DataFrame:
@@ -767,9 +784,25 @@ ORACLES = {
     "dedup_ngram_jaccard": f"""
         WITH {_SH_CTE},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        rare AS (
+            SELECT s FROM sh GROUP BY s
+            HAVING COUNT(*) <= (
+                SELECT GREATEST(CAST(CEIL(
+                    COUNT(*) * {NGRAM_DF_CAP_FRAC} / 100.0) AS BIGINT),
+                    {NGRAM_DF_CAP_MIN})
+                FROM documents)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM sh x
+            JOIN rare r ON r.s = x.s
+            JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id
+        ),
         inter AS (
-            SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
-            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.id_a
+            JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
             GROUP BY 1, 2
         )
         SELECT id_a, id_b,
