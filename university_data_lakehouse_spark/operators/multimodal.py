@@ -17,7 +17,13 @@ Three decode tiers:
   PCM WAV samples (pure byte work, no codec) and reduces them to
   chunk-mean features — oracle-checked end to end
   (``multimodal_features``).
-- CAPABILITY-PROBED codec decode for compressed formats
+- REAL compressed-image decode for PNG with stdlib only:
+  ``decode_png`` inflates the IDAT stream via ``zlib`` and inverts
+  all five PNG row filters (None/Sub/Up/Average/Paeth);
+  ``synth_png_payload`` emits valid RGB PNGs whose raw pixel stream
+  is a pure function of doc_id, so the whole compress/filter round
+  trip is oracle-checked (``multimodal_png``).
+- CAPABILITY-PROBED codec decode for the remaining compressed formats
   (JPEG/MP3/H.264): ``decode_real`` probes Pillow / soundfile / av at
   call time, decodes when present, and raises NotImplementedError
   only when the library is genuinely absent from the environment
@@ -34,6 +40,7 @@ as ordinary scan-prunable columns.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -198,8 +205,14 @@ def decode_samples(payload: bytes) -> dict | None:
       features = mean ABSOLUTE amplitude per 8 chunks (n_frames =
       sample count).
 
-    Returns None for anything needing an actual codec (JPEG/MP3/
-    H.264) — those go through decode_real's capability probe."""
+    - PNG (the one COMPRESSED format decodable with stdlib only):
+      inflate + defilter via decode_png.
+
+    Returns None for anything needing an actual codec library
+    (JPEG/MP3/H.264) — those go through decode_real's capability
+    probe."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = abs(int.from_bytes(payload[22:26], "little", signed=True))
@@ -225,6 +238,118 @@ def decode_samples(payload: bytes) -> dict | None:
             return {"width": None, "height": None, "n_frames": n,
                     "features": _chunk_means([abs(s) for s in samples])}
     return None
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (public spec, RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def synth_png_payload(doc_id: int) -> bytes:
+    """Deterministic VALID 8-bit RGB PNG: pixel byte j of the raw
+    stream is (doc_id + j) % 256 (same convention as the BMP synth),
+    w/h pure functions of doc_id. Row y is written with filter type
+    y % 5, so a decoder must implement ALL FIVE filters (None, Sub,
+    Up, Average, Paeth) to recover the stream — the filters cancel in
+    the round trip, keeping the oracle a pure pixel-function replay."""
+    w = 4 + doc_id % 16
+    h = 5 + (doc_id // 16) % 16
+    bpp = 3
+    raw = bytes((doc_id + j) % 256 for j in range(w * h * bpp))
+    stride = w * bpp
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        row = raw[y * stride:(y + 1) * stride]
+        ft = y % 5
+        out.append(ft)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - left
+            elif ft == 2:
+                v = row[i] - up
+            elif ft == 3:
+                v = row[i] - (left + up) // 2
+            else:
+                v = row[i] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """REAL compressed-image decode with stdlib only: PNG is
+    zlib-deflate (Python ``zlib``) + per-row defiltering. Walks the
+    chunk stream, inflates the IDAT concat, inverts all five filter
+    types, and reduces the recovered pixel stream to the standard
+    8-chunk-mean features. Supports 8-bit greyscale (color type 0),
+    RGB (2), and RGBA (6) — non-interlaced. Returns None for
+    non-PNG payloads or PNG variants outside that envelope (those go
+    to decode_real's capability probe)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                return None
+            bpp = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None:
+        return None
+    flat = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        ft = flat[y * (stride + 1)]
+        row = bytearray(flat[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                row[i] = (row[i] + left) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + up) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                row[i] = (row[i] + _paeth(left, up, ul)) & 0xFF
+        raw += row
+        prior = bytes(row)
+    return {"width": int(w), "height": int(h), "n_frames": 1,
+            "features": _chunk_means(list(raw))}
 
 
 def decode_real(payload: bytes, media_type: str) -> dict:
@@ -523,10 +648,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL compressed-image decode with stdlib only:
+    synthesize valid RGB PNGs (one per document, every row carrying a
+    different PNG filter type), push them through the Arrow
+    mapInPandas decode (inflate + all-five-filter defilter), reduce
+    to chunk-mean features. Oracle-checkable because the raw pixel
+    stream is a pure function of doc_id — the filters and the deflate
+    round trip must cancel exactly for the chunk means to match."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_png_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image",
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    df = decode_features(media, batch_decoder=_samples_or_null)
+    return df.select(
+        "doc_id", "width", "height", "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decoded": multimodal_decoded,
     "multimodal_features": multimodal_features,
+    "multimodal_png": multimodal_png,
 }
 
 
@@ -617,3 +773,40 @@ ORACLES = {
 }
 
 ORACLES["multimodal_features"] = _feature_oracle()
+
+
+def _png_oracle() -> str:
+    """DuckDB replay of the PNG pipeline's chunk means: the raw RGB
+    stream of doc_id's PNG is byte j = (doc_id + j) % 256 over
+    n = w*h*3 bytes (synth_png_payload), so the deflate + per-row
+    filter round trip must recover exactly these integer-sum means."""
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step"
+        hi = f"least(({i} + 1) * step, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> (doc_id + j) % 256)) * 1.0 / ({hi} - {lo})")
+        fcols.append(f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   4 + doc_id % 16 AS w,
+                   5 + (doc_id // 16) % 16 AS h
+            FROM documents
+        ),
+        q AS (SELECT *, w * h * 3 AS n FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END AS step
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_png"] = _png_oracle()
