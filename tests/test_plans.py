@@ -139,13 +139,23 @@ def test_catalog_lineage_push():
     """Table-level lineage export in the reference's catalog REST
     shape (gold_analytics_component.py:288-308), via a recording
     transport."""
-    from university_data_lakehouse_spark.plans.lineage import push_lineage
+    from university_data_lakehouse_spark.plans.lineage import (
+        LINEAGE_PATH,
+        RecordingTransport,
+        push_lineage,
+    )
     from university_data_lakehouse_spark.plans.medallion import medallion_graph
 
     graph = medallion_graph()
-    sent: list[dict] = []
-    n = push_lineage(graph, sent.append)
-    assert n == len(sent) > 0
+    send = RecordingTransport()
+    n = push_lineage(graph, send)
+    assert n == len(send.calls) > 0
+    # one PUT per (dep -> asset) edge of the graph, all to the
+    # reference's endpoint path (gold_analytics_component.py:294)
+    n_edges = sum(len(a.deps) for a in graph.assets.values())
+    assert n == n_edges
+    assert all(path == LINEAGE_PATH for path, _ in send.calls)
+    sent = [p for _, p in send.calls]
     fqns = {(p["edge"]["fromEntity"]["fqn"], p["edge"]["toEntity"]["fqn"])
             for p in sent}
     assert ("bronze.customer", "silver.dim_customers") in fqns
@@ -159,13 +169,16 @@ def test_catalog_lineage_push_carries_column_edges():
     """VERDICT r3 item 7: edge payloads render per-column lineage
     (reference analog: _build_column_lineage at
     trino_iceberg_transform_component.py:304)."""
-    from university_data_lakehouse_spark.plans.lineage import push_lineage
+    from university_data_lakehouse_spark.plans.lineage import (
+        RecordingTransport,
+        push_lineage,
+    )
     from university_data_lakehouse_spark.plans.medallion import medallion_graph
 
-    sent: list[dict] = []
-    push_lineage(medallion_graph(), sent.append)
+    send = RecordingTransport()
+    push_lineage(medallion_graph(), send)
     by_edge = {(p["edge"]["fromEntity"]["fqn"], p["edge"]["toEntity"]["fqn"]): p
-               for p in sent}
+               for _, p in send.calls}
 
     # silver edge: bronze columns feed silver columns directly
     cl = by_edge[("bronze.customer", "silver.dim_customers")][
@@ -199,6 +212,7 @@ def test_corpus_lineage_matches_live_schemas_and_pushes(spark, sf_dir):
     from university_data_lakehouse_spark.plans.corpus import corpus_graph
     from university_data_lakehouse_spark.plans.lineage import (
         CORPUS_LINEAGE,
+        RecordingTransport,
         push_lineage,
     )
 
@@ -209,9 +223,9 @@ def test_corpus_lineage_matches_live_schemas_and_pushes(spark, sf_dir):
         reg = {c["name"]: c["type"] for c in CORPUS_LINEAGE[table]}
         assert reg == live, (table, reg, live)
 
-    sent: list[dict] = []
-    push_lineage(corpus_graph(), sent.append)
-    by_to = {p["edge"]["toEntity"]["fqn"]: p for p in sent}
+    send = RecordingTransport()
+    push_lineage(corpus_graph(), send)
+    by_to = {p["edge"]["toEntity"]["fqn"]: p for _, p in send.calls}
     cl = by_to["gold.corpus_shards"]["edge"]["lineageDetails"][
         "columnsLineage"]
     tos = {c["toColumn"] for c in cl}
@@ -356,3 +370,38 @@ def test_volume_anomaly_flags_row_count_drift(spark, sf_dir, tmp_path):
     assert out["gold/jumpy"].n_prior == 3
     assert out["gold/young"].n_prior == 0
     assert not out["gold/young"].is_anomaly
+
+
+def test_materialize_pushes_lineage_for_ok_assets_only(spark):
+    """VERDICT r5 #7: the catalog-push transport is wired through
+    graph materialization — one PUT-shaped (path, payload) call per
+    dependency edge of each successfully-materialized asset, and NO
+    pushes for edges into check-failed or skipped assets (the catalog
+    must keep describing the last good lineage)."""
+    from university_data_lakehouse_spark.plans.lineage import (
+        LINEAGE_PATH,
+        RecordingTransport,
+    )
+
+    def bad_fn(s, d, **dep):
+        return s.range(5).select(F.lit(None).cast("bigint").alias("pk"))
+
+    def child_fn(s, d, **dep):
+        return s.range(1)
+
+    g = AssetGraph([
+        Asset("bronze/src", child_fn),
+        Asset("silver/bad", bad_fn, deps=("bronze/src",),
+              checks=(("not_null_pk", not_null_pk("pk")),)),
+        Asset("gold/blocked", child_fn, deps=("silver/bad",)),
+        Asset("gold/fine", child_fn, deps=("bronze/src",)),
+    ])
+    send = RecordingTransport()
+    res = g.materialize(spark, "unused", lineage_send=send)
+    assert res["silver/bad"].status == "check_failed"
+    assert res["gold/blocked"].status == "skipped"
+    assert res["gold/fine"].status == "ok"
+    assert all(path == LINEAGE_PATH for path, _ in send.calls)
+    edges = {(p["edge"]["fromEntity"]["fqn"], p["edge"]["toEntity"]["fqn"])
+             for _, p in send.calls}
+    assert edges == {("bronze.src", "gold.fine")}

@@ -106,6 +106,7 @@ class AssetGraph:
         sf_dir: str,
         keys: Iterable[str] | None = None,
         catalog=None,
+        lineage_send=None,
     ) -> dict[str, AssetResult]:
         """Run assets in dependency order; a failed blocking check
         skips everything downstream (reference blocking semantics).
@@ -115,7 +116,14 @@ class AssetGraph:
         the engine's twin of the reference's per-asset Iceberg CTAS
         (``trino_iceberg_transform_component.py:116``). Check-failed
         assets are NOT committed, so the published table always holds
-        the last good version."""
+        the last good version.
+
+        With a ``lineage_send`` callable ``(path, payload) -> None``,
+        each successfully-materialized asset's dependency edges are
+        pushed in the catalog PUT shape after the run — the engine's
+        twin of the reference registering OpenMetadata lineage at
+        materialization time (``gold_analytics_component.py:288``).
+        Edges into skipped/failed assets are NOT pushed."""
         order = self.toposort(keys)
         results: dict[str, AssetResult] = {}
         materialized: dict[str, DataFrame] = {}
@@ -129,6 +137,17 @@ class AssetGraph:
             # pushdown) for every later query in the session
             for df in materialized.values():
                 df.unpersist()
+        if lineage_send is not None:
+            from .lineage import (  # noqa: PLC0415 — avoid import cycle
+                LINEAGE_PATH,
+                catalog_lineage_payloads,
+            )
+
+            ok = {k.replace("/", ".") for k, r in results.items()
+                  if r.status == "ok"}
+            for p in catalog_lineage_payloads(self):
+                if p["edge"]["toEntity"]["fqn"] in ok:
+                    lineage_send(LINEAGE_PATH, p)
         return results
 
     def _run(self, spark, sf_dir, order, results, materialized, blocked,

@@ -238,11 +238,33 @@ def catalog_lineage_payloads(graph) -> list[dict]:
     return payloads
 
 
-def push_lineage(graph, transport) -> int:
-    """Push every lineage edge through ``transport(payload)`` — a
-    callable so tests record, and production PUTs to the catalog's
-    REST endpoint. Returns the number of edges pushed."""
+# the REST path the reference PUTs each edge to
+# (gold_analytics_component.py:294 ``api_url = f"{host}/api/v1/lineage"``)
+LINEAGE_PATH = "/api/v1/lineage"
+
+
+class RecordingTransport:
+    """Default catalog sender: records each (path, payload) PUT in
+    order. A production sender has the same signature and does
+    ``requests.put(host + path, json=payload)`` (the reference's
+    ``_register_openmetadata_lineage``); tests and dry runs read
+    ``.calls``."""
+
+    def __init__(self) -> None:
+        self.calls: list[tuple[str, dict]] = []
+
+    def __call__(self, path: str, payload: dict) -> None:
+        self.calls.append((path, payload))
+
+
+def push_lineage(graph, send=None) -> int:
+    """Push every lineage edge through ``send(path, payload)`` — one
+    PUT-shaped call per (dep → asset) edge, path = LINEAGE_PATH, in
+    sorted-asset order. ``send`` defaults to a fresh
+    RecordingTransport (record-to-list dry run); pass a requests-
+    backed callable for a live catalog. Returns edges pushed."""
+    transport = send if send is not None else RecordingTransport()
     payloads = catalog_lineage_payloads(graph)
     for p in payloads:
-        transport(p)
+        transport(LINEAGE_PATH, p)
     return len(payloads)
