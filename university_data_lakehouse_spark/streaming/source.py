@@ -58,6 +58,15 @@ class TableChangeFeed:
             json.dump({"version": version}, fh)
         os.replace(tmp, self._cursor_path)
 
+    def reset(self) -> None:
+        """Recovery path for a cursor that points below the table's
+        vacuum horizon (``poll`` raised VersionExpiredError): drop the
+        cursor so the next ``poll`` bootstraps from the CURRENT
+        snapshot (full frame as inserts). Downstream keyed-MERGE
+        idempotency absorbs the re-delivery."""
+        if os.path.exists(self._cursor_path):
+            os.unlink(self._cursor_path)
+
     def poll(self, spark: SparkSession) -> tuple[DataFrame | None, int]:
         """Changes since the cursor, or (None, cursor) when the table
         has no new commits. A cursor of 0 (never polled) delivers the

@@ -155,6 +155,19 @@ class CommitConflict(RuntimeError):
     """Another writer committed the version this writer staged."""
 
 
+class VersionExpiredError(RuntimeError):
+    """A change-feed range references versions VACUUM dropped from
+    the log (Delta parity: reading table_changes past the retention
+    horizon fails with a version-expired error, never a
+    file-not-found mid-stream).
+
+    Recovery for streaming consumers: reset the cursor and bootstrap
+    from the current snapshot (``TableChangeFeed.reset()`` → the next
+    ``poll()`` delivers the full snapshot as inserts), then resume
+    incremental polls — with a keyed idempotent MERGE downstream the
+    re-delivery converges to the same state."""
+
+
 class SchemaMismatch(ValueError):
     """Append schema incompatible with the table schema."""
 
@@ -1208,6 +1221,16 @@ class ManagedTable:
         to_v = self.latest_version() if to_version is None else to_version
         if since_version > to_v:
             raise ValueError(f"since {since_version} > to {to_v}")
+        avail = set(self._versions())
+        missing = [v for v in range(since_version + 1, to_v + 1)
+                   if v not in avail]
+        if missing:
+            raise VersionExpiredError(
+                f"change feed of {self.path} needs versions "
+                f"{missing[0]}..{missing[-1]} which were vacuumed away "
+                f"(oldest retained: {min(avail) if avail else 'none'}); "
+                "reset the cursor and bootstrap from the current "
+                "snapshot (TableChangeFeed.reset)")
         schema = T.StructType.fromJson(self.manifest(to_v)["schema"])
         pby = bool(self.partition_by(to_v))
         actions = [self._action(v)
