@@ -372,6 +372,35 @@ def test_volume_anomaly_flags_row_count_drift(spark, sf_dir, tmp_path):
     assert not out["gold/young"].is_anomaly
 
 
+def test_volume_anomaly_flags_zero_baseline_jump(spark, tmp_path):
+    """ADVICE r5: an asset whose baseline mean is 0 rows must flag
+    when it suddenly writes rows (relative deviation is infinite, not
+    NULL-coalesced-to-0), while a zero-baseline asset that stays at 0
+    stays quiet."""
+    import datetime as dt
+
+    from university_data_lakehouse_spark.plans.assets import AssetResult
+    from university_data_lakehouse_spark.plans.history import (
+        record_run,
+        volume_anomaly,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    t0 = dt.datetime(2026, 8, 14, 8, 0, tzinfo=dt.timezone.utc)
+    counts = [(0, 0), (0, 0), (0, 0), (5_000_000, 0)]
+    for i, (burst, quiet) in enumerate(counts, start=1):
+        record_run(spark, catalog, {
+            "gold/burst": AssetResult("gold/burst", "ok", rows=burst),
+            "gold/quiet": AssetResult("gold/quiet", "ok", rows=quiet),
+        }, run_id=f"run-{i}", ts=t0 + dt.timedelta(hours=i))
+    out = {r.asset_key: r for r in volume_anomaly(
+        spark, catalog, tolerance=0.5, min_history=3).collect()}
+    assert out["gold/burst"].is_anomaly
+    assert out["gold/burst"].deviation == float("inf")
+    assert not out["gold/quiet"].is_anomaly
+
+
 def test_materialize_pushes_lineage_for_ok_assets_only(spark):
     """VERDICT r5 #7: the catalog-push transport is wired through
     graph materialization — one PUT-shaped (path, payload) call per

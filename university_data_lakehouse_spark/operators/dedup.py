@@ -655,7 +655,13 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )).alias("h"),
         )
         # referenced twice (count + join-back): cache so the corpus is
-        # tokenized ONCE — same discipline as the minhash shingle stage
+        # tokenized ONCE — same discipline as the minhash shingle
+        # stage. RETAINED-CACHE CONTRACT (same as _doc_shingle_sets):
+        # the relation stays cached for the session, keyed on the
+        # canonicalized plan, so repeated calls over the SAME input
+        # dir share one materialization; a long-lived driver cycling
+        # through many DISTINCT input dirs should call
+        # spark.catalog.clearCache() between datasets (tests do).
         .cache()
     )
     counts = spans.groupBy("h").agg(

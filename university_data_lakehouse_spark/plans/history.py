@@ -90,10 +90,17 @@ def volume_anomaly(
         F.count(F.lit(1)).alias("n_prior"),
         F.avg("rows").alias("mean_rows"),
     )
+    # mean_rows == 0 (asset historically wrote nothing): any nonzero
+    # latest run is an infinite relative jump — flag it outright
+    # instead of NULLing the deviation (which used to coalesce to 0.0
+    # and pass silently)
     deviation = F.when(
         F.col("mean_rows") > 0,
         F.abs(F.col("latest_rows") - F.col("mean_rows"))
         / F.col("mean_rows"),
+    ).when(
+        (F.col("mean_rows") == 0) & (F.col("latest_rows") > 0),
+        F.lit(float("inf")),
     )
     return (
         latest.join(prior, "asset_key", "left")
