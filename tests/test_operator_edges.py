@@ -181,3 +181,150 @@ def test_dedup_boilerplate_span_arithmetic(spark, tmp_path):
     assert out.loc[3].n_spans == 0
     assert out.loc[3].boiler_fraction == 0.0
     assert not bool(out.loc[3].is_boilerplate_doc)
+
+
+def test_transition_matrix_counts_and_probs(spark, tmp_path):
+    """Hand-built sequences: user 1 goes view->click->view, user 2
+    view->click. Expected pairs: view->click x2, click->view x1; the
+    first event of each user contributes no pair. Probabilities
+    normalize per from_type."""
+    from university_data_lakehouse_spark.operators.events import (
+        events_transition_matrix,
+    )
+
+    rows = [
+        (1, _t(0), 1, "view", 1.0, "{}"),
+        (2, _t(1), 1, "click", 1.0, "{}"),
+        (3, _t(2), 1, "view", 1.0, "{}"),
+        (4, _t(0), 2, "view", 1.0, "{}"),
+        (5, _t(1), 2, "click", 1.0, "{}"),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {(r.from_type, r.to_type): r
+           for r in events_transition_matrix(spark, d).collect()}
+    assert out[("view", "click")].n_transitions == 2
+    assert out[("click", "view")].n_transitions == 1
+    assert out[("view", "click")].probability == 1.0
+    assert out[("click", "view")].probability == 1.0
+    assert ("view", "view") not in out and len(out) == 2
+
+
+def test_value_histogram_bin_edges(spark, tmp_path):
+    """Values exactly on a bin edge belong to the HIGHER bin
+    (floor(25/25) = 1); negatives floor downward (-0.5 -> bin -1)."""
+    from university_data_lakehouse_spark.operators.events import (
+        HIST_BIN_WIDTH,
+        events_value_histogram,
+    )
+
+    assert HIST_BIN_WIDTH == 25.0
+    rows = [
+        (1, _t(0), 1, "view", 0.0, "{}"),
+        (2, _t(0), 1, "view", 24.999, "{}"),
+        (3, _t(0), 1, "view", 25.0, "{}"),
+        (4, _t(0), 1, "view", -0.5, "{}"),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r.bin_id: r for r in events_value_histogram(spark, d).collect()}
+    assert out[0].n_events == 2 and out[0].max_value == 24.999
+    assert out[1].n_events == 1 and out[1].bin_low == 25.0
+    assert out[-1].n_events == 1 and out[-1].bin_low == -25.0
+
+
+def test_vocab_topk_rank_and_tiebreak(spark, tmp_path):
+    """'a b' appears 3x, 'b a' 2x; ties between distinct once-seen
+    bigrams order alphabetically; ranks are per-language."""
+    from university_data_lakehouse_spark.operators.text import (
+        text_vocab_topk,
+    )
+
+    rows = [
+        Row(doc_id=0, text="a b a b a b", lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text="z y", lang="fr", source="s", n_chars=1),
+        Row(doc_id=2, text="z w", lang="fr", source="s", n_chars=1),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    out = text_vocab_topk(spark, d).toPandas()
+    en = out[out.lang == "en"].sort_values("vocab_rank")
+    # "a b a b a b": bigrams a-b, b-a, a-b, b-a, a-b
+    assert list(en.bigram) == ["a b", "b a"]
+    assert list(en.n_occurrences) == [3, 2]
+    fr = out[out.lang == "fr"].sort_values("vocab_rank")
+    assert list(fr.bigram) == ["z w", "z y"]  # tie broken alphabetically
+    assert list(fr.vocab_rank) == [1, 2]
+
+
+def _orders_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "mini_orders")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet"))
+    return d
+
+
+def test_repeat_customers_year_overlap(spark, tmp_path):
+    """1994 actives {1, 2}; 1995 actives {2, 3}: repeat(1994) = 1 of 2;
+    1995's only possible repeat year (1996) is empty -> 0. A customer
+    with two orders in one year still counts once (distinct)."""
+    from university_data_lakehouse_spark.operators.olap import (
+        olap_repeat_customers,
+    )
+
+    d4 = dt.datetime(1994, 6, 1)
+    d5 = dt.datetime(1995, 6, 1)
+    rows = [
+        (1, 1, "F", 10.0, d4, "1-URGENT"),
+        (2, 1, "F", 10.0, d4, "1-URGENT"),   # same cust+year: one active
+        (3, 2, "F", 10.0, d4, "1-URGENT"),
+        (4, 2, "F", 10.0, d5, "1-URGENT"),
+        (5, 3, "F", 10.0, d5, "1-URGENT"),
+    ]
+    d = _orders_dir(spark, tmp_path, rows)
+    out = {r.order_year: r for r in olap_repeat_customers(spark, d).collect()}
+    assert out[1994].n_active == 2 and out[1994].n_repeat == 1
+    assert out[1994].repeat_rate == 0.5
+    assert out[1995].n_active == 2 and out[1995].n_repeat == 0
+
+
+def test_revenue_mom_first_month_null(spark, tmp_path):
+    """First month has NULL prev/growth; growth arithmetic is exact on
+    round decimal inputs (100 -> 150 = +0.5)."""
+    from university_data_lakehouse_spark.operators.olap import (
+        olap_revenue_mom,
+    )
+
+    rows = [
+        (1, 1, "F", 100.0, dt.datetime(1994, 1, 15), "1-URGENT"),
+        (2, 1, "F", 150.0, dt.datetime(1994, 2, 15), "1-URGENT"),
+    ]
+    d = _orders_dir(spark, tmp_path, rows)
+    out = sorted(olap_revenue_mom(spark, d).collect(), key=lambda r: r.month)
+    assert out[0].prev_month_revenue is None and out[0].mom_growth is None
+    assert out[1].prev_month_revenue == 100.0
+    assert out[1].mom_growth == 0.5
+
+
+def test_label_centroids_exact_mean(spark, tmp_path):
+    """Two vectors in one label: centroid is the exact componentwise
+    mean; a single-vector label reproduces its vector."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        emb_label_centroids,
+    )
+
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 6.0], 0), (3, [0.5, -0.25], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {(r.label, r.pos): r.centroid
+           for r in emb_label_centroids(spark, d).collect()}
+    assert out[(0, 1)] == 2.0 and out[(0, 2)] == 4.0
+    assert out[(1, 1)] == 0.5 and out[(1, 2)] == -0.25

@@ -629,7 +629,70 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-analysis statistic behind next-action
+    prediction and funnel discovery (which step follows which, with
+    what probability). lag() over the (user_id, ts, event_id) total
+    order pairs each event with its predecessor; the pair table then
+    aggregates to event-type × event-type counts.
+
+    Scale shape: ONE shuffle on user_id for the lag window (the same
+    partitioning every sequence operator here shares), then the
+    count aggregation is map-side-combinable down to at most
+    |event_type|² rows — the probability normalization window runs
+    on that tiny matrix, never the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wrow = Window.partitionBy("from_type")
+    prob = (
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(wrow).cast("double")
+    )
+    return counts.select(
+        "from_type", "to_type", "n_transitions", prob.alias("probability")
+    )
+
+
+HIST_BIN_WIDTH = 25.0  # fixed-width value bins (value range ~[0, 500])
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — the
+    distribution profiler behind data-drift dashboards. The bin id
+    is floor(value / width) (exact in double for these magnitudes,
+    identical in both engines); counts and decimal-exact bin sums
+    come from ONE map-side-combinable aggregation, output is
+    bin-count-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_id = F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)).cast("long")
+    return (
+        ev.groupBy(F.col("event_type"), bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .withColumn("bin_low", F.col("bin_id").cast("double")
+                    * F.lit(HIST_BIN_WIDTH))
+    )
+
+
 QUERIES = {
+    "events_transition_matrix": events_transition_matrix,
+    "events_value_histogram": events_value_histogram,
     "events_anomaly": events_anomaly,
     "events_value_percentiles": events_value_percentiles,
     "events_value_quartiles": events_value_quartiles,
@@ -675,6 +738,39 @@ _Z_SQL = (
 )
 
 ORACLES = {
+    "events_transition_matrix": """
+        WITH pairs AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        c AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                   / CAST(SUM(n_transitions)
+                          OVER (PARTITION BY from_type) AS DOUBLE)
+                   AS probability
+        FROM c
+    """,
+    "events_value_histogram": f"""
+        SELECT event_type,
+               CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin_id,
+               COUNT(*) AS n_events,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_value,
+               CAST(CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT)
+                    AS DOUBLE) * {HIST_BIN_WIDTH} AS bin_low
+        FROM events
+        GROUP BY 1, 2
+    """,
     "events_anomaly": f"""
         WITH w AS (
             SELECT user_id, event_id, value,

@@ -964,7 +964,75 @@ def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the lag-on-aggregate BI
+    pattern (olap_running_revenue covers the cumulative frame; this
+    covers the offset frame). Pre-aggregate to months FIRST, so the
+    lag window sorts ~#months rows, not the fact. Monthly sums are
+    decimal-exact; the growth ratio divides a decimal-exact delta by
+    a decimal-exact base after ONE cast each, so both engines divide
+    identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("monthly_dec"))
+    w = Window.orderBy("month")
+    prev = F.lag("monthly_dec").over(w)
+    return monthly.select(
+        "month",
+        F.col("monthly_dec").cast("double").alias("monthly_revenue"),
+        prev.cast("double").alias("prev_month_revenue"),
+        (
+            (F.col("monthly_dec") - prev).cast("double")
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    )
+
+
+def olap_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer repeat rate: of the customers active in
+    year Y, how many came back in Y+1 — the INTERSECT-shaped cohort
+    statistic (set overlap between adjacent activity years). The
+    distinct (custkey, year) projection collapses the fact to at most
+    |customers|×|years| rows before any join; the self-join on
+    (custkey, year+1) is then distinct-on-both-sides (≤1 match), so
+    counting matches counts the intersection. One shuffle for the
+    distinct, one co-partitioned self-join, final agg is year-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    ay = orders.select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).distinct()
+    nxt = ay.select(
+        F.col("o_custkey").alias("n_custkey"),
+        (F.col("yr") - 1).alias("n_prev_yr"),
+    )
+    joined = ay.join(
+        nxt,
+        (F.col("o_custkey") == F.col("n_custkey"))
+        & (F.col("yr") == F.col("n_prev_yr")),
+        "left",
+    )
+    return (
+        joined.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("n_custkey").alias("n_repeat"),
+        )
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_active",
+            "n_repeat",
+            (
+                F.col("n_repeat").cast("double")
+                / F.col("n_active").cast("double")
+            ).alias("repeat_rate"),
+        )
+    )
+
+
 QUERIES = {
+    "olap_revenue_mom": olap_revenue_mom,
+    "olap_repeat_customers": olap_repeat_customers,
     "olap_pricing_summary": olap_pricing_summary,
     "olap_late_orders": olap_late_orders,
     "olap_shipping_priority": olap_shipping_priority,
@@ -1001,6 +1069,36 @@ _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
              " * CAST(1 - l_discount AS DECIMAL(12,6))")
 
 ORACLES = {
+    "olap_revenue_mom": """
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monthly_dec
+            FROM orders GROUP BY 1
+        )
+        SELECT month,
+               CAST(monthly_dec AS DOUBLE) AS monthly_revenue,
+               CAST(LAG(monthly_dec) OVER (ORDER BY month) AS DOUBLE)
+                   AS prev_month_revenue,
+               CAST(monthly_dec - LAG(monthly_dec) OVER (ORDER BY month)
+                    AS DOUBLE)
+                   / CAST(LAG(monthly_dec) OVER (ORDER BY month) AS DOUBLE)
+                   AS mom_growth
+        FROM m
+    """,
+    "olap_repeat_customers": """
+        WITH ay AS (
+            SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+            FROM orders
+        )
+        SELECT a.yr AS order_year,
+               COUNT(*) AS n_active,
+               COUNT(b.o_custkey) AS n_repeat,
+               CAST(COUNT(b.o_custkey) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+        FROM ay a
+        LEFT JOIN ay b ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+        GROUP BY 1
+    """,
     "olap_grouping_sets": """
         SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL')
                    AS order_year,

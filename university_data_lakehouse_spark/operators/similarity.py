@@ -688,7 +688,51 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_Q = 1_000_000_000  # fixed-point quantum: 1e-9 per unit
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype statistic
+    behind nearest-centroid classifiers, cluster drift monitors, and
+    label-quality audits. Output is LONG format (label, dimension,
+    centroid component): no array re-assembly, so the plan is
+    posexplode (narrow, bounded ×64 fan-out) → ONE map-side-
+    combinable aggregation on (label, pos) — label-count × dim output
+    rows, metadata-sized at any corpus scale.
+
+    Determinism: a float mean over group ROWS is order-dependent in
+    IEEE double, so each component is quantized first —
+    floor(x · 1e9) as BIGINT (float→double is exact; floor is
+    engine-independent) — summed EXACTLY as integers, and divided
+    back out once: identical doubles in Spark and DuckDB (the
+    fixed-point twin of SURVEY §4's decimal-money discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(float(CENTROID_Q)))
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label",
+            "pos",
+            (
+                (F.col("sum_q").cast("double") / F.lit(float(CENTROID_Q)))
+                / F.col("n_vectors").cast("double")
+            ).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
 QUERIES = {
+    "emb_label_centroids": emb_label_centroids,
     "sim_knn_bruteforce": sim_knn_bruteforce,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
@@ -708,6 +752,20 @@ _SELF_DOT = (
 )
 
 ORACLES = {
+    "emb_label_centroids": f"""
+        WITH e AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                              * {CENTROID_Q}.0) AS BIGINT) AS q
+            FROM embeddings
+        )
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               (CAST(SUM(q) AS DOUBLE) / {CENTROID_Q}.0)
+                   / CAST(COUNT(*) AS DOUBLE) AS centroid,
+               COUNT(*) AS n_vectors
+        FROM e GROUP BY 1, 2
+    """,
     "sim_knn_bruteforce": f"""
         WITH vecs AS (
             SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm FROM embeddings

@@ -13,7 +13,7 @@ left-associated + over identical literals (SURVEY §4).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import TOKEN_RE, shingles, tokens
@@ -275,6 +275,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 20  # merge candidates surfaced per language
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-K bigram vocabulary induction — the first
+    merge step of BPE-style tokenizer training (the most frequent
+    adjacent pair IS the first merge rule), and the corpus statistic
+    vocabulary builders rank on. Parity note: the reference has no
+    tokenizer surface (its text handling is Trino SQL over conformed
+    columns); this is a training-data-pipeline extension.
+
+    Scale shape: bigram generation is a narrow per-doc array map
+    (zip of the token array with its own tail — no join); the only
+    corpus-sized shuffle is the (lang, bigram) count with map-side
+    partial aggregation, so bytes shuffled are bounded by the
+    per-partition DISTINCT bigram vocabulary, not the token stream.
+    The rank window then runs on the aggregated vocabulary table
+    (language-count × vocab-sized — metadata next to a 100 TB
+    corpus). Ties break deterministically by bigram text."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bi = doc.select(
+        "lang", F.explode(shingles(toks, 2)).alias("bigram")
+    )
+    counts = bi.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occurrences").desc(), F.col("bigram")
+    )
+    return (
+        counts.withColumn("vocab_rank", F.row_number().over(w))
+        .where(F.col("vocab_rank") <= VOCAB_TOP_K)
+        .select("lang", "vocab_rank", "bigram", "n_occurrences")
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
@@ -287,6 +324,7 @@ _SHINGLES = (
 )
 
 QUERIES = {
+    "text_vocab_topk": text_vocab_topk,
     "text_repetition": text_repetition,
     "text_lm_quality": text_lm_quality,
     "text_token_stats": text_token_stats,
@@ -296,6 +334,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_vocab_topk": f"""
+        WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+        b AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM t
+        ),
+        c AS (
+            SELECT lang, bigram, COUNT(*) AS n_occurrences
+            FROM b GROUP BY 1, 2
+        )
+        SELECT lang, vocab_rank, bigram, n_occurrences FROM (
+            SELECT lang, bigram, n_occurrences,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY lang
+                        ORDER BY n_occurrences DESC, bigram
+                   ) AS INTEGER) AS vocab_rank
+            FROM c
+        ) WHERE vocab_rank <= {VOCAB_TOP_K}
+    """,
     "text_repetition": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         e AS (SELECT doc_id, unnest(toks) AS tk,
