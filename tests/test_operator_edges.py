@@ -328,3 +328,32 @@ def test_label_centroids_exact_mean(spark, tmp_path):
            for r in emb_label_centroids(spark, d).collect()}
     assert out[(0, 1)] == 2.0 and out[(0, 2)] == 4.0
     assert out[(1, 1)] == 0.5 and out[(1, 2)] == -0.25
+
+
+def test_nearest_centroid_confusion(spark, tmp_path):
+    """Label 0's centroid is +x, label 1's is +y. A label-1 outlier
+    pointing at +x must be assigned to 0 (one off-diagonal cell); the
+    rest of the matrix is diagonal."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        emb_nearest_centroid,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (5, [1.0, 0.05], 1),   # mislabeled: cosine to centroid 0 wins
+    ]
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {(r.label, r.assigned_label): r.n_vectors
+           for r in emb_nearest_centroid(spark, d).collect()}
+    assert out[(0, 0)] == 2
+    assert out[(1, 0)] == 1
+    # the +y pair beats label 1's outlier-dragged centroid regardless:
+    assert out[(1, 1)] == 2
+    assert (0, 1) not in out

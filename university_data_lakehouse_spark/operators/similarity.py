@@ -731,8 +731,74 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix — the
+    label-quality audit (how separable are the labels? which pairs
+    confuse?) and the cheapest pseudo-labeling baseline. Builds the
+    fixed-point-EXACT per-label centroids (same integer-sum math as
+    emb_label_centroids), re-assembles them into ordered arrays
+    entirely ON THE EXECUTORS (array_sort(collect_list(struct(pos,
+    c)))) — no driver collect, unlike quantizer training — broadcasts
+    the label-count-sized centroid table, and assigns every vector to
+    its max-cosine centroid (ties break on the smaller label).
+
+    Scale shape: centroid build is the centroids op (two map-side-
+    combinable aggs to a label×dim table); assignment is a broadcast
+    nested-loop over a partitioned scan — embarrassingly parallel,
+    |labels| fold evaluations per vector; the confusion output is
+    |labels|² rows. All dot products are strict left folds
+    (functions/vector.py), so the whole pipeline replays in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(float(CENTROID_Q)))
+        .cast("long")
+        .alias("q"),
+    )
+    cent_long = exploded.groupBy("label", "pos").agg(
+        F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "label",
+        "pos",
+        (
+            (F.col("sum_q").cast("double") / F.lit(float(CENTROID_Q)))
+            / F.col("n").cast("double")
+        ).alias("c"),
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    ).select(
+        F.col("label").alias("c_label"),
+        "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("c_nrm"),
+    )
+    v = emb.select(
+        "vec_id", "label", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "cosine",
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("c_nrm")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("c_label")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 QUERIES = {
     "emb_label_centroids": emb_label_centroids,
+    "emb_nearest_centroid": emb_nearest_centroid,
     "sim_knn_bruteforce": sim_knn_bruteforce,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
@@ -765,6 +831,50 @@ ORACLES = {
                    / CAST(COUNT(*) AS DOUBLE) AS centroid,
                COUNT(*) AS n_vectors
         FROM e GROUP BY 1, 2
+    """,
+    "emb_nearest_centroid": f"""
+        WITH e AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                              * {CENTROID_Q}.0) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        cl AS (
+            SELECT label, pos,
+                   (CAST(SUM(q) AS DOUBLE) / {CENTROID_Q}.0)
+                       / CAST(COUNT(*) AS DOUBLE) AS c
+            FROM e GROUP BY 1, 2
+        ),
+        cent AS (
+            SELECT label AS c_label, array_agg(c ORDER BY pos) AS cv
+            FROM cl GROUP BY 1
+        ),
+        cn AS (
+            SELECT c_label, cv,
+                   sqrt(list_reduce(list_transform(range(1, 65),
+                        i -> cv[i] * cv[i]), (x, y) -> x + y)) AS c_nrm
+            FROM cent
+        ),
+        v AS (
+            SELECT vec_id, label, embedding, sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label, cn.c_label,
+                   list_reduce(list_transform(range(1, 65),
+                        i -> CAST(v.embedding[i] AS DOUBLE) * cn.cv[i]),
+                        (x, y) -> x + y) / (v.nrm * cn.c_nrm) AS cosine
+            FROM v CROSS JOIN cn
+        ),
+        a AS (
+            SELECT vec_id, label, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, c_label) AS rk
+            FROM scored
+        )
+        SELECT label, c_label AS assigned_label, COUNT(*) AS n_vectors
+        FROM a WHERE rk = 1 GROUP BY 1, 2
     """,
     "sim_knn_bruteforce": f"""
         WITH vecs AS (
