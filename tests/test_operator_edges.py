@@ -357,3 +357,26 @@ def test_nearest_centroid_confusion(spark, tmp_path):
     # the +y pair beats label 1's outlier-dragged centroid regardless:
     assert out[(1, 1)] == 2
     assert (0, 1) not in out
+
+
+def test_rfm_scores_and_recency(spark, tmp_path):
+    """Four users with strictly increasing recency/frequency/monetary
+    get distinct quartiles 1..4 on every axis; recency_days counts
+    whole days back from the corpus max date."""
+    from university_data_lakehouse_spark.operators.events import events_rfm
+
+    rows, eid = [], 0
+    for u in range(1, 5):
+        for k in range(u):          # user u has u events
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, u, 12),
+                         u, "view", float(10 * u), "{}"))
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r.user_id: r for r in events_rfm(spark, d).collect()}
+    # corpus max date is 2024-01-04 (user 4)
+    assert [out[u].recency_days for u in (1, 2, 3, 4)] == [3, 2, 1, 0]
+    for u in (1, 2, 3, 4):
+        assert out[u].r_score == u and out[u].f_score == u
+        assert out[u].m_score == u
+        assert out[u].segment == u * 111
+    assert out[4].frequency == 4 and out[4].monetary == 160.0

@@ -690,7 +690,50 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing-analytics quartile grid. One per-user
+    aggregation (count, decimal-exact value sum, max ts), recency in
+    whole days against the corpus max timestamp (a broadcast 1-row
+    aggregate, never a driver collect), then three NTILE(4) scores
+    (4 = best) over compound total orders so assignment is
+    deterministic in any engine.
+
+    Scale shape: the event scan collapses to a users-sized table
+    before any window; the three global NTILEs are total sorts of
+    that table — at 100 TB you'd replace them with approx_percentile
+    cut points (the documented switch, same as
+    olap_price_percentiles); the quartile semantics here are the
+    exact baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+    )
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    scored = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("ref_day", F.to_date("last_ts"))
+    )
+    wr = Window.orderBy("last_ts", "user_id")
+    wf = Window.orderBy("frequency", "user_id")
+    wm = Window.orderBy("monetary", "user_id")
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_score"),
+        F.ntile(4).over(wf).alias("f_score"),
+        F.ntile(4).over(wm).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
 QUERIES = {
+    "events_rfm": events_rfm,
     "events_transition_matrix": events_transition_matrix,
     "events_value_histogram": events_value_histogram,
     "events_anomaly": events_anomaly,
@@ -738,6 +781,32 @@ _Z_SQL = (
 )
 
 ORACLES = {
+    "events_rfm": """
+        WITH u AS (
+            SELECT user_id,
+                   MAX(ts) AS last_ts,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS monetary
+            FROM events GROUP BY 1
+        ),
+        r AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events)
+        SELECT user_id,
+               CAST(date_diff('day', CAST(last_ts AS DATE), ref_day)
+                    AS INTEGER) AS recency_days,
+               frequency, monetary,
+               CAST(NTILE(4) OVER (ORDER BY last_ts, user_id)
+                    AS INTEGER) AS r_score,
+               CAST(NTILE(4) OVER (ORDER BY frequency, user_id)
+                    AS INTEGER) AS f_score,
+               CAST(NTILE(4) OVER (ORDER BY monetary, user_id)
+                    AS INTEGER) AS m_score,
+               CAST(NTILE(4) OVER (ORDER BY last_ts, user_id) * 100
+                    + NTILE(4) OVER (ORDER BY frequency, user_id) * 10
+                    + NTILE(4) OVER (ORDER BY monetary, user_id)
+                    AS INTEGER) AS segment
+        FROM u CROSS JOIN r
+    """,
     "events_transition_matrix": """
         WITH pairs AS (
             SELECT LAG(event_type) OVER (PARTITION BY user_id
