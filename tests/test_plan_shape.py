@@ -517,3 +517,47 @@ def test_boilerplate_prunes_columns_and_caches_span_stage(spark, sf_dir):
         assert len(scan_ids) <= 2, plan.split("\n\n", 1)[0]
     finally:
         spark.catalog.clearCache()
+
+
+def test_vocab_topk_partial_agg_before_shuffle(spark, sf_dir):
+    """r6: bigram counting must partial-aggregate map-side (two
+    HashAggregate levels around one exchange) so the shuffle carries
+    the per-partition vocabulary, not the exploded token stream; the
+    rank window runs on the aggregated table; scan prunes to
+    (lang, text)."""
+    from university_data_lakehouse_spark.operators.text import text_vocab_topk
+
+    plan = _plan(text_vocab_topk(spark, sf_dir))
+    tree = _tree(plan)
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("HashAggregate") >= 2, tree  # partial + final
+    scan_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in scan_schema.split(",") if c}
+    assert cols == {"lang", "text"}, scan_schema
+
+
+def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
+    """r6: the label-count-sized centroid table must broadcast into
+    the assignment join (BroadcastNestedLoopJoin over the partitioned
+    embeddings scan) — never a shuffle of the corpus against it."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        emb_nearest_centroid,
+    )
+
+    tree = _tree(_plan(emb_nearest_centroid(spark, sf_dir)))
+    assert "BroadcastNestedLoop" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir):
+    """r6: one exchange for the lag window on user_id; the
+    probability-normalization window runs on the |types|^2 count
+    matrix (its exchange moves matrix-sized data, and the count
+    aggregation partial-aggregates before its shuffle)."""
+    from university_data_lakehouse_spark.operators.events import (
+        events_transition_matrix,
+    )
+
+    tree = _tree(_plan(events_transition_matrix(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("HashAggregate") >= 2, tree
