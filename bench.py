@@ -59,6 +59,9 @@ HEADLINE = [
     "sim_knn_pq",
     "sim_knn_ivfpq",
     "text_quality_score",
+    "text_vocab_topk",
+    "emb_nearest_centroid",
+    "events_transition_matrix",
     "text_contamination_semantic",
     "multimodal_decoded",
     "multimodal_features",

@@ -380,3 +380,31 @@ def test_rfm_scores_and_recency(spark, tmp_path):
         assert out[u].m_score == u
         assert out[u].segment == u * 111
     assert out[4].frequency == 4 and out[4].monetary == 160.0
+
+
+def test_first_last_touch_boundaries(spark, tmp_path):
+    """Touches strictly before the FIRST purchase attribute; the
+    purchase-simultaneous event and later events do not. A user whose
+    first purchase has no prior touch is omitted."""
+    from university_data_lakehouse_spark.operators.events import (
+        events_first_last_touch,
+    )
+
+    rows = [
+        # user 1: view(0) click(1) purchase(2) view(3) purchase(4)
+        (1, _t(0), 1, "view", 1.0, "{}"),
+        (2, _t(1), 1, "click", 1.0, "{}"),
+        (3, _t(2), 1, "purchase", 1.0, "{}"),
+        (4, _t(3), 1, "view", 1.0, "{}"),
+        (5, _t(4), 1, "purchase", 1.0, "{}"),
+        # user 2: click at the same instant as the purchase -> no touch
+        (6, _t(5), 2, "click", 1.0, "{}"),
+        (7, _t(5), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase only
+        (8, _t(6), 3, "purchase", 1.0, "{}"),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r.user_id: r for r in events_first_last_touch(spark, d).collect()}
+    assert set(out) == {1}
+    assert out[1].first_touch == "view" and out[1].last_touch == "click"
+    assert out[1].n_touches == 2 and out[1].t_purchase == _t(2)

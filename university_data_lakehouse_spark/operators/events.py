@@ -732,8 +732,48 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution — which
+    channel (event type) opened and which closed the path to each
+    user's FIRST purchase. The purchase boundary is a per-user 1-row
+    aggregate joined back on user_id; the touch window ranks the
+    strictly-before, non-purchase events by the unique (ts, event_id)
+    total order from BOTH ends (two windows sharing one user_id
+    partitioning → one shuffle + one sort), and a final per-user
+    aggregate emits one attribution row. Users whose first purchase
+    has no prior touches are not attributable and are omitted (the
+    standard attribution contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    pre = ev.join(first_purchase, "user_id").where(
+        (F.col("event_type") != "purchase")
+        & (F.col("ts") < F.col("t_purchase"))
+    )
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = pre.select(
+        "user_id", "t_purchase", "event_type",
+        F.row_number().over(wa).alias("rn_first"),
+        F.row_number().over(wd).alias("rn_last"),
+    )
+    return ranked.groupBy("user_id", "t_purchase").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("event_type")))
+        .alias("first_touch"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("event_type")))
+        .alias("last_touch"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+
+
 QUERIES = {
     "events_rfm": events_rfm,
+    "events_first_last_touch": events_first_last_touch,
     "events_transition_matrix": events_transition_matrix,
     "events_value_histogram": events_value_histogram,
     "events_anomaly": events_anomaly,
@@ -781,6 +821,30 @@ _Z_SQL = (
 )
 
 ORACLES = {
+    "events_first_last_touch": """
+        WITH fp AS (
+            SELECT user_id, MIN(ts) AS t_purchase
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        pre AS (
+            SELECT e.user_id, fp.t_purchase, e.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id)
+                       AS rn_first,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts DESC, e.event_id DESC)
+                       AS rn_last
+            FROM events e JOIN fp ON fp.user_id = e.user_id
+            WHERE e.event_type <> 'purchase' AND e.ts < fp.t_purchase
+        )
+        SELECT user_id, t_purchase,
+               MAX(CASE WHEN rn_first = 1 THEN event_type END)
+                   AS first_touch,
+               MAX(CASE WHEN rn_last = 1 THEN event_type END)
+                   AS last_touch,
+               COUNT(*) AS n_touches
+        FROM pre GROUP BY 1, 2
+    """,
     "events_rfm": """
         WITH u AS (
             SELECT user_id,
