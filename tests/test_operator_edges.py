@@ -408,3 +408,39 @@ def test_first_last_touch_boundaries(spark, tmp_path):
     assert set(out) == {1}
     assert out[1].first_touch == "view" and out[1].last_touch == "click"
     assert out[1].n_touches == 2 and out[1].t_purchase == _t(2)
+
+
+def test_top_paths_order_and_cap(spark, tmp_path):
+    """Paths build in (ts, event_id) order, split on the session gap,
+    and truncate at PATH_MAX_LEN steps; ranking breaks count ties
+    alphabetically."""
+    from university_data_lakehouse_spark.operators.events import (
+        PATH_MAX_LEN,
+        events_top_paths,
+    )
+
+    def at(minutes):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1, session 1: view>click (5 min apart); a 2-hour
+        # silence then opens session 2: view
+        (1, at(0), 1, "view", 1.0, "{}"),
+        (2, at(5), 1, "click", 1.0, "{}"),
+        (3, at(125), 1, "view", 1.0, "{}"),
+        # user 2: one session view>click (same path as user 1's first)
+        (4, at(0), 2, "view", 1.0, "{}"),
+        (5, at(0), 2, "click", 1.0, "{}"),  # same ts: event_id orders
+        # user 3: a 10-step session (1 min apart) truncates to
+        # PATH_MAX_LEN
+        *[(6 + k, at(300 + k), 3, "view", 1.0, "{}")
+          for k in range(10)],
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r.path: r for r in events_top_paths(spark, d).collect()}
+    assert out["view>click"].n_sessions == 2
+    assert out["view>click"].path_rank == 1
+    assert out["view"].n_sessions == 1
+    long_path = ">".join(["view"] * PATH_MAX_LEN)
+    assert out[long_path].n_sessions == 1  # truncated, not 10 steps
+    assert len(out) == 3

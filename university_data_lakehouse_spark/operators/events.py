@@ -771,8 +771,63 @@ def events_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_TOP_N = 25   # distinct session paths surfaced
+PATH_MAX_LEN = 8  # only the first N steps of a session identify it
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N session paths — the sequence-frequency statistic behind
+    funnel DISCOVERY (which journeys actually happen, vs the funnel
+    you assumed). Sessions reuse the sessionize gap rule; each
+    session's first PATH_MAX_LEN event types concatenate in (ts,
+    event_id) order into a path string ('view>click>purchase'), and
+    paths rank globally by frequency.
+
+    Scale shape: sessionization's one user_id shuffle, then the path
+    build is a per-(user, session) aggregate sharing that
+    partitioning (collect_list bounded by the LENGTH CAP — state per
+    group is ≤ PATH_MAX_LEN structs after the slice, and the
+    deterministic array_sort runs per session, never globally); the
+    frequency count + rank run on the distinct-paths table, which the
+    cap keeps ≤ |event_types|^PATH_MAX_LEN and in practice
+    vocabulary-sized. Ordering is the unique (ts, event_id) compound
+    key, so the path string is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_num", F.sum(is_new).over(wcum))
+    paths = (
+        sess.groupBy("user_id", "session_num")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                1, PATH_MAX_LEN,
+            ).alias("steps")
+        )
+        .select(F.array_join("steps", ">").alias("path"))
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        counts.withColumn("path_rank", F.row_number().over(wr))
+        .where(F.col("path_rank") <= PATH_TOP_N)
+        .select("path_rank", "path", "n_sessions")
+    )
+
+
 QUERIES = {
     "events_rfm": events_rfm,
+    "events_top_paths": events_top_paths,
     "events_first_last_touch": events_first_last_touch,
     "events_transition_matrix": events_transition_matrix,
     "events_value_histogram": events_value_histogram,
@@ -821,6 +876,42 @@ _Z_SQL = (
 )
 
 ORACLES = {
+    "events_top_paths": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > {SESSION_GAP_MIN} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                       AS session_num
+            FROM flagged
+        ),
+        paths AS (
+            SELECT array_to_string(
+                       list_slice(
+                           list_transform(
+                               list_sort(list((ts, event_id, event_type))),
+                               s -> s[3]),
+                           1, {PATH_MAX_LEN}),
+                       '>') AS path
+            FROM numbered GROUP BY user_id, session_num
+        ),
+        c AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
+        SELECT path_rank, path, n_sessions FROM (
+            SELECT path, n_sessions,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+                        AS INTEGER) AS path_rank
+            FROM c
+        ) WHERE path_rank <= {PATH_TOP_N}
+    """,
     "events_first_last_touch": """
         WITH fp AS (
             SELECT user_id, MIN(ts) AS t_purchase
