@@ -444,3 +444,30 @@ def test_top_paths_order_and_cap(spark, tmp_path):
     long_path = ">".join(["view"] * PATH_MAX_LEN)
     assert out[long_path].n_sessions == 1  # truncated, not 10 steps
     assert len(out) == 3
+
+
+def test_tfidf_scores_and_rank(spark, tmp_path):
+    """Corpus-wide terms get idf = ln(1) = 0; a doc-unique term in a
+    2-doc corpus scores tf * ln(2); repeated terms multiply tf."""
+    import math
+
+    from university_data_lakehouse_spark.operators.text import (
+        text_tfidf_topk,
+    )
+
+    rows = [
+        Row(doc_id=0, text="common rare rare", lang="en", source="s",
+            n_chars=1),
+        Row(doc_id=1, text="common other", lang="en", source="s", n_chars=1),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    out = {(r.doc_id, r.term): r for r in text_tfidf_topk(spark, d).collect()}
+    ln2 = round(math.log(2.0), 6)
+    assert out[(0, "rare")].tfidf == round(2 * math.log(2.0), 6)
+    assert out[(0, "rare")].kw_rank == 1 and out[(0, "rare")].tf == 2
+    assert out[(0, "common")].tfidf == 0.0 and out[(0, "common")].df == 2
+    assert out[(1, "other")].tfidf == ln2
+    assert out[(1, "other")].kw_rank == 1

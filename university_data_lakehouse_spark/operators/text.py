@@ -312,6 +312,55 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5  # keywords surfaced per document
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K TF-IDF keywords — the classic extraction
+    statistic (and the salience weighting behind sparse retrieval).
+    Pass 1 aggregates term frequency per (doc, term); pass 2 derives
+    document frequency per term from THAT table (one row per
+    (doc, term) already, so df is a count, not a distinct) — the df
+    side is vocabulary-sized and broadcasts via AQE; N is a broadcast
+    1-row count. score = tf · ln(N/df).
+
+    Determinism: libm ln differs in the last ulp across engines, so —
+    the text_lm_quality discipline — the score is ROUND(…, 6) on both
+    sides and the per-doc rank orders by the ROUNDED score (then term
+    text), never the raw double. The rank window shares no state with
+    the corpus: it partitions on doc_id over the tf-table rows."""
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double")
+                        / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("t")
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "kw_rank", F.col("t").alias("term"),
+                "tf", "df", "tfidf")
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
@@ -324,6 +373,7 @@ _SHINGLES = (
 )
 
 QUERIES = {
+    "text_tfidf_topk": text_tfidf_topk,
     "text_vocab_topk": text_vocab_topk,
     "text_repetition": text_repetition,
     "text_lm_quality": text_lm_quality,
@@ -334,6 +384,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_topk": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.t, tf.tf, dft.df,
+                   ROUND(CAST(tf.tf AS DOUBLE)
+                         * ln(CAST(n.n_docs AS DOUBLE)
+                              / CAST(dft.df AS DOUBLE)), 6) AS tfidf
+            FROM tf JOIN dft USING (t) CROSS JOIN n
+        )
+        SELECT doc_id, kw_rank, term, tf, df, tfidf FROM (
+            SELECT doc_id, t AS term, tf, df, tfidf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, t)
+                        AS INTEGER) AS kw_rank
+            FROM scored
+        ) WHERE kw_rank <= {TFIDF_TOP_K}
+    """,
     "text_vocab_topk": f"""
         WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
         b AS (
