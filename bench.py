@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_boilerplate",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_auto",
     "dedup_cluster_canonical",
     "sim_knn_bruteforce",
     "sim_knn_lsh",

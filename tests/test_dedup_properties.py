@@ -4,6 +4,8 @@ exact baseline, planted near-duplicates recovered."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -224,3 +226,82 @@ def test_ngram_df_cap_prunes_boilerplate_candidates(spark, tmp_path):
         str(tmp_path),
         "dedup_ngram_jaccard[df-cap corpus]",
     )
+
+
+def test_embedding_lsh_wide_duplicate_recall_and_pruning(spark, tmp_path):
+    """r6 wide banding (8 bands x 16 bits): (a) output is a subset of
+    the exact all-pairs result with identical cosines; (b) planted
+    duplicate-grade pairs (cos >= 0.98) are recovered with recall
+    >= 0.9 — the dedup contract the wide geometry keeps; (c) on a
+    DENSE corpus (one tight cluster, where every 8-bit bucket is
+    crowded) wide banding generates strictly fewer verified+candidate
+    pairs than the narrow geometry — occupancy control is the point."""
+    import numpy as np
+
+    from university_data_lakehouse_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+        dedup_embedding_lsh_wide,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # 30 well-separated base vectors, each with one near-identical
+    # duplicate (tiny noise: cos > 0.999)
+    for _ in range(30):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for noise in (0.0, 1e-3):
+            vec = base + rng.normal(scale=noise, size=64)
+            rows.append((vid, [float(x) for x in vec], 0))
+            vid += 1
+    # one dense cluster of 60 moderately similar vectors (crowds the
+    # 8-bit buckets)
+    center = rng.normal(size=64)
+    center /= np.linalg.norm(center)
+    for _ in range(60):
+        vec = center + rng.normal(scale=0.25, size=64)
+        rows.append((vid, [float(x) for x in vec], 1))
+        vid += 1
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in dedup_embedding_cosine(spark, d).collect()}
+    wide = {(r.id_a, r.id_b): r.cosine
+            for r in dedup_embedding_lsh_wide(spark, d).collect()}
+    narrow = {(r.id_a, r.id_b): r.cosine
+              for r in dedup_embedding_lsh(spark, d).collect()}
+    assert set(wide) <= set(exact)
+    for p, c in wide.items():
+        assert exact[p] == c
+    dup_grade = {p for p, c in exact.items() if c >= 0.98}
+    assert len(dup_grade) >= 30
+    recall = len(dup_grade & set(wide)) / len(dup_grade)
+    assert recall >= 0.9, recall
+    # occupancy control: the dense cluster floods the 8-bit buckets
+    # but spreads across the 16-bit ones
+    assert len(wide) < len(narrow), (len(wide), len(narrow))
+
+
+def test_embedding_lsh_auto_branches_on_corpus_size(spark, sf_dir, tmp_path):
+    """Below WIDE_MIN_VECTORS the adaptive key equals the narrow
+    geometry exactly; above it, the wide one. (The threshold branch
+    is the operator's whole contract — both sides are covered by
+    their own tests.)"""
+    from university_data_lakehouse_spark.operators.dedup import (
+        WIDE_MIN_VECTORS,
+        dedup_embedding_lsh,
+        dedup_embedding_lsh_auto,
+    )
+
+    small = {(r.id_a, r.id_b): r.cosine
+             for r in dedup_embedding_lsh_auto(spark, sf_dir).collect()}
+    narrow = {(r.id_a, r.id_b): r.cosine
+              for r in dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert small == narrow
+    assert WIDE_MIN_VECTORS == 10_000

@@ -396,6 +396,92 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-CORPUS banding geometry for embedding dedup: the
+    same 128-plane signature re-banded as 8 bands × 16 bits (adjacent
+    8-bit band ints fused arithmetically: wide_j = sig_{2j}·256 +
+    sig_{2j+1}), so each band has 2^16 buckets instead of 2^8.
+
+    Why this exists (r6 scale measurement): with FIXED band width,
+    bucket occupancy grows linearly in corpus size and candidate
+    pairs grow QUADRATICALLY — the synthesized 10× dataset showed
+    dedup_embedding_lsh's candidates going 149k → 16.0M (107×) and
+    its runtime 1.4s → 20s. Doubling the band width squares the
+    bucket count, pulling expected occupancy back to O(n/2^16): band
+    width ∝ log₂(n) is THE scale knob for LSH self-joins (SURVEY §6).
+    The recall trade is explicit: collision for a pair at angle θ is
+    1-(1-p^16)^8, ≈0.97 at cos 0.98 (duplicate-grade, the dedup
+    contract) but lower for mid-similarity pairs — the narrow-band
+    operator remains the high-recall geometry for small corpora.
+    Deterministic planes ⇒ same oracle-replay guarantee."""
+    from .similarity import LSH_BANDS as EMB_BANDS  # noqa: PLC0415
+    from .similarity import lsh_signature  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).cache()
+    sig = v.select("vec_id", lsh_signature(F.col("v")).alias("sig"))
+    wide = sig.select(
+        "vec_id",
+        F.array(*[
+            (F.element_at("sig", 2 * j + 1) * 256
+             + F.element_at("sig", 2 * j + 2))
+            for j in range(EMB_BANDS // 2)
+        ]).alias("sig"),
+    )
+    bands = wide.select(
+        "vec_id", F.posexplode(F.col("sig")).alias("band", "bsig")
+    )
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), "band",
+        F.col("bsig").alias("bsig_a"))
+    b = bands.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bsig").alias("bsig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bsig_a") == F.col("bsig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("id_a"),
+                  F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = v.select(F.col("vec_id").alias("id_b"),
+                  F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_TAU)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+WIDE_MIN_VECTORS = 10_000  # corpus size where 8-bit buckets crowd out
+
+
+def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-size-adaptive banding — the production entry point: the
+    narrow high-recall geometry (16×8-bit) below WIDE_MIN_VECTORS,
+    the occupancy-controlled wide geometry (8×16-bit) above it. The
+    decision reads ONE metadata-cheap count (the same discipline as
+    the convergence probes); the oracle replays the identical
+    branch from its own COUNT(*), so the adaptive operator stays
+    fully SQL-checkable at every corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.count() >= WIDE_MIN_VECTORS:
+        return dedup_embedding_lsh_wide(spark, sf_dir)
+    return dedup_embedding_lsh(spark, sf_dir)
+
+
 def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs via min-label
     propagation: every doc in a component converges to the
@@ -701,6 +787,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_cluster_canonical_fast": dedup_cluster_canonical_fast,
     "dedup_name_fuzzy": dedup_name_fuzzy,
@@ -946,6 +1033,56 @@ def _emb_lsh_oracle() -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
+
+
+def _emb_lsh_wide_oracle() -> str:
+    """Replay of the 16-bit re-banding: wide_j = b{2j}*256 + b{2j+1}
+    over the same plane-fold band columns."""
+    from .similarity import LSH_BANDS as EMB_BANDS  # noqa: PLC0415
+    from .similarity import lsh_band_sql_cols  # noqa: PLC0415
+
+    wide_case = (
+        "CASE j "
+        + " ".join(
+            f"WHEN {j} THEN b{2 * j} * 256 + b{2 * j + 1}"
+            for j in range(EMB_BANDS // 2)
+        )
+        + " END"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+                   sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings
+        ),
+        sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
+        melted AS (
+            SELECT vec_id, j AS band_idx, {wide_case} AS band
+            FROM sig, (SELECT unnest(range(0, {EMB_BANDS} // 2)) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM melted x
+            JOIN melted y ON x.band_idx = y.band_idx AND x.band = y.band
+                         AND x.vec_id < y.vec_id
+        )
+        SELECT c.id_a, c.id_b, {_DOT} / (a.nrm * b.nrm) AS cosine
+        FROM cand c
+        JOIN v a ON a.vec_id = c.id_a
+        JOIN v b ON b.vec_id = c.id_b
+        WHERE {_DOT} / (a.nrm * b.nrm) >= {COSINE_TAU}
+    """
+
+
+ORACLES["dedup_embedding_lsh_auto"] = f"""
+    WITH nc AS (SELECT COUNT(*) AS c FROM embeddings)
+    SELECT * FROM ({_emb_lsh_oracle()})
+    WHERE (SELECT c FROM nc) < {WIDE_MIN_VECTORS}
+    UNION ALL
+    SELECT * FROM ({_emb_lsh_wide_oracle()})
+    WHERE (SELECT c FROM nc) >= {WIDE_MIN_VECTORS}
+"""
 # identical output contract, different solver — same replay
 ORACLES["dedup_cluster_canonical_fast"] = ORACLES["dedup_cluster_canonical"]
 
