@@ -471,3 +471,54 @@ def test_tfidf_scores_and_rank(spark, tmp_path):
     assert out[(0, "common")].tfidf == 0.0 and out[(0, "common")].df == 2
     assert out[(1, "other")].tfidf == ln2
     assert out[(1, "other")].kw_rank == 1
+
+
+def test_inter_event_gap_partitioning(spark, tmp_path):
+    """Gaps pair consecutive SAME-type events of the SAME user: the
+    interleaved click never contributes to view gaps, and the other
+    user's view stream is independent."""
+    from university_data_lakehouse_spark.operators.events import (
+        events_inter_event_gap,
+    )
+
+    def at(minutes):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), 1, "view", 1.0, "{}"),
+        (2, at(5), 1, "click", 1.0, "{}"),   # interleaved other type
+        (3, at(10), 1, "view", 1.0, "{}"),   # view gap = 10 min
+        (4, at(0), 2, "view", 1.0, "{}"),
+        (5, at(30), 2, "view", 1.0, "{}"),   # view gap = 30 min
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r.event_type: r for r in events_inter_event_gap(spark, d).collect()}
+    assert "click" not in out                   # one click: no gap
+    v = out["view"]
+    assert v.n_gaps == 2
+    assert v.mean_gap_s == (600 + 1800) / 2
+    assert v.p50_gap_s == (600 + 1800) / 2      # interpolated median
+    assert v.p90_gap_s == 600 + (1800 - 600) * 0.9
+
+
+def test_value_outliers_tukey_fences(spark, tmp_path):
+    """A far-out order is the only fence violation; a tight group has
+    zero outliers; fences replay the q1/q3 +- 1.5 IQR arithmetic."""
+    from university_data_lakehouse_spark.operators.quality import (
+        dq_value_outliers,
+    )
+
+    d4 = dt.datetime(1994, 6, 1)
+    rows = (
+        [(i, 1, "F", 100.0 + i, d4, "1-URGENT") for i in range(9)]
+        + [(9, 1, "F", 10000.0, d4, "1-URGENT")]   # the outlier
+        + [(10 + i, 1, "F", 50.0, d4, "2-HIGH") for i in range(4)]
+    )
+    d = _orders_dir(spark, tmp_path, rows)
+    out = {r.priority: r for r in dq_value_outliers(spark, d).collect()}
+    u = out["1-URGENT"]
+    assert u.n_rows == 10 and u.n_outliers == 1
+    assert u.outlier_frac == 0.1
+    h = out["2-HIGH"]
+    assert h.n_outliers == 0 and h.q1 == h.q3 == 50.0
+    assert h.lo == h.hi == 50.0

@@ -825,8 +825,39 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per event type — the
+    instrumentation-health statistic (is the heartbeat cadence
+    drifting? are sensors going quiet?). Gaps are EXACT integer
+    microseconds between consecutive same-type events of the same
+    user (lag over the unique (ts, event_id) order — one shuffle on
+    user_id); the per-type aggregate then reports count, mean
+    (decimal-exact sum ÷ count) and exact p50/p90 in seconds.
+    Quantile interpolation runs on identical integer-derived doubles
+    in both engines (the olap_price_percentiles discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w))
+    gaps = ev.select(
+        "event_type", gap_us.alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    pct = F.expr("percentile(gap_us, array(0.5D, 0.9D))")
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(1e6)
+        ).alias("mean_gap_s"),
+        (pct.getItem(0) / F.lit(1e6)).alias("p50_gap_s"),
+        (pct.getItem(1) / F.lit(1e6)).alias("p90_gap_s"),
+    )
+
+
 QUERIES = {
     "events_rfm": events_rfm,
+    "events_inter_event_gap": events_inter_event_gap,
     "events_top_paths": events_top_paths,
     "events_first_last_touch": events_first_last_touch,
     "events_transition_matrix": events_transition_matrix,
@@ -876,6 +907,23 @@ _Z_SQL = (
 )
 
 ORACLES = {
+    "events_inter_event_gap": """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_gaps,
+               CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   / 1000000.0 AS mean_gap_s,
+               quantile_cont(gap_us, 0.5) / 1000000.0 AS p50_gap_s,
+               quantile_cont(gap_us, 0.9) / 1000000.0 AS p90_gap_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY 1
+    """,
     "events_top_paths": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id, event_type,

@@ -246,7 +246,51 @@ def _oracle_profile() -> str:
             f"FROM {_PROFILE_TABLE}) {body}")
 
 
+def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier detection per group — the
+    distributional DQ check complementing dq_value_range's static
+    bounds: fences derive from the data (q1 − 1.5·IQR, q3 + 1.5·IQR),
+    so drift is caught without hand-set thresholds. Pass 1 computes
+    exact group quantiles (group-count-sized result, broadcast back);
+    pass 2 counts fence violations in one conditional aggregation —
+    the documented two-scan cost, with approx_percentile as the
+    single-pass 100 TB switch. Quantile interpolation and fence
+    arithmetic are the same double expressions in both engines
+    (the olap_price_percentiles discipline)."""
+    from ..functions.joins import maybe_broadcast  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.75D))")
+    fences = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        pct.getItem(0).alias("q1"),
+        pct.getItem(1).alias("q3"),
+    ).select(
+        "priority", "q1", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    joined = orders.join(
+        maybe_broadcast(fences),
+        F.col("o_orderpriority") == F.col("priority"),
+    )
+    return joined.groupBy("priority", "q1", "q3", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") < F.col("lo"))
+                | (F.col("o_totalprice") > F.col("hi")), 1
+            )
+        ).alias("n_outliers"),
+    ).withColumn(
+        "outlier_frac",
+        F.col("n_outliers").cast("double") / F.col("n_rows").cast("double"),
+    )
+
+
 QUERIES = {
+    "dq_value_outliers": dq_value_outliers,
     "dq_profile": dq_profile,
     "dq_not_null_pk": dq_not_null_pk,
     "dq_no_duplicates": dq_no_duplicates,
@@ -256,6 +300,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_value_outliers": """
+        WITH f AS (
+            SELECT o_orderpriority AS priority,
+                   quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.75) AS q3
+            FROM orders GROUP BY 1
+        ),
+        fences AS (
+            SELECT priority, q1, q3,
+                   q1 - 1.5 * (q3 - q1) AS lo,
+                   q3 + 1.5 * (q3 - q1) AS hi
+            FROM f
+        )
+        SELECT fe.priority, fe.q1, fe.q3, fe.lo, fe.hi,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN o.o_totalprice < fe.lo
+                          OR o.o_totalprice > fe.hi
+                        THEN 1 END) AS n_outliers,
+               CAST(COUNT(CASE WHEN o.o_totalprice < fe.lo
+                               OR o.o_totalprice > fe.hi
+                             THEN 1 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+        FROM orders o JOIN fences fe ON o.o_orderpriority = fe.priority
+        GROUP BY 1, 2, 3, 4, 5
+    """,
     "dq_profile": _oracle_profile(),
     "dq_not_null_pk": _oracle_not_null_pk(),
     "dq_no_duplicates": _oracle_no_duplicates(),
