@@ -126,3 +126,20 @@ def test_embeddings_perturbed_but_close(synth_dir):
         deltas = [abs(a - b) for a, b in zip(src_vec, out_vec)]
         assert max(deltas) > 0.0  # actually perturbed
         assert max(deltas) < 0.1  # but small: cluster structure kept
+
+
+def test_scale_report_classification():
+    """Pure-python slope classifier: superlinear flags exclude the
+    documented quadratic baselines; overhead- vs data-bound split at
+    the ratio thresholds."""
+    import sys
+    sys.path.insert(0, "tools")
+    from scale_report import report
+
+    base = {"a": 1.0, "b": 1.0, "sim_knn_bruteforce": 1.0, "gone": 1.0}
+    big = {"a": 20.0, "b": 8.0, "sim_knn_bruteforce": 50.0, "new": 9.9}
+    rows = {r["query"]: r for r in report(base, big)}
+    assert rows["a"]["class"].startswith("SUPERLINEAR")
+    assert rows["b"]["class"] == "data-bound (healthy linear)"
+    assert rows["sim_knn_bruteforce"]["class"].startswith("quadratic-baseline")
+    assert "new" not in rows and "gone" not in rows

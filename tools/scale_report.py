@@ -1,0 +1,84 @@
+"""Scale-slope report: compare a bench JSON's base timings against
+its synthesized-sf1 section (or any two bench JSONs) and classify
+each query's growth.
+
+The point of the synthesized 10x dataset (tools/synth_scale.py) is a
+data-size DERIVATIVE per query, not another single point: a query
+growing ~10x is data-bound and healthy; far below that is
+overhead-bound at this scale; far ABOVE is superlinear — a candidate
+scale bug (unless it is a documented quadratic baseline like
+sim_knn_bruteforce). This tool turns the two timing dicts into that
+classification so a round's verdict can read it directly.
+
+Usage:
+    python tools/scale_report.py BENCH.json            # base vs sf1_synth
+    python tools/scale_report.py A.json B.json         # A base vs B base
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# ratio thresholds for a 10x data step
+SUPERLINEAR = 12.0   # > data growth: candidate scale bug
+DATA_BOUND = 6.0     # roughly tracks data size
+# below DATA_BOUND: partially or fully overhead-bound at this scale
+
+# documented quadratic-by-construction baselines (SURVEY §6): their
+# superlinear slope is expected, not a bug
+KNOWN_QUADRATIC = {"sim_knn_bruteforce", "dedup_embedding_cosine",
+                   "dedup_ngram_jaccard"}
+
+
+def classify(ratio: float, key: str) -> str:
+    if ratio > SUPERLINEAR:
+        return ("quadratic-baseline (by construction)"
+                if key in KNOWN_QUADRATIC else "SUPERLINEAR — investigate")
+    if ratio >= DATA_BOUND:
+        return "data-bound (healthy linear)"
+    return "overhead-bound at this scale"
+
+
+def report(base: dict[str, float], big: dict[str, float],
+           step: float = 10.0) -> list[dict]:
+    rows = []
+    for key in sorted(big, key=lambda k: -big[k]):
+        if key not in base or base[key] <= 0:
+            continue
+        ratio = big[key] / base[key]
+        rows.append({
+            "query": key,
+            "base_s": base[key],
+            "big_s": big[key],
+            "ratio": round(ratio, 2),
+            "class": classify(ratio, key),
+        })
+    return rows
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if not args:
+        args = ["BENCH_r06.json"]
+    with open(args[0]) as fh:
+        a = json.load(fh)
+    if len(args) > 1:
+        with open(args[1]) as fh:
+            b = json.load(fh)
+        base, big = a["queries"], b["queries"]
+    else:
+        base, big = a["queries"], a["sf1_synth"]["queries"]
+    rows = report(base, big)
+    w = max(len(r["query"]) for r in rows)
+    print(f"{'query':{w}s} {'base_s':>8s} {'big_s':>8s} {'ratio':>6s}  class")
+    for r in rows:
+        print(f"{r['query']:{w}s} {r['base_s']:8.3f} {r['big_s']:8.3f} "
+              f"{r['ratio']:6.2f}  {r['class']}")
+    flagged = [r for r in rows if r["class"].startswith("SUPERLINEAR")]
+    print(f"\n{len(flagged)} superlinear (excl. documented baselines): "
+          + ", ".join(r["query"] for r in flagged))
+
+
+if __name__ == "__main__":
+    main()
