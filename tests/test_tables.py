@@ -983,3 +983,81 @@ def test_bloom_filter_columns_written_and_inherited(spark, catalog):
     assert t.bloom_filter_columns() == ["val"]
     assert t.check_constraints() == {"pos": "id >= 0"}
     assert data_bytes(t) > data_bytes(plain) + 50_000
+
+
+# ---------------------------------------------------------- deletion vectors
+
+
+def test_delete_mor_reads_without_rewrite(spark, catalog):
+    """Merge-on-read DELETE: the data files' bytes stay untouched (no
+    rewrite), a deletion-vector sidecar lands, and every reader sees
+    the post-delete rows; time travel to the pre-delete version still
+    shows everything; row_count() stays metadata-only and correct."""
+    t = catalog.table("mor1")
+    v1 = t.write(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    before = {f["name"] for f in t.manifest(v1)["files"]}
+    v2 = t.delete_where(spark, {"id": (3, 5)}, merge_on_read=True)
+    after = {f["name"] for f in t.manifest(v2)["files"]}
+    assert after == before                       # same data files
+    assert any(f.get("dv") for f in t.manifest(v2)["files"])
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 6, 7, 8, 9]
+    assert t.row_count() == 7                    # manifest-only count
+    assert sorted(r.id for r in t.read(spark, v1).collect()) == list(range(10))
+    assert t.manifest(v2)["operation"] == "delete[mor]"
+
+
+def test_delete_mor_stacks_and_is_idempotent(spark, catalog):
+    """A second MoR delete stacks its vector; re-deleting an
+    already-deleted range commits nothing new (no-op, no version)."""
+    t = catalog.table("mor2")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    v2 = t.delete_where(spark, {"id": (0, 1)}, merge_on_read=True)
+    v3 = t.delete_where(spark, {"id": (8, 9)}, merge_on_read=True)
+    assert v3 == v2 + 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 4, 5, 6, 7]
+    assert t.row_count() == 6
+    v4 = t.delete_where(spark, {"id": (0, 1)}, merge_on_read=True)
+    assert v4 == v3                               # nothing newly deleted
+    assert t.row_count() == 6
+
+
+def test_delete_mor_compact_materializes_and_vacuum_keeps_live_dv(
+        spark, catalog):
+    """compact() materializes the deletes (new entries carry no
+    vectors) and a later vacuum may drop the orphaned DV files — but
+    NEVER a vector still referenced by a retained manifest."""
+    t = catalog.table("mor3")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    v2 = t.delete_where(spark, {"id": (3, 5)}, merge_on_read=True)
+    dv_files = {n for f in t.manifest(v2)["files"]
+                for d in (f.get("dv") or []) for n in d["files"]}
+    assert dv_files
+    # vacuum with the DV version retained: vectors must survive
+    t.vacuum(keep_versions=10, min_age_seconds=0)
+    for n in dv_files:
+        assert os.path.isfile(os.path.join(t.data_dir, n)), n
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 6, 7, 8, 9]
+    v3 = t.compact(spark)
+    assert not any(f.get("dv") for f in t.manifest(v3)["files"])
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 6, 7, 8, 9]
+    assert t.row_count() == 7
+    # now only the compacted version is retained: orphaned DVs go
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert dv_files <= set(removed)
+
+
+def test_delete_mor_feeds_merge_and_cdf(spark, catalog):
+    """MoR-deleted rows are invisible to MERGE (no resurrection) and
+    the change feed classifies the MoR commit as deletes via the
+    keyed diff (it rewrote no bytes but is NOT append-only)."""
+    t = catalog.table("mor4")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    v2 = t.delete_where(spark, {"id": (2, 3)}, merge_on_read=True)
+    ch = t.changes_between(spark, v2 - 1, v2, keys=["id"])
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    assert got == {(2, "delete"), (3, "delete")}
+    t.merge(_df(spark, [(2, "NEW")]), keys=["id"])
+    rows = {r.id: r.val for r in t.read(spark).collect()}
+    assert rows[2] == "NEW" and 3 not in rows
+    assert len(rows) == 5

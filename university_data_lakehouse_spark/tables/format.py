@@ -290,7 +290,10 @@ class ManagedTable:
         counts = [f.get("rows") for f in self.manifest(version)["files"]]
         if any(c is None for c in counts):
             return None
-        return sum(counts)
+        deleted = sum(d["rows"]
+                      for f in self.manifest(version)["files"]
+                      for d in (f.get("dv") or []))
+        return sum(counts) - deleted
 
     def _enforce_constraints(self, df: DataFrame,
                              cons: dict[str, str]) -> None:
@@ -799,6 +802,8 @@ class ManagedTable:
         # keeps mixed-generation files readable after column adds; for
         # a partitioned layout, basePath makes Spark reconstitute the
         # partition columns from the col=value path segments
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         paths = [os.path.join(self.data_dir, *f["name"].split("/"))
                  for f in files]
         if not paths:
@@ -807,7 +812,36 @@ class ManagedTable:
         if partitioned:
             reader = reader.option("basePath", self.data_dir)
         out = reader.parquet(*paths)
-        if partitioned:
+        # merge-on-read DELETE: entries annotated with deletion
+        # vectors get their dropped row POSITIONS filtered at read
+        # time — one anti-join on (file basename, row_index) against
+        # the unioned DV parquet(s). Applied here, in the single
+        # reader every path shares (read / read_where / MERGE /
+        # compact / CDF diff), so every consumer sees post-delete
+        # rows without a rewrite having happened.
+        dv_names = sorted({
+            n for f in files for d in (f.get("dv") or [])
+            for n in d["files"]
+        })
+        if dv_names:
+            dv = spark.read.parquet(*[
+                os.path.join(self.data_dir, *n.split("/"))
+                for n in dv_names
+            ])
+            fkey = F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1)
+            out = (
+                out.withColumn("__dv_fk", fkey)
+                .withColumn("__dv_ri", F.col("_metadata.row_index"))
+                .join(
+                    dv,
+                    (F.col("__dv_fk") == dv["file_key"])
+                    & (F.col("__dv_ri") == dv["row_index"]),
+                    "left_anti",
+                )
+                .drop("__dv_fk", "__dv_ri")
+            )
+        if partitioned or dv_names:
             # basePath reconstitutes identity partition columns from the
             # paths but ALSO appends hidden-transform dir columns (e.g.
             # days_ts) to the schema — project back to the table schema
@@ -1003,6 +1037,7 @@ class ManagedTable:
         spark: SparkSession,
         bounds: dict[str, tuple],
         predicate=None,
+        merge_on_read: bool = False,
     ) -> int:
         """Row-level DELETE (the Delta DML verb MERGE doesn't cover):
         rows matching ``bounds`` (closed [lo, hi] intervals per
@@ -1013,7 +1048,19 @@ class ManagedTable:
         files are rewritten with matching rows filtered out —
         O(touched files), not O(table). Commits a new version at the
         pinned snapshot (OCC: a concurrent commit raises
-        CommitConflict)."""
+        CommitConflict).
+
+        ``merge_on_read=True`` switches to DELETION VECTORS (the
+        public Delta DV / Iceberg positional-delete design): instead
+        of rewriting the touched parquet files, the commit writes a
+        small sidecar of deleted (file, row_index) POSITIONS and
+        re-commits the touched entries annotated with it; every
+        reader anti-joins the positions out (see _read_files). Write
+        cost becomes O(deleted rows), not O(touched bytes) — the
+        right trade for small deletes into huge files (RTBF deletes
+        at 100 TB); ``compact()`` later materializes the deletes and
+        clears the vectors. Repeated MoR deletes stack (vectors
+        accumulate per entry until a rewrite)."""
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         version = self.latest_version()
@@ -1040,8 +1087,6 @@ class ManagedTable:
 
         touched = [f for f in m["files"] if may_match(f)]
         carried = [f for f in m["files"] if not may_match(f)]
-        target = self._read_files(spark, touched, schema,
-                                  partitioned=bool(m.get("partition_by")))
         cond = F.lit(True)
         for col, (lo, hi) in bounds.items():
             if lo is not None:
@@ -1050,9 +1095,90 @@ class ManagedTable:
                 cond = cond & (F.col(col) <= hi)
         if predicate is not None:
             cond = cond & predicate
+        if merge_on_read:
+            return self._delete_mor(spark, m, touched, carried, cond)
+        target = self._read_files(spark, touched, schema,
+                                  partitioned=bool(m.get("partition_by")))
         kept = target.where(~F.coalesce(cond, F.lit(False)))
         return self._rewrite(kept, "delete", base_version=version,
                              carry_files=carried)
+
+    def _delete_mor(self, spark: SparkSession, m: dict,
+                    touched: list[dict], carried: list[dict],
+                    cond) -> int:
+        """Deletion-vector commit: positions of matching rows in the
+        touched files land in a DV parquet; touched entries re-commit
+        with the vector attached (untouched bytes, new metadata). The
+        position scan honors any EXISTING vectors (reading through
+        _read_files' anti-join would lose row_index), so re-deleting
+        an already-deleted row is a no-op rather than a double
+        count."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        schema = T.StructType.fromJson(m["schema"])
+        paths = [os.path.join(self.data_dir, *f["name"].split("/"))
+                 for f in touched]
+        if not paths:
+            return self.latest_version()
+        reader = spark.read.schema(schema)
+        if m.get("partition_by"):
+            reader = reader.option("basePath", self.data_dir)
+        raw = reader.parquet(*paths).select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            .alias("file_key"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "*",
+        )
+        hits = raw.where(F.coalesce(cond, F.lit(False))).select(
+            "file_key", "row_index")
+        # subtract positions already deleted by earlier vectors
+        prior = sorted({n for f in touched
+                        for d in (f.get("dv") or [])
+                        for n in d["files"]})
+        if prior:
+            pdv = spark.read.parquet(*[
+                os.path.join(self.data_dir, *n.split("/")) for n in prior])
+            hits = hits.join(pdv, ["file_key", "row_index"], "left_anti")
+        per_file = {r["file_key"]: r["n"] for r in
+                    hits.groupBy("file_key")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if not per_file:    # nothing newly deleted: no commit
+            return m["version"]
+        tmp = os.path.join(self.path, f"_dv-{uuid.uuid4().hex}")
+        hits.write.mode("overwrite").parquet(tmp)
+        dv_names = []
+        for p in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            name = f"dv-{uuid.uuid4().hex}.parquet"
+            shutil.move(p, os.path.join(self.data_dir, name))
+            dv_names.append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # each entry's "dv" is a list of {"files": [dv parquet names],
+        # "rows": n_deleted_in_this_entry} — one item per MoR commit
+        # that hit the entry; readers union every listed file, the
+        # rows field keeps manifest row_count() metadata-only
+        updated = []
+        for f in touched:
+            k = f["name"].split("/")[-1]
+            if k not in per_file:
+                continue
+            e = dict(f)
+            e["dv"] = list(f.get("dv") or []) + [
+                {"files": dv_names, "rows": per_file[k]}
+            ]
+            updated.append(e)
+        version = m["version"] + 1
+        self._commit(version, {
+            "version": version,
+            "ts": time.time(),
+            "operation": "delete[mor]",
+            "schema": m["schema"],
+            "partition_by": m.get("partition_by") or [],
+            "constraints": m.get("constraints") or {},
+            "bloom_filters": m.get("bloom_filters") or [],
+            "add": updated,
+            "remove": [f["name"] for f in updated],
+        })
+        return version
 
     def update_where(
         self,
@@ -1379,7 +1505,10 @@ class ManagedTable:
         retained = vs[-keep_versions:] if keep_versions > 0 else []
         referenced: set[str] = set()
         for v in retained:
-            referenced |= {f["name"] for f in self.manifest(v)["files"]}
+            for f in self.manifest(v)["files"]:
+                referenced.add(f["name"])
+                for d in f.get("dv") or []:   # live deletion vectors
+                    referenced.update(d["files"])
         removed = []
         now = time.time()
         data_files: list[str] = []
