@@ -1061,3 +1061,33 @@ def test_delete_mor_feeds_merge_and_cdf(spark, catalog):
     rows = {r.id: r.val for r in t.read(spark).collect()}
     assert rows[2] == "NEW" and 3 not in rows
     assert len(rows) == 5
+
+
+def test_update_mor_dv_plus_postimage(spark, catalog):
+    """Merge-on-read UPDATE: old positions go into a deletion vector,
+    post-image rows land in NEW appended files; readers see updated
+    values, time travel sees originals, row_count stays exact, and a
+    CHECK constraint still gates the post-image."""
+    from university_data_lakehouse_spark.tables.format import (
+        ConstraintViolation,
+    )
+
+    t = catalog.table("mor5")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(6)]),
+            constraints={"val_set": "val IS NOT NULL"})
+    v1 = t.latest_version()
+    before = {f["name"] for f in t.manifest(v1)["files"]}
+    v2 = t.update_where(spark, {"id": (2, 3)}, {"val": "UPDATED"},
+                        merge_on_read=True)
+    m2 = t.manifest(v2)
+    assert m2["operation"] == "update[mor]"
+    assert before <= {f["name"] for f in m2["files"]}    # originals kept
+    assert len(m2["files"]) > len(before)                # + post-image
+    rows = {r.id: r.val for r in t.read(spark).collect()}
+    assert rows[2] == rows[3] == "UPDATED" and rows[1] == "v1"
+    assert len(rows) == 6 and t.row_count() == 6
+    old = {r.id: r.val for r in t.read(spark, v1).collect()}
+    assert old[2] == "v2"
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, {"id": (4, 4)}, {"val": None},
+                       merge_on_read=True)

@@ -1096,7 +1096,7 @@ class ManagedTable:
         if predicate is not None:
             cond = cond & predicate
         if merge_on_read:
-            return self._delete_mor(spark, m, touched, carried, cond)
+            return self._delete_mor(spark, m, touched, cond)
         target = self._read_files(spark, touched, schema,
                                   partitioned=bool(m.get("partition_by")))
         kept = target.where(~F.coalesce(cond, F.lit(False)))
@@ -1104,8 +1104,8 @@ class ManagedTable:
                              carry_files=carried)
 
     def _delete_mor(self, spark: SparkSession, m: dict,
-                    touched: list[dict], carried: list[dict],
-                    cond) -> int:
+                    touched: list[dict], cond,
+                    set_exprs: dict | None = None) -> int:
         """Deletion-vector commit: positions of matching rows in the
         touched files land in a DV parquet; touched entries re-commit
         with the vector attached (untouched bytes, new metadata). The
@@ -1152,6 +1152,29 @@ class ManagedTable:
             shutil.move(p, os.path.join(self.data_dir, name))
             dv_names.append(name)
         shutil.rmtree(tmp, ignore_errors=True)
+        # MoR UPDATE: the post-image of the vectored-out rows lands in
+        # NEW files appended by the same commit (constraint-checked
+        # like every write)
+        post_entries: list[dict] = []
+        if set_exprs is not None:
+            matched = raw.join(hits, ["file_key", "row_index"],
+                               "left_semi")
+
+            def upd(fld):
+                if fld.name not in set_exprs:
+                    return F.col(fld.name)
+                val = set_exprs[fld.name]
+                if not isinstance(val, F.Column):
+                    val = F.lit(val)
+                return val.cast(fld.dataType).alias(fld.name)
+
+            post = matched.select(*[upd(f) for f in schema.fields])
+            self._enforce_constraints(post, m.get("constraints") or {})
+            post_entries = self._stage(
+                post,
+                partition_by=(m.get("partition_by") or None),
+                bloom_filters=(m.get("bloom_filters") or None),
+            )
         # each entry's "dv" is a list of {"files": [dv parquet names],
         # "rows": n_deleted_in_this_entry} — one item per MoR commit
         # that hit the entry; readers union every listed file, the
@@ -1170,12 +1193,13 @@ class ManagedTable:
         self._commit(version, {
             "version": version,
             "ts": time.time(),
-            "operation": "delete[mor]",
+            "operation": ("update[mor]" if set_exprs is not None
+                          else "delete[mor]"),
             "schema": m["schema"],
             "partition_by": m.get("partition_by") or [],
             "constraints": m.get("constraints") or {},
             "bloom_filters": m.get("bloom_filters") or [],
-            "add": updated,
+            "add": updated + post_entries,
             "remove": [f["name"] for f in updated],
         })
         return version
@@ -1186,13 +1210,20 @@ class ManagedTable:
         bounds: dict[str, tuple],
         set_exprs: dict,
         predicate=None,
+        merge_on_read: bool = False,
     ) -> int:
         """Row-level UPDATE: rows matching ``bounds`` (+ optional
         ``predicate``) get ``set_exprs`` applied ({column: Column or
         literal}); everything else passes through unchanged. Same
         footer-stats file pruning as delete_where — untouched files
         carry by name — and the same schema gate as every write (an
-        update cannot change a column's type)."""
+        update cannot change a column's type).
+
+        ``merge_on_read=True`` is the DV form (matching Delta's
+        DV-backed UPDATE): the old row POSITIONS go into a deletion
+        vector (touched bytes stay put) and the post-image rows land
+        in NEW files appended by the same commit — write cost
+        O(updated rows), not O(touched bytes)."""
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         version = self.latest_version()
@@ -1219,8 +1250,6 @@ class ManagedTable:
 
         touched = [f for f in m["files"] if may_match(f)]
         carried = [f for f in m["files"] if not may_match(f)]
-        target = self._read_files(spark, touched, schema,
-                                  partitioned=bool(m.get("partition_by")))
         cond = F.lit(True)
         for col, (lo, hi) in bounds.items():
             if lo is not None:
@@ -1230,6 +1259,11 @@ class ManagedTable:
         if predicate is not None:
             cond = cond & predicate
         cond = F.coalesce(cond, F.lit(False))
+        if merge_on_read:
+            return self._delete_mor(spark, m, touched, cond,
+                                    set_exprs=set_exprs)
+        target = self._read_files(spark, touched, schema,
+                                  partitioned=bool(m.get("partition_by")))
 
         def col_for(fld):
             if fld.name not in set_exprs:
