@@ -287,3 +287,35 @@ def test_forget_documents_removes_from_shards_and_hashes(spark, sf_dir,
     # history keeps the rows until vacuum (documented GDPR nuance)
     assert shards.read(spark, pre_shards_v).where(
         F.col("doc_id").isin(victims)).count() == 3
+
+
+def test_forget_documents_merge_on_read_path(spark, sf_dir, tmp_path):
+    """r6 DV form of RTBF: forgotten docs vanish from reads while the
+    shard files' bytes stay in place (deletion-vector commit); the
+    documented physical-removal recipe extends to compact()+vacuum,
+    after which the rows are gone from the data files too."""
+    from university_data_lakehouse_spark.plans.corpus import (
+        SHARDS_TABLE,
+        forget_documents,
+        incremental_corpus_build,
+    )
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    incremental_corpus_build(spark, sf_dir, catalog)
+    shards = catalog.table(SHARDS_TABLE)
+    victims = [r.doc_id for r in shards.read(spark).limit(2).collect()]
+    n = shards.read(spark).count()
+    files_before = {f["name"] for f in shards.manifest()["files"]}
+
+    forget_documents(spark, catalog, victims, merge_on_read=True)
+    m = shards.manifest()
+    assert m["operation"] == "delete[mor]"
+    assert {f["name"] for f in m["files"]} == files_before  # bytes kept
+    assert any(f.get("dv") for f in m["files"])
+    assert shards.read(spark).count() == n - 2
+    assert shards.row_count() == n - 2
+    # physical removal: compact materializes, vacuum reclaims
+    shards.compact(spark)
+    assert not any(f.get("dv") for f in shards.manifest()["files"])
+    shards.vacuum(keep_versions=1, min_age_seconds=0)
+    assert shards.read(spark).count() == n - 2

@@ -133,6 +133,7 @@ def forget_documents(
     spark: SparkSession,
     catalog: TableCatalog,
     doc_ids: list[int],
+    merge_on_read: bool = False,
 ) -> dict[str, int]:
     """Right-to-be-forgotten over the corpus tables: remove the given
     documents from the shard table AND the seen-hash table (so
@@ -147,7 +148,16 @@ def forget_documents(
     versions — prior snapshots still reference the rows until
     ``vacuum()`` expires them. PHYSICAL removal =
     ``forget_documents`` + ``vacuum(keep_versions=1, ...)`` on both
-    tables once the safety horizon allows."""
+    tables once the safety horizon allows.
+
+    ``merge_on_read=True`` takes the deletion-vector path (r6): a
+    handful of forgotten doc_ids scattered across terabyte shard
+    files is the canonical DV case — the commit writes O(forgotten
+    rows) of positions instead of rewriting every touched shard;
+    ``compact()`` (or the periodic rebuild) materializes later. The
+    GDPR nuance doubles: physical removal then additionally requires
+    the compaction that drops the rows from data files, not just the
+    vacuum that expires old snapshots."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     lo, hi = min(doc_ids), max(doc_ids)
@@ -156,7 +166,8 @@ def forget_documents(
     for name in (SHARDS_TABLE, HASHES_TABLE):
         table = catalog.table(name)
         out[name] = table.delete_where(
-            spark, {"doc_id": (lo, hi)}, predicate=pred)
+            spark, {"doc_id": (lo, hi)}, predicate=pred,
+            merge_on_read=merge_on_read)
     return out
 
 
