@@ -522,3 +522,53 @@ def test_value_outliers_tukey_fences(spark, tmp_path):
     h = out["2-HIGH"]
     assert h.n_outliers == 0 and h.q1 == h.q3 == 50.0
     assert h.lo == h.hi == 50.0
+
+
+def test_entropy_hand_values(spark, tmp_path):
+    """'aaaa' has entropy 0; 'ab' has exactly 1 bit = ln 2 nats; a
+    4-char uniform alphabet gives ln 4."""
+    import math
+
+    from university_data_lakehouse_spark.operators.text import text_entropy
+
+    rows = [
+        Row(doc_id=0, text="aaaa", lang="en", source="s", n_chars=4),
+        Row(doc_id=1, text="ab", lang="en", source="s", n_chars=2),
+        Row(doc_id=2, text="abcd", lang="en", source="s", n_chars=4),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in text_entropy(spark, d).collect()}
+    assert out[0].char_entropy == 0.0 and out[0].n_distinct_chars == 1
+    assert out[1].char_entropy == round(math.log(2), 6)
+    assert out[2].char_entropy == round(math.log(4), 6)
+
+
+def test_mixture_plan_weights(spark, tmp_path):
+    """Weight = target/actual capped at MIXTURE_MAX_UPSAMPLE; a lang
+    outside the target config gets weight 0."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        MIXTURE_MAX_UPSAMPLE,
+        corpus_mixture_plan,
+    )
+
+    rows = (
+        [Row(doc_id=i, text="tok " * 10, lang="en", source="s", n_chars=1)
+         for i in range(8)]
+        + [Row(doc_id=100, text="tok " * 10, lang="zh", source="s", n_chars=1)]
+        + [Row(doc_id=200, text="tok " * 10, lang="xx", source="s", n_chars=1)]
+    )
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    out = {r.lang: r for r in corpus_mixture_plan(spark, d).collect()}
+    assert out["en"].actual_share == 0.8
+    assert out["en"].mixture_weight == 0.40 / 0.8
+    # zh: target 0.20, actual 0.1 -> 2.0; under the 5.0 cap
+    assert out["zh"].mixture_weight == 2.0
+    assert out["xx"].target_share == 0.0
+    assert out["xx"].mixture_weight == 0.0
+    assert MIXTURE_MAX_UPSAMPLE == 5.0

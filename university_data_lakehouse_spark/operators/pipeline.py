@@ -497,7 +497,55 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target token shares for the training mixture (the curated-mixture
+# config a data lead sets; sums to 1.0)
+MIXTURE_TARGETS = {
+    "en": 0.40, "zh": 0.20, "es": 0.15, "fr": 0.15, "de": 0.10,
+}
+MIXTURE_MAX_UPSAMPLE = 5.0   # cap the weight of under-represented langs
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: compare each language's ACTUAL
+    token share against the configured TARGET share and derive the
+    sampling weight that reshapes the corpus (weight = target/actual,
+    capped at MIXTURE_MAX_UPSAMPLE so a tiny language cannot explode
+    its epoch count) — the number that feeds sample_weighted's
+    per-stratum epochs. ONE narrow map (token counts per doc) + ONE
+    lang aggregate; shares divide exact integer token totals, so the
+    doubles are bit-identical across engines. A language absent from
+    the target config gets weight 0 (excluded from the mixture)."""
+    from ..functions.textfns import tokens  # noqa: PLC0415
+
+    doc = load_table(spark, sf_dir, "documents")
+    per_lang = doc.select(
+        "lang", F.size(tokens(F.col("text"))).alias("nt")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    target = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(share))
+          for lg, share in sorted(MIXTURE_TARGETS.items())],
+        F.lit(0.0),
+    )
+    actual = (F.col("n_tokens").cast("double")
+              / F.col("total_tokens").cast("double"))
+    return per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        actual.alias("actual_share"),
+        target.alias("target_share"),
+        F.least(
+            target / actual, F.lit(MIXTURE_MAX_UPSAMPLE)
+        ).alias("mixture_weight"),
+    )
+
+
 QUERIES = {
+    "corpus_mixture_plan": corpus_mixture_plan,
     "sample_stratified": sample_stratified,
     "sample_weighted": sample_weighted,
     "sample_split": sample_split,
@@ -639,7 +687,30 @@ _W_FRAC_SQL = ("CASE lang "
                           for lang, (_, hx) in WEIGHTED_EPOCHS.items())
                + f" ELSE '{WEIGHTED_DEFAULT[1]}' END")
 
+_MIX_TARGET_CASE = ("CASE lang " + " ".join(
+    f"WHEN '{lg}' THEN {share}"
+    for lg, share in sorted(MIXTURE_TARGETS.items())
+) + " ELSE 0.0 END")
+
 ORACLES = {
+    "corpus_mixture_plan": f"""
+        WITH pl AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(regexp_extract_all(lower(text),
+                           '[a-z0-9]+'))) AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total_tokens FROM pl)
+        SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                   AS actual_share,
+               {_MIX_TARGET_CASE} AS target_share,
+               LEAST(({_MIX_TARGET_CASE})
+                     / (CAST(n_tokens AS DOUBLE)
+                        / CAST(total_tokens AS DOUBLE)),
+                     {MIXTURE_MAX_UPSAMPLE}) AS mixture_weight
+        FROM pl CROSS JOIN tot
+    """,
     "chunk_documents": f"""
         WITH d AS (
             SELECT doc_id, lang, text,

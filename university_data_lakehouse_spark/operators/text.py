@@ -361,6 +361,42 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate signal (low entropy = repeated filler, high
+    entropy = encrypted/binary junk) quality pipelines threshold on.
+    Pure JVM array expressions: chars → SORTED distinct alphabet →
+    per-char counts → -Σ p·ln p folded in alphabet order. Zero
+    shuffle, embarrassingly parallel. The ln() sum takes the ROUND 6
+    discipline; the alphabet is sorted on BOTH sides so the float
+    fold order is pinned (list_distinct order is not guaranteed in
+    either engine). O(alphabet × len) per doc, bounded by the doc."""
+    doc = load_table(spark, sf_dir, "documents")
+    # [\s\S] matches EVERY char incl. newlines — the one split idiom
+    # Spark's Java regex and DuckDB's RE2 agree on
+    cs = F.regexp_extract_all("text", F.lit(r"[\s\S]"), F.lit(0))
+    alphabet = F.array_sort(F.array_distinct(cs))
+    n = F.size(cs).cast("double")
+    counts = F.transform(
+        alphabet, lambda d: F.size(F.filter(cs, lambda c: c == d))
+    )
+    ent = F.round(
+        -F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (c.cast("double") / n) * F.log(c.cast("double") / n),
+        ),
+        6,
+    )
+    return doc.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(alphabet).alias("n_distinct_chars"),
+        ent.alias("char_entropy"),
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
@@ -373,6 +409,7 @@ _SHINGLES = (
 )
 
 QUERIES = {
+    "text_entropy": text_entropy,
     "text_tfidf_topk": text_tfidf_topk,
     "text_vocab_topk": text_vocab_topk,
     "text_repetition": text_repetition,
@@ -384,6 +421,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_entropy": r"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '[\s\S]') AS cs
+            FROM documents
+        ),
+        a AS (
+            SELECT doc_id, text, cs,
+                   list_sort(list_distinct(cs)) AS alphabet
+            FROM t
+        )
+        SELECT doc_id,
+               LENGTH(text) AS len_chars,
+               len(alphabet) AS n_distinct_chars,
+               ROUND(-list_reduce(
+                   list_prepend(0.0, list_transform(alphabet,
+                       d -> (CAST(len(list_filter(cs, c -> c = d))
+                                  AS DOUBLE) / CAST(len(cs) AS DOUBLE))
+                            * ln(CAST(len(list_filter(cs, c -> c = d))
+                                      AS DOUBLE)
+                                 / CAST(len(cs) AS DOUBLE)))),
+                   (x, y) -> x + y), 6) AS char_entropy
+        FROM a
+    """,
     "text_tfidf_topk": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_TOKS}) AS t FROM documents
