@@ -195,3 +195,40 @@ def test_chunk_means_properties(vals):
             assert lo - 1e-9 <= m <= hi + 1e-9
         else:
             assert m == 0.0
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_given(_st.lists(_st.text(alphabet="abc ", min_size=0, max_size=12),
+                  min_size=0, max_size=8),
+        _st.integers(min_value=2, max_value=4))
+@_settings(max_examples=25, deadline=None)
+def test_shingles_zip_form_matches_indexed_form(spark, toks, n):
+    """r6: the zip-of-slices shingle rewrite must be byte-identical
+    to the definitional indexed form (concat_ws over element_at) for
+    any token list and n — including the short-doc empty case."""
+    from pyspark.sql import Row, functions as F
+
+    from university_data_lakehouse_spark.functions.textfns import shingles
+
+    def indexed(tok_col, n, sep=" "):
+        size = F.size(tok_col)
+        idx = F.sequence(F.lit(1), size - (n - 1))
+        make = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(tok_col, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(size >= n, make).otherwise(
+            F.array().cast("array<string>"))
+
+    df = spark.createDataFrame([Row(toks=toks)],
+                               "toks array<string>")
+    got = df.select(
+        shingles(F.col("toks"), n).alias("a"),
+        indexed(F.col("toks"), n).alias("b"),
+    ).collect()[0]
+    assert got.a == got.b
