@@ -561,3 +561,21 @@ def test_transition_matrix_single_user_shuffle(spark, sf_dir):
     tree = _tree(_plan(events_transition_matrix(spark, sf_dir)))
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("HashAggregate") >= 2, tree
+
+
+def test_dv_read_broadcasts_vector_anti_join(spark, tmp_path):
+    """r6: a deletion-vector read must anti-join the (tiny) DV table
+    via broadcast — the corpus-sized scan never shuffles for its own
+    delete filter."""
+    from pyspark.sql import Row
+
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    t = cat.table("dvplan")
+    t.write(spark.createDataFrame([Row(id=i, val=str(i))
+                                   for i in range(100)]))
+    t.delete_where(spark, {"id": (10, 20)}, merge_on_read=True)
+    tree = _tree(_plan(t.read(spark)))
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
