@@ -136,10 +136,13 @@ def test_scale_report_classification():
     sys.path.insert(0, "tools")
     from scale_report import report
 
-    base = {"a": 1.0, "b": 1.0, "sim_knn_bruteforce": 1.0, "gone": 1.0}
-    big = {"a": 20.0, "b": 8.0, "sim_knn_bruteforce": 50.0, "new": 9.9}
+    base = {"a": 1.0, "b": 1.0, "sim_knn_bruteforce": 1.0, "gone": 1.0,
+            "dedup_embedding_lsh": 1.0}
+    big = {"a": 20.0, "b": 8.0, "sim_knn_bruteforce": 50.0, "new": 9.9,
+           "dedup_embedding_lsh": 14.0}
     rows = {r["query"]: r for r in report(base, big)}
     assert rows["a"]["class"].startswith("SUPERLINEAR")
     assert rows["b"]["class"] == "data-bound (healthy linear)"
     assert rows["sim_knn_bruteforce"]["class"].startswith("quadratic-baseline")
+    assert rows["dedup_embedding_lsh"]["class"].startswith("quadratic-baseline")
     assert "new" not in rows and "gone" not in rows

@@ -26,9 +26,12 @@ DATA_BOUND = 6.0     # roughly tracks data size
 # below DATA_BOUND: partially or fully overhead-bound at this scale
 
 # documented quadratic-by-construction baselines (SURVEY §6): their
-# superlinear slope is expected, not a bug
+# superlinear slope is expected, not a bug. dedup_embedding_lsh is
+# the FIXED-geometry banding kept for small-corpus recall — its
+# scale sibling dedup_embedding_lsh_auto re-bands above 10k vectors
+# (the side-by-side slope in the same bench is the evidence).
 KNOWN_QUADRATIC = {"sim_knn_bruteforce", "dedup_embedding_cosine",
-                   "dedup_ngram_jaccard"}
+                   "dedup_ngram_jaccard", "dedup_embedding_lsh"}
 
 
 def classify(ratio: float, key: str) -> str:
