@@ -572,3 +572,26 @@ def test_mixture_plan_weights(spark, tmp_path):
     assert out["xx"].target_share == 0.0
     assert out["xx"].mixture_weight == 0.0
     assert MIXTURE_MAX_UPSAMPLE == 5.0
+
+
+def test_customer_abc_pareto_cuts(spark, tmp_path):
+    """Four customers with revenues 60/20/15/5 (total 100): cum
+    shares 0.60/0.80/0.95/1.00 — the boundary customers land IN the
+    class their cumulative share closes (<= semantics)."""
+    from university_data_lakehouse_spark.operators.olap import (
+        olap_customer_abc,
+    )
+
+    d4 = dt.datetime(1996, 6, 1)
+    rows = [
+        (1, 1, "F", 60.0, d4, "1-URGENT"),
+        (2, 2, "F", 20.0, d4, "1-URGENT"),
+        (3, 3, "F", 15.0, d4, "1-URGENT"),
+        (4, 4, "F", 5.0, d4, "1-URGENT"),
+    ]
+    d = _orders_dir(spark, tmp_path, rows)
+    out = {r.custkey: r for r in olap_customer_abc(spark, d).collect()}
+    assert out[1].abc_class == "A" and out[1].cum_revenue_share == 0.60
+    assert out[2].abc_class == "A" and out[2].cum_revenue_share == 0.80
+    assert out[3].abc_class == "B" and out[3].cum_revenue_share == 0.95
+    assert out[4].abc_class == "C" and out[4].cum_revenue_share == 1.00

@@ -1030,7 +1030,53 @@ def olap_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABC_A_CUT = 0.80   # A-class: customers covering the first 80% of revenue
+ABC_B_CUT = 0.95   # B-class: the next 15%
+
+
+def olap_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC customer classification — the 80/15/5 revenue
+    concentration report: customers rank by lifetime revenue and
+    class A covers the first 80% of cumulative revenue, B the next
+    15%, C the tail. The fact collapses to one row per customer
+    BEFORE any window; the cumulative share then runs over the
+    customers-sized aggregate under a compound total order
+    (revenue desc, custkey). Revenue and the running sum are
+    decimal-exact; the share divides two exact decimals once, so the
+    class thresholds compare identical doubles in both engines. The
+    single unpartitioned window is customers-sized — the documented
+    scale switch is banding by approx-quantile revenue cuts first."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
+    total = per_cust.agg(F.sum("rev_dec").alias("total_dec"))
+    cum_share = (
+        F.sum("rev_dec").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double") / F.col("total_dec").cast("double")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(total))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            cum_share.alias("cum_revenue_share"),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_revenue_share") <= ABC_A_CUT, "A")
+            .when(F.col("cum_revenue_share") <= ABC_B_CUT, "B")
+            .otherwise("C"),
+        )
+    )
+
+
 QUERIES = {
+    "olap_customer_abc": olap_customer_abc,
     "olap_revenue_mom": olap_revenue_mom,
     "olap_repeat_customers": olap_repeat_customers,
     "olap_pricing_summary": olap_pricing_summary,
@@ -1069,6 +1115,29 @@ _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
              " * CAST(1 - l_discount AS DECIMAL(12,6))")
 
 ORACLES = {
+    "olap_customer_abc": f"""
+        WITH pc AS (
+            SELECT o_custkey AS custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        tot AS (SELECT SUM(rev_dec) AS total_dec FROM pc),
+        shares AS (
+            SELECT custkey, n_orders,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   CAST(SUM(rev_dec) OVER (
+                        ORDER BY rev_dec DESC, custkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / CAST(total_dec AS DOUBLE) AS cum_revenue_share
+            FROM pc CROSS JOIN tot
+        )
+        SELECT custkey, n_orders, revenue, cum_revenue_share,
+               CASE WHEN cum_revenue_share <= {ABC_A_CUT} THEN 'A'
+                    WHEN cum_revenue_share <= {ABC_B_CUT} THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM shares
+    """,
     "olap_revenue_mom": """
         WITH m AS (
             SELECT date_trunc('month', o_orderdate) AS month,
