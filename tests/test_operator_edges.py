@@ -595,3 +595,29 @@ def test_customer_abc_pareto_cuts(spark, tmp_path):
     assert out[2].abc_class == "A" and out[2].cum_revenue_share == 0.80
     assert out[3].abc_class == "B" and out[3].cum_revenue_share == 0.95
     assert out[4].abc_class == "C" and out[4].cum_revenue_share == 1.00
+
+
+def test_active_users_window_arithmetic(spark, tmp_path):
+    """User 1 active on day 0, user 2 on day 5: day-5 DAU counts only
+    user 2, WAU (7d) counts both, and a day-8 report (activity that
+    day) keeps user 1 in MAU but drops them from WAU (offset 8 > 6)."""
+    from university_data_lakehouse_spark.operators.events import (
+        events_active_users,
+    )
+
+    def on(day):
+        return dt.datetime(2024, 1, 1 + day, 12)
+
+    rows = [
+        (1, on(0), 1, "view", 1.0, "{}"),
+        (2, on(5), 2, "view", 1.0, "{}"),
+        (3, on(8), 2, "view", 1.0, "{}"),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    out = {r.report_day.day: r for r in
+           events_active_users(spark, d).collect()}
+    assert set(out) == {1, 6, 9}             # only days with activity
+    assert (out[1].dau, out[1].wau, out[1].mau) == (1, 1, 1)
+    assert (out[6].dau, out[6].wau, out[6].mau) == (1, 2, 2)
+    assert (out[9].dau, out[9].wau, out[9].mau) == (1, 1, 2)
+    assert out[9].stickiness == 0.5

@@ -855,7 +855,64 @@ def events_inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAU_DAYS = 7
+MAU_DAYS = 30
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) per calendar day — the
+    canonical product-health dashboard. The event stream first
+    collapses to the distinct (user, day) table; each of its rows
+    then CONTRIBUTES to the ≤7 / ≤30 trailing windows it falls in via
+    a bounded explode (fan-out 30 of a users×days-sized table —
+    metadata next to the stream), and a distinct count per
+    (window day) gives the trailing actives. Only days with actual
+    activity are reported. All-integer arithmetic; stickiness divides
+    two exact counts. At 100 TB the explode stays proportional to
+    users×days, never events — the pre-collapse IS the operator; the
+    sketch-based alternative (daily HLL union, events_daily_user_
+    sketches) answers the same question without the fan-out when
+    approximate counts suffice."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(MAU_DAYS - 1))
+        ).alias("offset"),
+        "day",
+    ).select(
+        "user_id",
+        "offset",
+        F.date_add("day", F.col("offset")).alias("report_day"),
+    )
+    agg = contrib.join(
+        days.select(F.col("day").alias("report_day")), "report_day"
+    ).groupBy("report_day").agg(
+        F.countDistinct(
+            F.when(F.col("offset") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("offset") < WAU_DAYS, F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return agg.select(
+        # stay TIMESTAMP on the way out: a DATE maps to different
+        # pandas dtypes per engine (the olap_running_revenue note)
+        F.col("report_day").cast("timestamp").alias("report_day"),
+        "dau", "wau", "mau",
+        (
+            F.col("dau").cast("double") / F.col("mau").cast("double")
+        ).alias("stickiness"),
+    )
+
+
 QUERIES = {
+    "events_active_users": events_active_users,
     "events_rfm": events_rfm,
     "events_inter_event_gap": events_inter_event_gap,
     "events_top_paths": events_top_paths,
@@ -983,6 +1040,29 @@ ORACLES = {
                    AS last_touch,
                COUNT(*) AS n_touches
         FROM pre GROUP BY 1, 2
+    """,
+    "events_active_users": f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        days AS (SELECT DISTINCT day AS report_day FROM ud),
+        contrib AS (
+            SELECT user_id, o AS "offset", day + CAST(o AS INTEGER)
+                       AS report_day
+            FROM ud, (SELECT unnest(range(0, {MAU_DAYS})) AS o)
+        )
+        SELECT CAST(c.report_day AS TIMESTAMP) AS report_day,
+               COUNT(DISTINCT CASE WHEN c."offset" = 0
+                                   THEN c.user_id END) AS dau,
+               COUNT(DISTINCT CASE WHEN c."offset" < {WAU_DAYS}
+                                   THEN c.user_id END) AS wau,
+               COUNT(DISTINCT c.user_id) AS mau,
+               CAST(COUNT(DISTINCT CASE WHEN c."offset" = 0
+                                        THEN c.user_id END) AS DOUBLE)
+                   / CAST(COUNT(DISTINCT c.user_id) AS DOUBLE)
+                   AS stickiness
+        FROM contrib c JOIN days d ON d.report_day = c.report_day
+        GROUP BY 1
     """,
     "events_rfm": """
         WITH u AS (
