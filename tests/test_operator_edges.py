@@ -621,3 +621,31 @@ def test_active_users_window_arithmetic(spark, tmp_path):
     assert (out[6].dau, out[6].wau, out[6].mau) == (1, 2, 2)
     assert (out[9].dau, out[9].wau, out[9].mau) == (1, 1, 2)
     assert out[9].stickiness == 0.5
+
+
+def test_basket_affinity_counts_and_lift(spark, tmp_path):
+    """Three orders: {1,2}, {1,2}, {1,3}. Pair (1,2) co-occurs twice;
+    lift(1,2) = (2*3)/(3*2) = 1.0; pair (1,3) once with lift
+    (1*3)/(3*1) = 1.0; pair (2,3) never co-occurs (absent). A
+    duplicate line of the same part counts once (distinct)."""
+    from university_data_lakehouse_spark.operators.olap import (
+        olap_basket_affinity,
+    )
+
+    d = str(tmp_path / "mini_li")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (10, 1), (10, 2), (10, 2),    # duplicate part line
+        (20, 1), (20, 2),
+        (30, 1), (30, 3),
+    ]
+    spark.createDataFrame(
+        [(o, p, 1, 1.0, 0.0, dt.datetime(1996, 1, 1)) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_discount double, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    out = {(r.pa, r.pb): r for r in olap_basket_affinity(spark, d).collect()}
+    assert out[(1, 2)].n_both == 2 and out[(1, 2)].pair_rank == 1
+    assert out[(1, 2)].lift == 1.0 and out[(1, 2)].support == 2 / 3
+    assert out[(1, 3)].n_both == 1 and out[(1, 3)].lift == 1.0
+    assert (2, 3) not in out and len(out) == 2

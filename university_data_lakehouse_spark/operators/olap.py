@@ -1075,7 +1075,67 @@ def olap_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_TOP_K = 50   # co-occurrence pairs surfaced
+
+
+def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity — the association-mining statistic
+    (which parts ship together, with what lift over independence)
+    behind recommendations and assortment planning. The fact first
+    collapses to distinct (order, part); the pair generation is a
+    SELF-JOIN CO-PARTITIONED ON o_orderkey with fan-out bounded by
+    C(lines-per-order, 2) — a per-order constant, never corpus-
+    quadratic. Pair counts, per-part order counts, and the global
+    order count are all exact integers; support and lift divide them
+    once, so both engines emit identical doubles. Top-K by
+    (pair count desc, part keys) on the aggregated pairs table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pa"))
+    b = op.select(
+        F.col("l_orderkey").alias("okey_b"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("okey") == F.col("okey_b"))
+               & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    per_part = op.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_part"))
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy(F.col("n_both").desc(), F.col("pa"), F.col("pb"))
+    ranked = (
+        pairs.withColumn("pair_rank", F.row_number().over(w))
+        .where(F.col("pair_rank") <= BASKET_TOP_K)
+    )
+    pa_cnt = per_part.select(F.col("pk").alias("pa"),
+                             F.col("n_part").alias("n_a"))
+    pb_cnt = per_part.select(F.col("pk").alias("pb"),
+                             F.col("n_part").alias("n_b"))
+    return (
+        ranked.join(maybe_broadcast(pa_cnt), "pa")
+        .join(maybe_broadcast(pb_cnt), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pair_rank", "pa", "pb", "n_both", "n_a", "n_b",
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                (F.col("n_both").cast("double")
+                 * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double")
+                   * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
 QUERIES = {
+    "olap_basket_affinity": olap_basket_affinity,
     "olap_customer_abc": olap_customer_abc,
     "olap_revenue_mom": olap_revenue_mom,
     "olap_repeat_customers": olap_repeat_customers,
@@ -1115,6 +1175,41 @@ _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
              " * CAST(1 - l_discount AS DECIMAL(12,6))")
 
 ORACLES = {
+    "olap_basket_affinity": f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   COUNT(*) AS n_both
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        pp AS (
+            SELECT l_partkey AS pk, COUNT(*) AS n_part FROM op GROUP BY 1
+        ),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+        ranked AS (
+            SELECT pa, pb, n_both,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY n_both DESC, pa, pb) AS INTEGER)
+                       AS pair_rank
+            FROM pairs
+        )
+        SELECT pair_rank, pa, pb, n_both,
+               ca.n_part AS n_a, cb.n_part AS n_b,
+               CAST(n_both AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+                   AS support,
+               (CAST(n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+                   / (CAST(ca.n_part AS DOUBLE)
+                      * CAST(cb.n_part AS DOUBLE)) AS lift
+        FROM ranked
+        JOIN pp ca ON ca.pk = ranked.pa
+        JOIN pp cb ON cb.pk = ranked.pb
+        CROSS JOIN n
+        WHERE pair_rank <= {BASKET_TOP_K}
+    """,
     "olap_customer_abc": f"""
         WITH pc AS (
             SELECT o_custkey AS custkey,
