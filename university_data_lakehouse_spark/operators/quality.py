@@ -289,7 +289,40 @@ def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (table, event-time column) pairs with freshness expectations —
+# mirrors the per-source freshness SLAs in sources/systems.py
+_FRESHNESS_COLS = (
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+    ("events", "ts"),
+)
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness watermarks per time-bearing table (the reference's
+    freshness checks, s3_data_landing_component.py:165-196, as an
+    ORACLE-CHECKED registry key — the SLA evaluation against now()
+    lives in sources/systems.py where it belongs; this key reports
+    the watermark facts a monitor alerts on): newest and oldest
+    event time plus the span in whole days. One metadata-cheap
+    min/max aggregate per table — at 100 TB these come from footer
+    stats via a manifest, not a scan."""
+    parts = []
+    for t, col in _FRESHNESS_COLS:
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.min(col).alias("oldest_ts"),
+                F.max(col).alias("newest_ts"),
+                F.datediff(F.max(col), F.min(col)).alias("span_days"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    return _union(parts)
+
+
 QUERIES = {
+    "dq_freshness": dq_freshness,
     "dq_value_outliers": dq_value_outliers,
     "dq_profile": dq_profile,
     "dq_not_null_pk": dq_not_null_pk,
@@ -299,7 +332,21 @@ QUERIES = {
     "dq_value_range": dq_value_range,
 }
 
+def _oracle_freshness() -> str:
+    sel = []
+    for t, col in _FRESHNESS_COLS:
+        sel.append(
+            f"SELECT '{t}' AS table_name, MIN({col}) AS oldest_ts, "
+            f"MAX({col}) AS newest_ts, "
+            f"CAST(date_diff('day', CAST(MIN({col}) AS DATE), "
+            f"CAST(MAX({col}) AS DATE)) AS INTEGER) AS span_days, "
+            f"COUNT(*) AS n_rows FROM {t}"
+        )
+    return _sql_union(sel)
+
+
 ORACLES = {
+    "dq_freshness": _oracle_freshness(),
     "dq_value_outliers": """
         WITH f AS (
             SELECT o_orderpriority AS priority,
