@@ -63,6 +63,9 @@ HEADLINE = [
     "text_vocab_topk",
     "emb_nearest_centroid",
     "events_transition_matrix",
+    "olap_basket_affinity",
+    "olap_customer_abc",
+    "events_active_users",
     "text_contamination_semantic",
     "multimodal_decoded",
     "multimodal_features",
