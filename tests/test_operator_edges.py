@@ -649,3 +649,37 @@ def test_basket_affinity_counts_and_lift(spark, tmp_path):
     assert out[(1, 2)].lift == 1.0 and out[(1, 2)].support == 2 / 3
     assert out[(1, 3)].n_both == 1 and out[(1, 3)].lift == 1.0
     assert (2, 3) not in out and len(out) == 2
+
+
+def test_mixture_plan_zero_token_lang(spark, tmp_path):
+    """r6 ADVICE: a language whose docs all tokenize to zero tokens
+    under the [a-z0-9]+ tokenizer must get weight MIXTURE_MAX_UPSAMPLE
+    if targeted and 0.0 if untargeted — never NaN (and never the cap
+    via Spark's LEAST(NaN, cap) = cap trap)."""
+    import math
+
+    from university_data_lakehouse_spark.operators.pipeline import (
+        MIXTURE_MAX_UPSAMPLE,
+        corpus_mixture_plan,
+    )
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    rows = (
+        [Row(doc_id=i, text="hello world", lang="en", source="s",
+             n_chars=11) for i in range(5)]
+        # zh is IN MIXTURE_TARGETS; CJK text has no [a-z0-9] runs
+        + [Row(doc_id=100 + i, text="你好世界",
+               lang="zh", source="s", n_chars=4) for i in range(5)]
+        # xx is NOT targeted and also tokenizes to zero
+        + [Row(doc_id=200 + i, text="!!! ???", lang="xx", source="s",
+               n_chars=7) for i in range(3)]
+    )
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    out = {r["lang"]: r for r in corpus_mixture_plan(spark, d).collect()}
+    assert out["zh"]["n_tokens"] == 0
+    assert out["zh"]["mixture_weight"] == MIXTURE_MAX_UPSAMPLE
+    assert out["xx"]["mixture_weight"] == 0.0
+    for r in out.values():
+        assert not math.isnan(r["mixture_weight"]), r

@@ -579,3 +579,21 @@ def test_dv_read_broadcasts_vector_anti_join(spark, tmp_path):
     tree = _tree(_plan(t.read(spark)))
     assert "BroadcastHashJoin" in tree and "LeftAnti" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_basket_affinity_topk_is_take_ordered(spark, sf_dir):
+    """r7 (VERDICT r6 item 2): the top-K cut of the UNBOUNDED pairs
+    table must execute as TakeOrderedAndProject (per-partition heap
+    + driver merge of K rows) — never an unpartitioned row_number
+    window, which would funnel every distinct co-occurring part pair
+    through one task. The only window in the plan runs AFTER the
+    K-row cut (its input is the TakeOrdered result, bounded at K)."""
+    plan = _plan(olap.olap_basket_affinity(spark, sf_dir))
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in tree, tree
+    # the rank window must sit above the TakeOrdered cut, not below
+    win_at = tree.find("Window")
+    tko_at = tree.find("TakeOrderedAndProject")
+    assert win_at != -1 and tko_at != -1
+    # formatted tree prints operators top-down: parent (Window) first
+    assert win_at < tko_at, tree

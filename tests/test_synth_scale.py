@@ -146,3 +146,17 @@ def test_scale_report_classification():
     assert rows["sim_knn_bruteforce"]["class"].startswith("quadratic-baseline")
     assert rows["dedup_embedding_lsh"]["class"].startswith("quadratic-baseline")
     assert "new" not in rows and "gone" not in rows
+
+
+def test_scale_report_step_scaled_thresholds():
+    """r6 ADVICE: thresholds scale with the data step — the same
+    ratio classifies differently under a 10x vs a 100x step."""
+    import sys
+    sys.path.insert(0, "tools")
+    from scale_report import classify
+
+    # ratio 20 is superlinear for a 10x step, overhead-bound for 100x
+    assert classify(20.0, "a", step=10.0).startswith("SUPERLINEAR")
+    assert classify(20.0, "a", step=100.0) == "overhead-bound at this scale"
+    assert classify(80.0, "a", step=100.0) == "data-bound (healthy linear)"
+    assert classify(130.0, "a", step=100.0).startswith("SUPERLINEAR")

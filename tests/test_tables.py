@@ -1091,3 +1091,16 @@ def test_update_mor_dv_plus_postimage(spark, catalog):
     with pytest.raises(ConstraintViolation):
         t.update_where(spark, {"id": (4, 4)}, {"val": None},
                        merge_on_read=True)
+
+
+def test_delete_mor_empty_touched_returns_pinned_version(spark, catalog):
+    """r6 ADVICE (format.py _delete_mor): when footer-stats pruning
+    touches ZERO files, the no-op must return the PINNED snapshot
+    version — not a latest_version() re-read that could surface a
+    concurrent commit the delete never observed."""
+    t = catalog.table("mor_noop")
+    v1 = t.write(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    # range far outside footer stats: prunes every file -> empty touched
+    v = t.delete_where(spark, {"id": (1000, 2000)}, merge_on_read=True)
+    assert v == v1
+    assert t.row_count() == 10

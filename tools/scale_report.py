@@ -20,10 +20,12 @@ from __future__ import annotations
 import json
 import sys
 
-# ratio thresholds for a 10x data step
-SUPERLINEAR = 12.0   # > data growth: candidate scale bug
-DATA_BOUND = 6.0     # roughly tracks data size
-# below DATA_BOUND: partially or fully overhead-bound at this scale
+# ratio thresholds SCALE WITH the data step (r6 ADVICE: hardcoded
+# 10x-step constants silently misclassified any other ratio):
+# superlinear = 1.2x the step, data-bound = 0.6x the step.
+SUPERLINEAR_FACTOR = 1.2   # ratio > step*this: candidate scale bug
+DATA_BOUND_FACTOR = 0.6    # ratio >= step*this: tracks data size
+# below the data-bound cut: overhead-bound at this scale
 
 # documented quadratic-by-construction baselines (SURVEY §6): their
 # superlinear slope is expected, not a bug. dedup_embedding_lsh is
@@ -34,11 +36,11 @@ KNOWN_QUADRATIC = {"sim_knn_bruteforce", "dedup_embedding_cosine",
                    "dedup_ngram_jaccard", "dedup_embedding_lsh"}
 
 
-def classify(ratio: float, key: str) -> str:
-    if ratio > SUPERLINEAR:
+def classify(ratio: float, key: str, step: float = 10.0) -> str:
+    if ratio > SUPERLINEAR_FACTOR * step:
         return ("quadratic-baseline (by construction)"
                 if key in KNOWN_QUADRATIC else "SUPERLINEAR — investigate")
-    if ratio >= DATA_BOUND:
+    if ratio >= DATA_BOUND_FACTOR * step:
         return "data-bound (healthy linear)"
     return "overhead-bound at this scale"
 
@@ -55,7 +57,7 @@ def report(base: dict[str, float], big: dict[str, float],
             "base_s": base[key],
             "big_s": big[key],
             "ratio": round(ratio, 2),
-            "class": classify(ratio, key),
+            "class": classify(ratio, key, step),
         })
     return rows
 
@@ -70,9 +72,14 @@ def main() -> None:
         with open(args[1]) as fh:
             b = json.load(fh)
         base, big = a["queries"], b["queries"]
+        step = (b.get("sf") / a.get("sf")
+                if a.get("sf") and b.get("sf") else 10.0)
     else:
-        base, big = a["queries"], a["sf1_synth"]["queries"]
-    rows = report(base, big)
+        big_sec = a["sf1_synth"]
+        base, big = a["queries"], big_sec["queries"]
+        step = (big_sec.get("sf") / a.get("sf")
+                if a.get("sf") and big_sec.get("sf") else 10.0)
+    rows = report(base, big, step=step)
     w = max(len(r["query"]) for r in rows)
     print(f"{'query':{w}s} {'base_s':>8s} {'big_s':>8s} {'ratio':>6s}  class")
     for r in rows:

@@ -1034,7 +1034,12 @@ ABC_A_CUT = 0.80   # A-class: customers covering the first 80% of revenue
 ABC_B_CUT = 0.95   # B-class: the next 15%
 
 
-def olap_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+ABC_BANDS = 32  # approx-quantile revenue cuts for the banded path
+
+
+def olap_customer_abc(spark: SparkSession, sf_dir: str,
+                      banded: bool = False,
+                      n_bands: int = ABC_BANDS) -> DataFrame:
     """Pareto / ABC customer classification — the 80/15/5 revenue
     concentration report: customers rank by lifetime revenue and
     class A covers the first 80% of cumulative revenue, B the next
@@ -1043,23 +1048,74 @@ def olap_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers-sized aggregate under a compound total order
     (revenue desc, custkey). Revenue and the running sum are
     decimal-exact; the share divides two exact decimals once, so the
-    class thresholds compare identical doubles in both engines. The
-    single unpartitioned window is customers-sized — the documented
-    scale switch is banding by approx-quantile revenue cuts first."""
+    class thresholds compare identical doubles in both engines.
+
+    ``banded=True`` is the 100 TB path: approx-quantile revenue cuts
+    split customers into ``n_bands`` value bands; the cumulative sum
+    is then a per-BAND window (bounded partitions) plus a prefix
+    offset from the bands-sized totals table (n_bands rows). Because
+    bands partition the *value* range and decimal addition is
+    associative, offset + in-band running sum EQUALS the global
+    running sum bit-for-bit — the banded path is exact, only the
+    band balance is approximate (test_approx_switches pins equality
+    against the default path)."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
     total = per_cust.agg(F.sum("rev_dec").alias("total_dec"))
-    cum_share = (
-        F.sum("rev_dec").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double") / F.col("total_dec").cast("double")
-    )
+    if banded:
+        probs = [i / n_bands for i in range(1, n_bands)]
+        cuts = sorted(set(
+            per_cust.withColumn("_rev_d", F.col("rev_dec").cast("double"))
+            .stat.approxQuantile("_rev_d", probs, 0.001)
+        ), reverse=True)
+        # band 0 = highest-revenue values; equal revenues always land
+        # in the same band, so in-band order (rev desc, custkey) is the
+        # global order restricted to the band.
+        band = F.lit(len(cuts))
+        expr = F.col("rev_dec").cast("double")
+        for i, c in enumerate(cuts):
+            band = F.when(expr >= F.lit(c), F.lit(i)).otherwise(band)
+        banded_df = per_cust.withColumn("_band", band)
+        w_in = (
+            Window.partitionBy("_band")
+            .orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        band_tot = banded_df.groupBy("_band").agg(
+            F.sum("rev_dec").alias("_band_sum"))
+        w_prefix = (
+            Window.orderBy("_band")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = band_tot.select(
+            "_band",
+            F.coalesce(
+                F.sum("_band_sum").over(w_prefix),
+                F.lit(0).cast("decimal(38,4)"),
+            ).alias("_offset_dec"),
+        )
+        cum = F.col("_offset_dec") + F.sum("rev_dec").over(w_in)
+        with_cum = (
+            banded_df.join(F.broadcast(offsets), "_band")
+            .withColumn("_cum_dec", cum)
+        )
+        cum_share = (F.col("_cum_dec").cast("double")
+                     / F.col("total_dec").cast("double"))
+        body = with_cum
+    else:
+        w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
+        cum_share = (
+            F.sum("rev_dec").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+            .cast("double") / F.col("total_dec").cast("double")
+        )
+        body = per_cust
     return (
-        per_cust.crossJoin(F.broadcast(total))
+        body.crossJoin(F.broadcast(total))
         .select(
             F.col("o_custkey").alias("custkey"),
             "n_orders",
@@ -1088,7 +1144,13 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic. Pair counts, per-part order counts, and the global
     order count are all exact integers; support and lift divide them
     once, so both engines emit identical doubles. Top-K by
-    (pair count desc, part keys) on the aggregated pairs table."""
+    (pair count desc, part keys) on the aggregated pairs table via a
+    distributed TakeOrdered (orderBy+limit — per-partition partial
+    top-K merged on the driver), NOT an unpartitioned rank window:
+    the pairs table is the one unbounded table here (distinct
+    co-occurring part pairs), and a global row_number would funnel
+    it through a single task. pair_rank derives from row_number only
+    AFTER the K-row cut, where a one-task window is K rows."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(
@@ -1105,11 +1167,12 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_part"))
     n_orders = op.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders"))
-    w = Window.orderBy(F.col("n_both").desc(), F.col("pa"), F.col("pb"))
-    ranked = (
-        pairs.withColumn("pair_rank", F.row_number().over(w))
-        .where(F.col("pair_rank") <= BASKET_TOP_K)
+    topk = (
+        pairs.orderBy(F.col("n_both").desc(), F.col("pa"), F.col("pb"))
+        .limit(BASKET_TOP_K)
     )
+    w = Window.orderBy(F.col("n_both").desc(), F.col("pa"), F.col("pb"))
+    ranked = topk.withColumn("pair_rank", F.row_number().over(w))
     pa_cnt = per_part.select(F.col("pk").alias("pa"),
                              F.col("n_part").alias("n_a"))
     pb_cnt = per_part.select(F.col("pk").alias("pb"),

@@ -514,7 +514,18 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stratum epochs. ONE narrow map (token counts per doc) + ONE
     lang aggregate; shares divide exact integer token totals, so the
     doubles are bit-identical across engines. A language absent from
-    the target config gets weight 0 (excluded from the mixture)."""
+    the target config gets weight 0 (excluded from the mixture).
+
+    Zero-token guard (r6 ADVICE): a language whose docs ALL tokenize
+    to zero tokens (plausible for non-Latin scripts under the
+    [a-z0-9]+ tokenizer) has actual_share 0, and target/actual would
+    be 0/0 = NaN — which Spark's NaN-is-largest semantics would turn
+    into LEAST(NaN, cap) = cap, silently assigning the MAX upsample.
+    The weight therefore branches on the EXACT integer n_tokens > 0
+    (never on the double share, where NaN > 0 is true in Spark): a
+    zero-token lang gets the cap if it is targeted (can't upsample
+    what has no tokens — surface it at the cap for the operator to
+    flag) and 0.0 if untargeted; the oracle mirrors the branch."""
     from ..functions.textfns import tokens  # noqa: PLC0415
 
     doc = load_table(spark, sf_dir, "documents")
@@ -538,8 +549,12 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         actual.alias("actual_share"),
         target.alias("target_share"),
-        F.least(
-            target / actual, F.lit(MIXTURE_MAX_UPSAMPLE)
+        F.when(
+            F.col("n_tokens") > 0,
+            F.least(target / actual, F.lit(MIXTURE_MAX_UPSAMPLE)),
+        ).otherwise(
+            F.when(target > 0, F.lit(MIXTURE_MAX_UPSAMPLE))
+            .otherwise(F.lit(0.0))
         ).alias("mixture_weight"),
     )
 
@@ -705,10 +720,14 @@ ORACLES = {
                CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
                    AS actual_share,
                {_MIX_TARGET_CASE} AS target_share,
-               LEAST(({_MIX_TARGET_CASE})
-                     / (CAST(n_tokens AS DOUBLE)
-                        / CAST(total_tokens AS DOUBLE)),
-                     {MIXTURE_MAX_UPSAMPLE}) AS mixture_weight
+               CASE WHEN n_tokens > 0
+                    THEN LEAST(({_MIX_TARGET_CASE})
+                               / (CAST(n_tokens AS DOUBLE)
+                                  / CAST(total_tokens AS DOUBLE)),
+                               {MIXTURE_MAX_UPSAMPLE})
+                    WHEN ({_MIX_TARGET_CASE}) > 0
+                    THEN {MIXTURE_MAX_UPSAMPLE}
+                    ELSE 0.0 END AS mixture_weight
         FROM pl CROSS JOIN tot
     """,
     "chunk_documents": f"""

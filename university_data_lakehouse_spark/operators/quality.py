@@ -246,21 +246,39 @@ def _oracle_profile() -> str:
             f"FROM {_PROFILE_TABLE}) {body}")
 
 
-def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+DQ_OUTLIER_APPROX_ACCURACY = 10_000  # approx_percentile 1/eps knob
+
+
+def dq_value_outliers(spark: SparkSession, sf_dir: str,
+                      approx: bool = False) -> DataFrame:
     """Tukey-fence (IQR) outlier detection per group — the
     distributional DQ check complementing dq_value_range's static
     bounds: fences derive from the data (q1 − 1.5·IQR, q3 + 1.5·IQR),
     so drift is caught without hand-set thresholds. Pass 1 computes
     exact group quantiles (group-count-sized result, broadcast back);
     pass 2 counts fence violations in one conditional aggregation —
-    the documented two-scan cost, with approx_percentile as the
-    single-pass 100 TB switch. Quantile interpolation and fence
-    arithmetic are the same double expressions in both engines
-    (the olap_price_percentiles discipline)."""
+    the documented two-scan cost.
+
+    ``approx=True`` is the 100 TB switch: ``approx_percentile``
+    (Greenwald-Khanna, mergeable partial sketches — no per-group
+    value sort, bounded memory per task) replaces the exact
+    ``percentile`` in pass 1; fences and the violation count are
+    otherwise identical. Registry/oracle use the exact form;
+    test_approx_switches pins the approx fences to the exact ones at
+    rank-error tolerance (the events_user_stats approx_distinct
+    discipline). Quantile interpolation and fence arithmetic are the
+    same double expressions in both engines (the
+    olap_price_percentiles discipline)."""
     from ..functions.joins import maybe_broadcast  # noqa: PLC0415
 
     orders = load_table(spark, sf_dir, "orders")
-    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.75D))")
+    if approx:
+        pct = F.expr(
+            "approx_percentile(o_totalprice, array(0.25D, 0.75D), "
+            f"{DQ_OUTLIER_APPROX_ACCURACY})"
+        )
+    else:
+        pct = F.expr("percentile(o_totalprice, array(0.25D, 0.75D))")
     fences = orders.groupBy(
         F.col("o_orderpriority").alias("priority")
     ).agg(

@@ -276,6 +276,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOCAB_TOP_K = 20  # merge candidates surfaced per language
+VOCAB_PRUNE_BUCKETS = 64  # phase-1 partial-top-K fan-out per language
 
 
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,9 +292,15 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle is the (lang, bigram) count with map-side
     partial aggregation, so bytes shuffled are bounded by the
     per-partition DISTINCT bigram vocabulary, not the token stream.
-    The rank window then runs on the aggregated vocabulary table
-    (language-count × vocab-sized — metadata next to a 100 TB
-    corpus). Ties break deterministically by bigram text."""
+    The rank then runs TWO-PHASE: the aggregated vocabulary table is
+    bucketed by (lang, hash(bigram) % VOCAB_PRUNE_BUCKETS) and each
+    bucket keeps its local top-K — sound because counts are already
+    global after the groupBy, so any bigram in the per-lang global
+    top-K is necessarily in its bucket's top-K. The final per-lang
+    window then sees at most languages × buckets × K rows (metadata),
+    never the per-language distinct-bigram vocabulary (billions of
+    rows at corpus scale) in a single task. Ties break
+    deterministically by bigram text at both phases."""
     doc = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     bi = doc.select(
@@ -302,11 +309,19 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bi.groupBy("lang", "bigram").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("n_occurrences").desc(), F.col("bigram")
+    order = (F.col("n_occurrences").desc(), F.col("bigram"))
+    w_bucket = Window.partitionBy(
+        "lang",
+        F.pmod(F.xxhash64(F.col("bigram")), F.lit(VOCAB_PRUNE_BUCKETS)),
+    ).orderBy(*order)
+    pruned = (
+        counts.withColumn("_pre_rank", F.row_number().over(w_bucket))
+        .where(F.col("_pre_rank") <= VOCAB_TOP_K)
+        .drop("_pre_rank")
     )
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
-        counts.withColumn("vocab_rank", F.row_number().over(w))
+        pruned.withColumn("vocab_rank", F.row_number().over(w))
         .where(F.col("vocab_rank") <= VOCAB_TOP_K)
         .select("lang", "vocab_rank", "bigram", "n_occurrences")
     )

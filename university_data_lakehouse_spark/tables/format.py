@@ -1119,7 +1119,11 @@ class ManagedTable:
         paths = [os.path.join(self.data_dir, *f["name"].split("/"))
                  for f in touched]
         if not paths:
-            return self.latest_version()
+            # no-op returns the PINNED snapshot version (same as the
+            # no-new-hits branch below) — latest_version() re-read
+            # here could surface a concurrent commit this delete
+            # never observed, breaking OCC read-your-snapshot.
+            return m["version"]
         reader = spark.read.schema(schema)
         if m.get("partition_by"):
             reader = reader.option("basePath", self.data_dir)
