@@ -1104,3 +1104,33 @@ def test_delete_mor_empty_touched_returns_pinned_version(spark, catalog):
     v = t.delete_where(spark, {"id": (1000, 2000)}, merge_on_read=True)
     assert v == v1
     assert t.row_count() == 10
+
+
+def test_merge_partition_prune_collect_capped(spark, catalog, monkeypatch):
+    """r6 VERDICT #3 (format.py MERGE): the driver-side collect of the
+    source's distinct partition tuples is capped — above
+    MERGE_PRUNE_MAX_PARTITIONS the merge must SKIP partition pruning
+    (no unbounded collect) yet produce identical results; below the
+    cap the untouched partition's file survives by name."""
+    from university_data_lakehouse_spark.tables import format as fmt
+
+    schema = "id int, day string, val string"
+    rows = [(1, "2024-01-01", "a"), (2, "2024-01-02", "b"),
+            (3, "2024-01-03", "c")]
+    src_rows = [(2, "2024-01-02", "B*"), (9, "2024-01-02", "new")]
+
+    t1 = catalog.table("prune_cap_lo")
+    t1.write(spark.createDataFrame(rows, schema), partition_by=["day"])
+    keep = {f["name"] for f in t1.manifest()["files"]
+            if f["partition_values"]["day"] == "2024-01-01"}
+    t1.merge(spark.createDataFrame(src_rows, schema), keys=["id", "day"])
+    assert keep <= {f["name"] for f in t1.manifest()["files"]}
+    expect = {(1, "a"), (2, "B*"), (3, "c"), (9, "new")}
+    assert {(r.id, r.val) for r in t1.read(spark).collect()} == expect
+
+    # force the fallback: every distinct-partition sample exceeds cap
+    monkeypatch.setattr(fmt, "MERGE_PRUNE_MAX_PARTITIONS", 0)
+    t2 = catalog.table("prune_cap_hi")
+    t2.write(spark.createDataFrame(rows, schema), partition_by=["day"])
+    t2.merge(spark.createDataFrame(src_rows, schema), keys=["id", "day"])
+    assert {(r.id, r.val) for r in t2.read(spark).collect()} == expect

@@ -63,6 +63,11 @@ _CKPT_FMT = "v{:08d}.checkpoint.json"
 #: action files (the public Delta default of 10).
 CHECKPOINT_INTERVAL = 10
 
+#: MERGE partition pruning collects the source's DISTINCT partition
+#: tuples to the driver; above this cap the collect is abandoned and
+#: the merge falls back to footer-stats pruning only (r6 VERDICT #3).
+MERGE_PRUNE_MAX_PARTITIONS = 10_000
+
 
 def _footer_stats(path: str) -> tuple[dict[str, list], int]:
     """(per-column [min, max], row count) from the parquet footer,
@@ -722,10 +727,19 @@ class ManagedTable:
                 .alias(fld.spec)
                 for fld in fields
             ]
-            source_parts = {
-                tuple(self._pv_str(row[fld.spec]) for fld in fields)
-                for row in source.select(*proj).distinct().collect()
-            }
+            # the collect is bounded by MERGE_PRUNE_MAX_PARTITIONS+1:
+            # a source keyed on a high-cardinality partition column
+            # would otherwise materialize every distinct value
+            # driver-side. Above the cap, partition pruning is skipped
+            # (footer-stats pruning below still applies) — pruning is
+            # an optimization, never a correctness gate.
+            sample = (source.select(*proj).distinct()
+                      .limit(MERGE_PRUNE_MAX_PARTITIONS + 1).collect())
+            if len(sample) <= MERGE_PRUNE_MAX_PARTITIONS:
+                source_parts = {
+                    tuple(self._pv_str(row[fld.spec]) for fld in fields)
+                    for row in sample
+                }
         bounds_row = source.agg(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
             *[F.max(k).alias(f"mx_{k}") for k in keys],
