@@ -3,6 +3,8 @@ schema stability, stubbed decode determinism, frame-sample explode."""
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 
 from university_data_lakehouse_spark.operators.multimodal import (
@@ -318,3 +320,97 @@ def test_multimodal_png_pipeline(spark, sf_dir):
 
     compare(multimodal_png(spark, sf_dir), ORACLES["multimodal_png"],
             sf_dir, "multimodal_png")
+
+
+def test_gif_lzw_decode_hand_packed_fixture():
+    """Decoder correctness INDEPENDENT of the repo's own encoder: a
+    2x2 4-color GIF whose LZW code stream is hand-derived from the
+    GIF89a spec (Appendix F) — codes [Clear,1,1,0,2,End] with the
+    width 3→4 transition after the second table add, bit-packed by
+    hand to 4C 40 0A. If _lzw_decode's width sync or bit order
+    drifted from the spec, this fixture would not recover the
+    indices."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_gif,
+    )
+
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 0])
+    gif = (b"GIF89a"
+           + struct.pack("<HHBBB", 2, 2, 0x91, 0, 0)   # GCT, 4 entries
+           + pal
+           + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+           + bytes([2])                                 # LZW min code size
+           + bytes([3, 0x4C, 0x40, 0x0A, 0])            # hand-packed codes
+           + b"\x3B")
+    out = decode_gif(gif)
+    assert (out["width"], out["height"]) == (2, 2)
+    # indices [1,1,0,2] -> RGB (0,255,0)(0,255,0)(255,0,0)(0,0,255);
+    # 12 bytes, step 1: features are the first 8 resolved bytes
+    assert out["features"] == [0.0, 255.0, 0.0, 0.0, 255.0, 0.0,
+                               255.0, 0.0]
+
+
+def test_gif_lzw_roundtrip_property():
+    """Hypothesis: encode→decode is the identity for arbitrary index
+    streams at several code sizes — including streams long enough to
+    force 12-bit codes and mid-stream Clear resets, and the
+    repetition shapes (ababab…) that hit the cScSc special case."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        mcs=st.sampled_from([2, 4, 8]),
+        data=st.one_of(
+            st.binary(max_size=4000),
+            st.builds(lambda b, n: b * n,
+                      st.binary(min_size=1, max_size=6),
+                      st.integers(1, 2000)),
+        ),
+    )
+    def check(mcs, data):
+        clipped = bytes(b % (1 << mcs) for b in data)
+        assert _lzw_decode(_lzw_encode(clipped, mcs), mcs) == clipped
+
+    check()
+
+
+def test_gif_decode_rejects_unsupported_variants():
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_gif,
+        synth_gif_payload,
+    )
+
+    assert decode_gif(b"not a gif") is None
+    p = bytearray(synth_gif_payload(9))
+    # flip the interlace bit in the image descriptor's packed byte
+    # (fixed offset: header 13 + 768-byte GCT; searching for 0x2C
+    # would false-hit palette bytes)
+    desc = 13 + 768
+    assert p[desc] == 0x2C
+    p[desc + 9] |= 0x40
+    assert decode_gif(bytes(p)) is None
+    # palette-less stream (no GCT, no LCT)
+    bare = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0)
+            + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+            + bytes([2, 1, 0x24, 0]) + b"\x3B")
+    assert decode_gif(bare) is None
+
+
+def test_multimodal_gif_pipeline(spark, sf_dir):
+    """Distributed end-to-end: synth → Arrow batch → LZW + palette →
+    chunk means, against the DuckDB pixel-function oracle."""
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_gif,
+    )
+
+    compare(multimodal_gif(spark, sf_dir), ORACLES["multimodal_gif"],
+            sf_dir, "multimodal_gif")

@@ -205,14 +205,17 @@ def decode_samples(payload: bytes) -> dict | None:
       features = mean ABSOLUTE amplitude per 8 chunks (n_frames =
       sample count).
 
-    - PNG (the one COMPRESSED format decodable with stdlib only):
-      inflate + defilter via decode_png.
+    - PNG and GIF (the two COMPRESSED formats decodable with stdlib
+      only): inflate + defilter via decode_png; LZW + palette lookup
+      via decode_gif.
 
     Returns None for anything needing an actual codec library
     (JPEG/MP3/H.264) — those go through decode_real's capability
     probe."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = abs(int.from_bytes(payload[22:26], "little", signed=True))
@@ -350,6 +353,202 @@ def decode_png(payload: bytes) -> dict | None:
         prior = bytes(row)
     return {"width": int(w), "height": int(h), "n_frames": 1,
             "features": _chunk_means(list(raw))}
+
+
+_GIF_MAX_CODE = 1 << 12     # GIF LZW code space is capped at 12 bits
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW compress (public algorithm: GIF89a spec
+    Appendix F / Welch 1984): little-endian bit packing, variable
+    code width mcs+1..12, Clear emitted + table reset when the code
+    space fills. Used only to SYNTHESIZE valid fixtures; the decode
+    path below is the capability under test — the round trip is
+    hypothesis-pinned in tests/test_multimodal.py."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(1 << mcs)}
+
+    table = fresh()
+    next_code, width = end + 1, mcs + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < _GIF_MAX_CODE:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = fresh()
+            next_code, width = end + 1, mcs + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW decompress. The width-sync subtlety: the
+    decoder's table lags the encoder's by ONE entry at read time (the
+    encoder adds e_k before emitting code k+1; the decoder builds e_k
+    only after reading it), so the decoder widens when
+    next_code + 1 == 2^width — one add EARLIER than its own table
+    size suggests — which is exactly when the encoder (checking
+    next_code == 2^width after its add) widened for the same code.
+    Handles the cScSc case (code == next_code) per the spec."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = {i: bytes([i]) for i in range(1 << mcs)}
+    table = dict(base)
+    next_code, width = end + 1, mcs + 1
+    out = bytearray()
+    buf = nbits = pos = 0
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)       # missing End: tolerate
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            next_code, width = end + 1, mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]          # cScSc
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if next_code < _GIF_MAX_CODE:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + 1 == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+
+
+def _gif_blocks(data: bytes) -> bytes:
+    """Package an LZW stream into GIF data sub-blocks (<=255 bytes
+    each, zero-length terminator)."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+# 256-entry palette where entry k = (k, k+85, k+170) mod 256 — NOT
+# grayscale, so a decoder that skips palette resolution (returning
+# indices tripled) produces wrong chunk means and fails the oracle.
+_GIF_PAL = bytes((k + 85 * c) % 256 for k in range(256) for c in range(3))
+
+
+def synth_gif_payload(doc_id: int) -> bytes:
+    """Deterministic VALID GIF89a: 256-color global table (_GIF_PAL),
+    pixel INDEX p = (doc_id + p) % 256, w/h pure functions of doc_id
+    (different moduli than the PNG synth so the two oracles differ).
+    The index stream is REALLY LZW-compressed, so the decoder must
+    implement actual LZW (variable widths, table build, clear codes)
+    plus palette lookup to recover the RGB stream."""
+    w = 3 + doc_id % 15
+    h = 4 + (doc_id // 15) % 14
+    idx = bytes((doc_id + p) % 256 for p in range(w * h))
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)   # GCT, 256 entries
+    imgd = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    return (b"GIF89a" + lsd + _GIF_PAL + imgd + bytes([8])
+            + _gif_blocks(_lzw_encode(idx, 8)) + b"\x3B")
+
+
+def decode_gif(payload: bytes) -> dict | None:
+    """REAL compressed-image decode with stdlib only, part two (the
+    r6 PNG discipline): GIF is LZW (decoded by _lzw_decode above) +
+    palette lookup. Walks the logical screen descriptor, global/local
+    color tables, and extension blocks; decodes the FIRST image
+    descriptor's index stream; resolves indices through the palette
+    to the RGB stream; reduces to the standard 8-chunk-mean features.
+    Returns None for interlaced images or palette-less streams (those
+    go to decode_real's capability probe)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    _w0, _h0, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        marker = payload[pos]
+        if marker == 0x21:                   # extension: label + blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif marker == 0x2C:                 # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10])
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:               # local color table wins
+                n = 2 ** ((ipacked & 0x07) + 1)
+                pal = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40 or pal is None:    # interlace unsupported
+                return None
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), mcs)[:w * h]
+            rgb = bytearray()
+            for i in idx:
+                rgb += pal[3 * i:3 * i + 3]
+            return {"width": int(w), "height": int(h), "n_frames": 1,
+                    "features": _chunk_means(list(rgb))}
+        elif marker == 0x3B:                 # trailer
+            break
+        else:
+            return None
+    return None
 
 
 def decode_real(payload: bytes, media_type: str) -> dict:
@@ -678,11 +877,43 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL LZW decode with stdlib only: synthesize valid
+    GIF89a payloads (one per document, genuinely LZW-compressed index
+    streams), push them through the Arrow mapInPandas decode
+    (variable-width LZW + 256-color palette resolution), reduce to
+    chunk-mean features. Oracle-checkable because the palette-resolved
+    RGB stream is a pure function of doc_id — byte j is
+    ((doc_id + j//3) + 85*(j%3)) % 256 — so the LZW round trip and the
+    palette lookup must cancel exactly for the chunk means to match."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_gif_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image",
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    df = decode_features(media, batch_decoder=_samples_or_null)
+    return df.select(
+        "doc_id", "width", "height", "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decoded": multimodal_decoded,
     "multimodal_features": multimodal_features,
     "multimodal_png": multimodal_png,
+    "multimodal_gif": multimodal_gif,
 }
 
 
@@ -810,3 +1041,43 @@ def _png_oracle() -> str:
 
 
 ORACLES["multimodal_png"] = _png_oracle()
+
+
+def _gif_oracle() -> str:
+    """DuckDB replay of the GIF pipeline's chunk means: pixel INDEX p
+    of doc_id's GIF is (doc_id + p) % 256 and palette entry k is
+    (k + 85*c) % 256 per channel c (synth_gif_payload), so byte j of
+    the palette-resolved RGB stream is ((doc_id + j//3) + 85*(j%3))
+    % 256 over n = w*h*3 bytes — the LZW + palette round trip must
+    recover exactly these integer-sum means."""
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step"
+        hi = f"least(({i} + 1) * step, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> ((doc_id + j // 3) + 85 * (j % 3)) % 256))"
+                f" * 1.0 / ({hi} - {lo})")
+        fcols.append(f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   3 + doc_id % 15 AS w,
+                   4 + (doc_id // 15) % 14 AS h
+            FROM documents
+        ),
+        q AS (SELECT *, w * h * 3 AS n FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END AS step
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_gif"] = _gif_oracle()
