@@ -27,30 +27,37 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r6 rotation: the 46 keys whose last driver row is CORRECTNESS_r04
-    # (they sat outside r5's 50-key window) lead this round, so the
-    # union of r5+r6 driver rows covers all keys at <=1 round of age.
-    "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
-    "silver_fact_lineitems", "silver_fact_orders", "silver_fact_contacts",
-    "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
-    "dq_not_null_pk", "dq_no_duplicates", "dq_row_count",
-    "dq_referential_integrity", "dq_value_range",
-    "olap_pricing_summary", "olap_shipping_priority",
-    "olap_local_supplier_volume", "olap_revenue_forecast",
-    "olap_top_k_per_group", "olap_rollup_revenue", "olap_cube_revenue",
-    "olap_market_pivot", "olap_running_revenue", "olap_inactive_customers",
-    "olap_price_percentiles", "olap_min_cost_supplier", "olap_market_share",
-    "olap_late_orders",
-    "events_windowed_agg", "events_sessionize", "events_asof_join",
-    "events_user_stats", "events_retention", "events_funnel",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "text_token_stats", "text_quality_score", "text_langid",
-    "text_fingerprint",
-    "multimodal_meta", "sim_knn_bruteforce",
-    # materially changed in r6 (sample-based quantizer training; new
-    # PNG decode key) — kept inside the window for fresh rows.
-    "sim_knn_ivf", "sim_knn_pq", "sim_knn_ivfpq", "multimodal_png",
+    # r7 rotation: the 20 r6-new keys below have NEVER had a driver
+    # CORRECTNESS row (r6's window was spent on r4-aged keys) — they
+    # lead this round per the r6 verdict. Four of them
+    # (olap_basket_affinity, olap_customer_abc, text_vocab_topk,
+    # corpus_mixture_plan) also changed materially in r7.
+    "corpus_mixture_plan", "dedup_embedding_lsh_auto",
+    "dq_freshness", "dq_value_outliers",
+    "emb_label_centroids", "emb_nearest_centroid",
+    "events_active_users", "events_first_last_touch",
+    "events_inter_event_gap", "events_rfm", "events_top_paths",
+    "events_transition_matrix", "events_value_histogram",
+    "olap_basket_affinity", "olap_customer_abc",
+    "olap_repeat_customers", "olap_revenue_mom",
+    "text_entropy", "text_tfidf_topk", "text_vocab_topk",
+    # new in r7 (stdlib LZW + palette decode).
+    "multimodal_gif",
+    # fill: 29 of the 47 keys whose last driver row is CORRECTNESS_r05;
+    # the remaining 18 r5-aged keys (olap_priority_shipmode ..
+    # text_repetition, see CORRECTNESS_r05.json) lead the r8 window.
+    "chunk_documents", "corpus_build", "corpus_manifest", "corpus_stats",
+    "dedup_boilerplate", "dedup_cluster_canonical",
+    "dedup_cluster_canonical_fast", "dedup_cluster_sizes",
+    "dedup_name_fuzzy", "dq_profile",
+    "events_anomaly", "events_cohort_retention",
+    "events_error_attribution", "events_funnel_windowed",
+    "events_json_props", "events_moving_avg", "events_resample_1h",
+    "events_value_percentiles", "events_value_quartiles",
+    "multimodal_decoded", "multimodal_features",
+    "olap_avg_yearly", "olap_big_orders", "olap_customer_distribution",
+    "olap_disjunctive_revenue", "olap_excess_suppliers",
+    "olap_grouping_sets", "olap_important_parts", "olap_nation_trade",
 )
 
 

@@ -92,8 +92,36 @@ CORE_QUERIES = frozenset([
 
 REPEATS = 4           # this VM shows 3-5x first-run jitter; the
 SCALING_REPEATS = 3   # medians need >3 samples for headline queries,
-#                       fewer for the secondary scaling section —
-#                       keeps the whole bench under ~4 min wall
+SF10_REPEATS = 2      # fewer for the secondary scaling sections —
+#                       keeps the whole bench bounded
+
+# skew section (VERDICT r6 #8): the skew-sensitive operators timed on
+# the planted-hostile corpus (tools/synth_skew.py — one user with ~10%
+# of events, one 10k-line order) next to the same queries on the base
+# dir. The ratio IS the skew penalty under AQE.
+SKEW_QUERIES = [
+    "events_sessionize",
+    "events_first_last_touch",
+    "olap_basket_affinity",
+]
+
+# sf10 section (VERDICT r6 #9): the always-≲-linear subset re-timed on
+# the x100 synthesis (tools/synth_scale.py --replicas 100) for a
+# three-point slope (sf0.1 / sf1 / sf10). Quadratic-by-construction
+# baselines and ANN paths are excluded by design (embeddings are not
+# even synthesized at x100).
+SF10_QUERIES = [
+    "silver_dim_customers", "silver_fact_lineitems",
+    "silver_fact_contacts", "gold_order_metrics",
+    "gold_revenue_analytics", "gold_status_funnel",
+    "olap_pricing_summary", "olap_local_supplier_volume",
+    "olap_top_k_per_group", "olap_price_percentiles",
+    "olap_min_cost_supplier", "olap_market_share",
+    "events_sessionize", "events_asof_join", "events_retention",
+    "events_funnel", "olap_late_orders", "dedup_exact",
+    "olap_basket_affinity", "olap_customer_abc",
+    "text_quality_score", "text_vocab_topk", "chunk_documents",
+]
 
 
 def main() -> None:
@@ -188,6 +216,43 @@ def main() -> None:
             "total": round(sum(big.values()), 3),
             "core_total": round(
                 sum(v for k, v in big.items() if k in CORE_QUERIES), 3),
+        }
+
+    # planted-skew point: base vs hostile key distribution, same SF
+    skew_dir = os.environ.get(
+        "SPARK_GRAFT_SKEW_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".synthdata", "skew"))
+    if skew_dir and os.path.isdir(skew_dir):
+        print(f"# skew run at {skew_dir}", file=sys.stderr)
+        sk = {}
+        for key in SKEW_QUERIES:
+            if key not in queries:
+                continue
+            base_s = timings.get(key)
+            if base_s is None:
+                base_s = time_key(key, sf_dir, SCALING_REPEATS)[0]
+            skew_s = time_key(key, skew_dir, SCALING_REPEATS)[0]
+            sk[key] = {"base": base_s, "skew": skew_s,
+                       "ratio": round(skew_s / base_s, 2) if base_s else None}
+        out["skew"] = {"dir": skew_dir, "queries": sk}
+
+    # second upward decade: x100 synthesis for the linear core only
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".synthdata", "sf10"))
+    if sf10_dir and os.path.isdir(sf10_dir):
+        print(f"# synth-sf10 run at {sf10_dir}", file=sys.stderr)
+        huge = {}
+        for key in SF10_QUERIES:
+            if key in queries:
+                huge[key] = time_key(key, sf10_dir, SF10_REPEATS)[0]
+        out["sf10_synth"] = {
+            "sf": 10.0,
+            "dir": sf10_dir,
+            "queries": huge,
+            "total": round(sum(huge.values()), 3),
         }
     print(json.dumps(out))
 

@@ -11,8 +11,9 @@ sim_knn_bruteforce). This tool turns the two timing dicts into that
 classification so a round's verdict can read it directly.
 
 Usage:
-    python tools/scale_report.py BENCH.json            # base vs sf1_synth
-    python tools/scale_report.py A.json B.json         # A base vs B base
+    python tools/scale_report.py BENCH.json              # base vs sf1_synth
+    python tools/scale_report.py BENCH.json sf10_synth   # base vs sf10
+    python tools/scale_report.py A.json B.json           # A base vs B base
 """
 
 from __future__ import annotations
@@ -65,17 +66,22 @@ def report(base: dict[str, float], big: dict[str, float],
 def main() -> None:
     args = sys.argv[1:]
     if not args:
-        args = ["BENCH_r06.json"]
+        sys.exit("usage: scale_report.py BENCH.json "
+                 "[section|OTHER_BENCH.json]")
     with open(args[0]) as fh:
         a = json.load(fh)
-    if len(args) > 1:
+    if len(args) > 1 and args[1].endswith(".json"):
         with open(args[1]) as fh:
             b = json.load(fh)
         base, big = a["queries"], b["queries"]
         step = (b.get("sf") / a.get("sf")
                 if a.get("sf") and b.get("sf") else 10.0)
     else:
-        big_sec = a["sf1_synth"]
+        section = args[1] if len(args) > 1 else "sf1_synth"
+        big_sec = a.get(section)
+        if not big_sec:
+            sys.exit(f"no {section!r} section in {args[0]} "
+                     "(synthesize the corpus and re-run bench.py)")
         base, big = a["queries"], big_sec["queries"]
         step = (big_sec.get("sf") / a.get("sf")
                 if a.get("sf") and big_sec.get("sf") else 10.0)

@@ -77,7 +77,16 @@ def _rot_table(i: int) -> dict[int, int]:
     return t
 
 
-def synthesize(src: str, out: str, replicas: int) -> dict[str, int]:
+def synthesize(src: str, out: str, replicas: int,
+               tables: list[str] | None = None) -> dict[str, int]:
+    """``tables`` restricts the replicated set (FIXED dims are always
+    copied) — the x100 "sf10" build uses this to skip the tables only
+    the quadratic-by-construction baselines read (embeddings).
+
+    Replicas stream to one ParquetWriter per table (a x100 lineitem is
+    60M rows — concatenating that in pandas first would hold the whole
+    output in memory; per-replica row-group writes keep the peak at
+    one replica)."""
     os.makedirs(out, exist_ok=True)
     counts: dict[str, int] = {}
 
@@ -86,42 +95,55 @@ def synthesize(src: str, out: str, replicas: int) -> dict[str, int]:
         df.to_parquet(os.path.join(out, f"{t}.parquet"), index=False)
         counts[t] = len(df)
 
+    wanted = {t: keys for t, keys in KEY_DOMAINS.items()
+              if tables is None or t in tables}
+
     # pass 1: compute one stride per key domain from the SOURCE data so
-    # every table shifts the same domain by the same amount
+    # every table shifts the same domain by the same amount (strides
+    # always derive from the FULL domain set, independent of `tables`,
+    # so a restricted build keeps FK ranges identical to a full one)
     strides: dict[str, int] = {}
     frames: dict[str, pd.DataFrame] = {}
     for t, keys in KEY_DOMAINS.items():
         df = pd.read_parquet(os.path.join(src, f"{t}.parquet"))
-        frames[t] = df
+        if t in wanted:
+            frames[t] = df
         for col, dom in keys:
             m = int(df[col].max())
             strides[dom] = max(strides.get(dom, 0), _stride(m))
 
-    for t, keys in KEY_DOMAINS.items():
+    for t, keys in wanted.items():
         df = frames[t]
-        reps = []
+        # preserve the source arrow schema (e.g. list<float> embeddings,
+        # int32 linenumber) — pandas copies alone would widen types
+        src_schema = pq.read_schema(os.path.join(src, f"{t}.parquet"))
+        writer = pq.ParquetWriter(os.path.join(out, f"{t}.parquet"),
+                                  src_schema)
+        n = 0
         for i in range(replicas):
             r = df.copy()
             for col, dom in keys:
                 r[col] = r[col] + i * strides[dom]
             if t == "documents" and i > 0:
-                tab = _rot_table(i)
+                # 26-cycle cipher: above 26 replicas, replica i shares
+                # its text with replica i-26 (fresh doc_ids) — exact
+                # dups reappear, which is realistic dedup work, but
+                # near-dup candidate counts grow with the cycle count.
+                tab = _rot_table(i % 26)
                 r["text"] = r["text"].map(lambda s, _t=tab: s.translate(_t))
             if t == "embeddings" and i > 0:
                 rng = np.random.RandomState(1_000_003 * i)
                 mat = np.stack(df["embedding"].to_numpy())
                 noise = rng.normal(0.0, 0.01, mat.shape).astype(mat.dtype)
                 r["embedding"] = list(mat + noise)
-            reps.append(r)
-        big = pd.concat(reps, ignore_index=True)
-        counts[t] = len(big)
-        # preserve the source arrow schema (e.g. list<float> embeddings,
-        # int32 linenumber) — pandas concat alone would widen types
-        src_schema = pq.read_schema(os.path.join(src, f"{t}.parquet"))
-        table = pa.Table.from_pandas(
-            big, schema=src_schema, preserve_index=False)
-        pq.write_table(table, os.path.join(out, f"{t}.parquet"),
-                       row_group_size=ROW_GROUP)
+            writer.write_table(
+                pa.Table.from_pandas(r, schema=src_schema,
+                                     preserve_index=False),
+                row_group_size=ROW_GROUP,
+            )
+            n += len(r)
+        writer.close()
+        counts[t] = n
     return counts
 
 
@@ -131,8 +153,11 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(here, ".synthdata", "sf1"))
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset of replicated tables")
     a = ap.parse_args()
-    counts = synthesize(a.src, a.out, a.replicas)
+    tables = a.tables.split(",") if a.tables else None
+    counts = synthesize(a.src, a.out, a.replicas, tables=tables)
     for t, n in sorted(counts.items()):
         print(f"{t}: {n}")
 
