@@ -39,13 +39,71 @@ def test_customer_abc_banded_few_bands_still_exact(spark, sf_dir):
     assert exact == banded
 
 
+def test_abc_band_column_maps_each_band(spark):
+    """Unit-pin the CASE-chain order: against descending cuts
+    [400, 300, 200, 100], the values 500/350/250/150/50 must map to
+    bands 0/1/2/3/4. The r7 chain (smallest cut outermost) mapped
+    the first four ALL to band 3 — this test fails on that code."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.olap import (
+        abc_band_column,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [500.0, 350.0, 250.0, 150.0, 50.0]}))
+    got = (
+        df.withColumn("b", abc_band_column(F.col("v"), [400, 300, 200, 100]))
+        .orderBy(F.col("v").desc())
+        .select("b").toPandas()["b"].tolist()
+    )
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_customer_abc_banded_occupancy_is_bounded(spark, sf_dir):
+    """The whole point of banded=True is bounded window partitions:
+    on sf data (near-uniform revenue ranks) the approx-quantile cuts
+    must spread customers across >= n_bands/2 distinct bands with no
+    band holding more than 4x its fair share. The r7 degenerate chain
+    put ~97% of customers in one band — this test fails on it."""
+    from pyspark.sql import functions as F
+
+    from university_data_lakehouse_spark.operators.olap import (
+        abc_band_column,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    n_bands = 32
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev"))
+    probs = [i / n_bands for i in range(1, n_bands)]
+    cuts = sorted(set(per_cust.stat.approxQuantile("rev", probs, 0.001)),
+                  reverse=True)
+    occ = (
+        per_cust.withColumn("b", abc_band_column(F.col("rev"), cuts))
+        .groupBy("b").count().toPandas()
+    )
+    n_cust = int(occ["count"].sum())
+    assert len(occ) >= n_bands // 2, f"only {len(occ)} distinct bands"
+    assert occ["count"].max() <= 4 * n_cust / n_bands, (
+        f"max band holds {occ['count'].max()}/{n_cust} customers")
+
+
 def test_customer_abc_banded_windows_are_partitioned(spark, sf_dir):
-    """The banded plan's customer-sized window must carry a
-    partition spec (the _band column); only the n_bands-row prefix
-    window may be unpartitioned."""
+    """The banded plan's customer-sized running-sum window must be
+    PARTITIONED BY _band — parse the Window operators' partition
+    specs, don't substring-match the whole plan (the r7 test passed
+    on a plan where _band only appeared as a join key)."""
+    import re
+
     plan = olap_customer_abc(
         spark, sf_dir, banded=True)._jdf.queryExecution().toString()
-    assert "_band" in plan
+    # windowspecdefinition(partition_cols..., order ASC/DESC..., frame)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any(s.lstrip().startswith("_band#") for s in specs), (
+        f"no window partitioned by _band; specs={specs[:4]}")
 
 
 def test_value_outliers_approx_tracks_exact(spark, sf_dir):

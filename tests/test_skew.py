@@ -65,9 +65,11 @@ def test_first_last_touch_skewed_oracle_parity(spark, skew_dir):
 
 
 def test_basket_affinity_skewed_oracle_parity(spark, skew_dir):
-    """The planted 1500-line order contributes C(1500,2) ≈ 1.1M pairs
-    through ONE join key — the fan-out AQE's skew split handles. The
-    top-K must still hash-match the oracle on the same dir."""
+    """The planted 1500-line order would contribute C(1500,2) ≈ 1.1M
+    pairs through ONE join key; since r8 the BASKET_MAX_LINES cap
+    drops it before pair generation (mirrored in the oracle), so the
+    skewed dir must hash-match AND the mega-basket must be absent
+    from the pair universe."""
     from university_data_lakehouse_spark.operators.olap import ORACLES
     from university_data_lakehouse_spark.operators.olap import (
         olap_basket_affinity,
@@ -77,3 +79,21 @@ def test_basket_affinity_skewed_oracle_parity(spark, skew_dir):
     compare(olap_basket_affinity(spark, skew_dir),
             ORACLES["olap_basket_affinity"], skew_dir,
             "olap_basket_affinity[skew]")
+
+
+def test_basket_affinity_cap_drops_mega_basket(spark, skew_dir):
+    """The capped universe must exclude the 1500-line order: its
+    n_orders denominator is one less than the distinct order count,
+    proving the cap executed (TPC-H-shaped baskets are <= 7 lines,
+    so ONLY the planted order is dropped)."""
+    from university_data_lakehouse_spark.operators.olap import (
+        olap_basket_affinity,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    li = load_table(spark, skew_dir, "lineitem")
+    all_orders = li.select("l_orderkey").distinct().count()
+    row = olap_basket_affinity(spark, skew_dir).limit(1).collect()
+    if row:
+        n_in_support = round(row[0]["n_both"] / row[0]["support"])
+        assert n_in_support == all_orders - 1

@@ -1037,6 +1037,19 @@ ABC_B_CUT = 0.95   # B-class: the next 15%
 ABC_BANDS = 32  # approx-quantile revenue cuts for the banded path
 
 
+def abc_band_column(expr: F.Column, cuts: list) -> F.Column:
+    """CASE chain mapping a value to its revenue band (0 = highest
+    values). ``cuts`` must be sorted DESCENDING; the chain is built
+    reversed so the LARGEST cut is the outermost ``when`` branch —
+    CASE stops at the first true condition, so a smallest-cut-first
+    chain would send every value >= cuts[-1] into one band and
+    collapse the banding (the r7 defect)."""
+    band = F.lit(len(cuts))
+    for i, c in reversed(list(enumerate(cuts))):
+        band = F.when(expr >= F.lit(c), F.lit(i)).otherwise(band)
+    return band
+
+
 def olap_customer_abc(spark: SparkSession, sf_dir: str,
                       banded: bool = False,
                       n_bands: int = ABC_BANDS) -> DataFrame:
@@ -1074,11 +1087,8 @@ def olap_customer_abc(spark: SparkSession, sf_dir: str,
         # band 0 = highest-revenue values; equal revenues always land
         # in the same band, so in-band order (rev desc, custkey) is the
         # global order restricted to the band.
-        band = F.lit(len(cuts))
-        expr = F.col("rev_dec").cast("double")
-        for i, c in enumerate(cuts):
-            band = F.when(expr >= F.lit(c), F.lit(i)).otherwise(band)
-        banded_df = per_cust.withColumn("_band", band)
+        banded_df = per_cust.withColumn(
+            "_band", abc_band_column(F.col("rev_dec").cast("double"), cuts))
         w_in = (
             Window.partitionBy("_band")
             .orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
@@ -1131,7 +1141,14 @@ def olap_customer_abc(spark: SparkSession, sf_dir: str,
     )
 
 
-BASKET_TOP_K = 50   # co-occurrence pairs surfaced
+BASKET_TOP_K = 50       # co-occurrence pairs surfaced
+BASKET_MAX_LINES = 200  # drop baskets with more distinct parts: a
+# mega-basket (wholesale order, bot cart) contributes C(n,2) pairs
+# through ONE join key — the r7 skew bench measured a single planted
+# 10k-part order at 10.7x total runtime — while carrying no affinity
+# signal (every pair's support is diluted by the basket's size).
+# Standard market-basket practice caps basket size; the cap bounds
+# the per-key fan-out at C(200,2) ~ 20k pairs.
 
 
 def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,9 +1167,22 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairs table is the one unbounded table here (distinct
     co-occurring part pairs), and a global row_number would funnel
     it through a single task. pair_rank derives from row_number only
-    AFTER the K-row cut, where a one-task window is K rows."""
+    AFTER the K-row cut, where a one-task window is K rows.
+
+    Baskets with more than ``BASKET_MAX_LINES`` distinct parts are
+    dropped BEFORE pair generation (and from the support/lift
+    denominators, so all statistics describe the same capped
+    universe); the per-orderkey count uses a window over the same
+    hash partitioning the pair self-join needs, so the cap costs no
+    extra shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
+    w_sz = Window.partitionBy("l_orderkey")
+    op = (
+        op.withColumn("_n_lines", F.count(F.lit(1)).over(w_sz))
+        .where(F.col("_n_lines") <= BASKET_MAX_LINES)
+        .drop("_n_lines")
+    )
     a = op.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pa"))
     b = op.select(
@@ -1239,8 +1269,16 @@ _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(24,4))"
 
 ORACLES = {
     "olap_basket_affinity": f"""
-        WITH op AS (
+        WITH op0 AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        op AS (
+            SELECT l_orderkey, l_partkey FROM (
+                SELECT l_orderkey, l_partkey,
+                       COUNT(*) OVER (PARTITION BY l_orderkey)
+                           AS _n_lines
+                FROM op0)
+            WHERE _n_lines <= {BASKET_MAX_LINES}
         ),
         pairs AS (
             SELECT a.l_partkey AS pa, b.l_partkey AS pb,
