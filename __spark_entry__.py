@@ -27,37 +27,40 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r7 rotation: the 20 r6-new keys below have NEVER had a driver
-    # CORRECTNESS row (r6's window was spent on r4-aged keys) — they
-    # lead this round per the r6 verdict. Four of them
-    # (olap_basket_affinity, olap_customer_abc, text_vocab_topk,
-    # corpus_mixture_plan) also changed materially in r7.
-    "corpus_mixture_plan", "dedup_embedding_lsh_auto",
-    "dq_freshness", "dq_value_outliers",
-    "emb_label_centroids", "emb_nearest_centroid",
-    "events_active_users", "events_first_last_touch",
-    "events_inter_event_gap", "events_rfm", "events_top_paths",
-    "events_transition_matrix", "events_value_histogram",
+    # r8 rotation. Lead: the 18 keys whose last driver row is
+    # CORRECTNESS_r05 (2 rounds old — the standing invariant's limit).
+    "olap_priority_shipmode", "olap_profit_by_nation",
+    "olap_promo_revenue", "olap_prospect_customers",
+    "olap_returned_items", "olap_supplier_part_counts",
+    "olap_top_supplier", "olap_waiting_suppliers",
+    "pack_token_bins", "sample_split", "sample_stratified",
+    "sample_weighted", "sim_knn_lsh", "text_contamination",
+    "text_contamination_semantic", "text_lm_quality",
+    "text_pii_redact", "text_repetition",
+    # materially changed in r8 (banded CASE-chain fix, basket cap)
+    # plus the r8-new keys (the banded scale switch registered as a
+    # driver-checkable sibling; stdlib IMA-ADPCM audio decode).
     "olap_basket_affinity", "olap_customer_abc",
-    "olap_repeat_customers", "olap_revenue_mom",
-    "text_entropy", "text_tfidf_topk", "text_vocab_topk",
-    # new in r7 (stdlib LZW + palette decode).
-    "multimodal_gif",
-    # fill: 29 of the 47 keys whose last driver row is CORRECTNESS_r05;
-    # the remaining 18 r5-aged keys (olap_priority_shipmode ..
-    # text_repetition, see CORRECTNESS_r05.json) lead the r8 window.
-    "chunk_documents", "corpus_build", "corpus_manifest", "corpus_stats",
-    "dedup_boilerplate", "dedup_cluster_canonical",
-    "dedup_cluster_canonical_fast", "dedup_cluster_sizes",
-    "dedup_name_fuzzy", "dq_profile",
-    "events_anomaly", "events_cohort_retention",
-    "events_error_attribution", "events_funnel_windowed",
-    "events_json_props", "events_moving_avg", "events_resample_1h",
-    "events_value_percentiles", "events_value_quartiles",
-    "multimodal_decoded", "multimodal_features",
-    "olap_avg_yearly", "olap_big_orders", "olap_customer_distribution",
-    "olap_disjunctive_revenue", "olap_excess_suppliers",
-    "olap_grouping_sets", "olap_important_parts", "olap_nation_trade",
+    "olap_customer_abc_banded", "multimodal_adpcm",
+    # fill: 28 of the 50 keys whose last driver row is
+    # CORRECTNESS_r06 (1 round old). The OTHER 22 r6-aged keys
+    # (dedup_* x6, events_asof_join/funnel/retention/sessionize/
+    # user_stats/windowed_agg, multimodal_meta, multimodal_png,
+    # sim_knn_bruteforce/ivf/ivfpq/pq, text_fingerprint/langid/
+    # quality_score/token_stats) reach the 2-round limit this round
+    # and MUST lead the r9 window.
+    "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
+    "silver_fact_contacts", "silver_fact_lineitems", "silver_fact_orders",
+    "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
+    "dq_no_duplicates", "dq_not_null_pk", "dq_referential_integrity",
+    "dq_row_count", "dq_value_range",
+    "olap_cube_revenue", "olap_inactive_customers", "olap_late_orders",
+    "olap_local_supplier_volume", "olap_market_pivot",
+    "olap_market_share", "olap_min_cost_supplier",
+    "olap_price_percentiles", "olap_pricing_summary",
+    "olap_revenue_forecast", "olap_rollup_revenue",
+    "olap_running_revenue", "olap_shipping_priority",
+    "olap_top_k_per_group",
 )
 
 

