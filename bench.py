@@ -95,6 +95,14 @@ SCALING_REPEATS = 3   # medians need >3 samples for headline queries,
 SF10_REPEATS = 2      # fewer for the secondary scaling sections —
 #                       keeps the whole bench bounded
 
+# The LSH family showed r6->r7 swings of ~1.5x at sf1 with NO code
+# change (VERDICT r7 item 7) — they are the highest-variance operators
+# in the suite (hash-bucket join sizes are sensitive to partition
+# placement). Time them with 5 repeats in the synth sections so the
+# median actually rejects the outliers.
+HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh"}
+HIGH_VARIANCE_REPEATS = 5
+
 # skew section (VERDICT r6 #8): the skew-sensitive operators timed on
 # the planted-hostile corpus (tools/synth_skew.py — one user with ~10%
 # of events, one 10k-line order) next to the same queries on the base
@@ -121,6 +129,9 @@ SF10_QUERIES = [
     "events_funnel", "olap_late_orders", "dedup_exact",
     "olap_basket_affinity", "olap_customer_abc",
     "text_quality_score", "text_vocab_topk", "chunk_documents",
+    # r8 (VERDICT item 8): the bounded-explode slope claims measured
+    # only to sf1 until now
+    "events_active_users", "text_tfidf_topk",
 ]
 
 
@@ -208,7 +219,9 @@ def main() -> None:
         big = {}
         for key in HEADLINE:
             if key in queries:
-                big[key] = time_key(key, synth_dir, SCALING_REPEATS)[0]
+                reps = (HIGH_VARIANCE_REPEATS if key in HIGH_VARIANCE
+                        else SCALING_REPEATS)
+                big[key] = time_key(key, synth_dir, reps)[0]
         out["sf1_synth"] = {
             "sf": 1.0,
             "dir": synth_dir,
@@ -229,9 +242,10 @@ def main() -> None:
         for key in SKEW_QUERIES:
             if key not in queries:
                 continue
-            base_s = timings.get(key)
-            if base_s is None:
-                base_s = time_key(key, sf_dir, SCALING_REPEATS)[0]
+            # base and skew MUST use the same repeat count (ADVICE r7
+            # item 4): reusing the headline REPEATS=4 median for base
+            # against a SCALING_REPEATS=3 skew median mixes estimators
+            base_s = time_key(key, sf_dir, SCALING_REPEATS)[0]
             skew_s = time_key(key, skew_dir, SCALING_REPEATS)[0]
             sk[key] = {"base": base_s, "skew": skew_s,
                        "ratio": round(skew_s / base_s, 2) if base_s else None}

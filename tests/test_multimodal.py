@@ -548,3 +548,33 @@ def test_multimodal_adpcm_pipeline(spark, sf_dir):
 
     compare(multimodal_adpcm(spark, sf_dir), ORACLES["multimodal_adpcm"],
             sf_dir, "multimodal_adpcm")
+
+
+def test_mulaw_expansion_full_codebook():
+    """All 256 μ-law codes against an INDEPENDENT restatement of the
+    G.711 segment formula: magnitude = ((2·mantissa + 33) << exp − 33)
+    quarter-steps, i.e. ×4 — algebraically ((8m + 132) << e) − 132."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _mulaw_to_linear,
+    )
+
+    for code in range(256):
+        u = ~code & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0x0F
+        mag = (((2 * mant + 33) << exp) - 33) * 4
+        assert _mulaw_to_linear(code) == (-mag if sign else mag), code
+    # spec anchors: code 0xFF is +0, 0x7F is -0
+    assert _mulaw_to_linear(0xFF) == 0
+    assert _mulaw_to_linear(0x7F) == 0
+
+
+def test_multimodal_mulaw_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_mulaw,
+    )
+
+    compare(multimodal_mulaw(spark, sf_dir), ORACLES["multimodal_mulaw"],
+            sf_dir, "multimodal_mulaw")

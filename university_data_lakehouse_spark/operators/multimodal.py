@@ -245,6 +245,15 @@ def decode_samples(payload: bytes) -> dict | None:
             samples = struct.unpack(f"<{n}h", data[:2 * n])
             return {"width": None, "height": None, "n_frames": n,
                     "features": _chunk_means([abs(s) for s in samples])}
+        if (data is not None and fmt_tag == 7 and channels == 1
+                and block_align == 1):
+            # G.711 mu-law mono: one code byte per sample, closed-form
+            # expansion — no state between samples
+            n = fact_n if fact_n is not None else len(data)
+            samples = [_mulaw_to_linear(b) for b in data[:n]]
+            return {"width": None, "height": None,
+                    "n_frames": len(samples),
+                    "features": _chunk_means([abs(s) for s in samples])}
         if (data is not None and fmt_tag == 0x11 and channels == 1
                 and block_align and block_align > 4):
             # IMA/DVI ADPCM mono: table-driven nibble decode; the
@@ -624,6 +633,16 @@ def _ima_decode_mono(data: bytes, block_align: int,
     return out[:n_samples]
 
 
+def _mulaw_to_linear(u_val: int) -> int:
+    """G.711 μ-law expansion (public ITU-T spec; the classic CCITT
+    reference implementation): complement the code byte, rebuild the
+    mantissa with the 0x84 bias, shift by the exponent, subtract the
+    bias back, apply the sign."""
+    u = ~u_val & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
 _ADPCM_BLOCK_ALIGN = 132                       # 4B header + 128 code bytes
 _ADPCM_SPB = 1 + 2 * (_ADPCM_BLOCK_ALIGN - 4)  # 257 samples per block
 
@@ -661,6 +680,23 @@ def synth_adpcm_payload(doc_id: int) -> bytes:
             + struct.pack("<4sII", b"fact", 4, ns)
             + struct.pack("<4sI", b"data", len(blocks)) + bytes(blocks))
     return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def synth_mulaw_payload(doc_id: int) -> bytes:
+    """Deterministic VALID G.711 μ-law WAV (wFormatTag 7, mono, 8-bit
+    codes, block_align 1): code byte j is (doc_id*13 + j*5) % 256
+    (different moduli than the ADPCM synth so the oracles differ), so
+    the expanded sample stream is a CLOSED-FORM function of
+    (doc_id, j) the DuckDB oracle replays without recursion."""
+    ns = 120 + doc_id % 333
+    data = bytes((doc_id * 13 + j * 5) % 256 for j in range(ns))
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sII", b"fact", 4, ns)
+            + struct.pack("<4sI", b"data", len(data)) + data)
+    pad = b"\x00" if len(data) & 1 else b""    # RIFF even-pad
+    return (struct.pack("<4sI4s", b"RIFF", 4 + len(body) + len(pad),
+                        b"WAVE") + body + pad)
 
 
 def decode_real(payload: bytes, media_type: str) -> dict:
@@ -1065,6 +1101,36 @@ def multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end G.711 μ-law decode (the companded-audio complement
+    to the IMA-ADPCM key): synthesize valid wFormatTag=7 WAVs, decode
+    through the same Arrow mapInPandas path (RIFF walk + per-byte
+    μ-law expansion), reduce to chunk-mean |sample| features.
+    Oracle-checkable because μ-law expansion is CLOSED-FORM per code
+    byte — the DuckDB oracle rebuilds mantissa/exponent/sign/bias
+    arithmetic symbolically over the doc_id-derived byte stream."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_mulaw_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "audio",
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    df = decode_features(media, batch_decoder=_samples_or_null)
+    return df.select(
+        "doc_id", "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decoded": multimodal_decoded,
@@ -1072,6 +1138,7 @@ QUERIES = {
     "multimodal_png": multimodal_png,
     "multimodal_gif": multimodal_gif,
     "multimodal_adpcm": multimodal_adpcm,
+    "multimodal_mulaw": multimodal_mulaw,
 }
 
 
@@ -1317,3 +1384,40 @@ def _adpcm_oracle() -> str:
 
 
 ORACLES["multimodal_adpcm"] = _adpcm_oracle()
+
+def _mulaw_oracle() -> str:
+    """DuckDB replay of the μ-law pipeline: code byte j of doc_id is
+    (doc_id*13 + j*5) % 256; the G.711 expansion — complement, 4-bit
+    mantissa rebuilt with the 0x84 bias, shifted by the 3-bit
+    exponent, sign from the top bit — is pure integer arithmetic, so
+    each chunk mean is an exact integer-sum / count."""
+    # u = complemented code byte; t = biased mantissa << exponent
+    u = "(255 - ((doc_id * 13 + j * 5) % 256))"
+    t = (f"(({u} % 16) * 8 + 132) * "
+         f"([1, 2, 4, 8, 16, 32, 64, 128])[(({u} // 16) % 8) + 1]")
+    sample = f"CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END"
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, ns)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> abs({sample}))) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= ns THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id, 120 + doc_id % 333 AS ns FROM documents
+        ),
+        r AS (
+            SELECT *, CASE WHEN ns // 8 > 0 THEN ns // 8 ELSE 1 END
+                          AS step_sz
+            FROM p
+        )
+        SELECT doc_id, CAST(ns AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_mulaw"] = _mulaw_oracle()
