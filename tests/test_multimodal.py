@@ -578,3 +578,150 @@ def test_multimodal_mulaw_pipeline(spark, sf_dir):
 
     compare(multimodal_mulaw(spark, sf_dir), ORACLES["multimodal_mulaw"],
             sf_dir, "multimodal_mulaw")
+
+
+def _tiny_jpeg(dht_dc_vals, dht_ac_vals, entropy, qval=1):
+    """Hand-assemble an 8x8 grayscale baseline JPEG with CUSTOM
+    single-code-per-length Huffman tables (canonical assignment is
+    trivial to do on paper) — the decoder is exercised independently
+    of the repo's encoder and its Annex K tables."""
+    seg = lambda m, p: bytes([0xFF, m]) + struct.pack(">H", 2 + len(p)) + p
+    dc_counts = [0] * 16
+    dc_counts[0] = len(dht_dc_vals)
+    ac_counts = [0] * 16
+    ac_counts[0] = len(dht_ac_vals)
+    dht = (bytes([0x00]) + bytes(dc_counts) + bytes(dht_dc_vals)
+           + bytes([0x10]) + bytes(ac_counts) + bytes(dht_ac_vals))
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([qval] * 64))
+            + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, dht)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + entropy + b"\xff\xd9")
+
+
+def _idct_direct(coef):
+    """Independent T.81 reconstruction: the literal double sum with
+    math.cos — NOT the decoder's matrix form."""
+    import math
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    if not coef[u][v]:
+                        continue
+                    au = 1 / math.sqrt(2) if u == 0 else 1.0
+                    av = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (au * av / 4 * coef[u][v]
+                          * math.cos((2 * x + 1) * v * math.pi / 16)
+                          * math.cos((2 * y + 1) * u * math.pi / 16))
+            out[y][x] = s
+    return out
+
+
+def test_jpeg_hand_packed_ac_fixture():
+    """A nonzero AC coefficient placed by hand: custom tables give
+    DC cat-0 the 1-bit code '0', and AC {EOB: '0', (run1,size2): '1'}.
+    Entropy bits 0|1|11|0 -> byte 0x77 put zigzag k=2 = (row 1, col 0)
+    to EXTEND(3,2)=3. Expected pixels from the independent direct-sum
+    IDCT: rows constant, row 0 -> 129, rows 1-6 -> 128, row 7 -> 127."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    jpg = _tiny_jpeg([0x00], [0x00, 0x12], bytes([0x77]))
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"]) == (8, 8)
+    coef = [[0] * 8 for _ in range(8)]
+    coef[1][0] = 3
+    exp = _idct_direct(coef)
+    rows = [round(exp[y][0]) + 128 for y in range(8)]
+    assert rows == [129, 128, 128, 128, 128, 128, 128, 127]
+    # 8x8 image, step 8: chunk mean i is exactly row i's mean
+    assert out["features"] == [float(r) for r in rows]
+
+
+def test_jpeg_hand_packed_stuffed_ff_fixture():
+    """The 0xFF byte-stuffing path: AC table {EOB:'0', (run0,size6):
+    '1'}; three coefficients of value 63 give the bit stream
+    0|1 111111|1 111111|1 111111|0 + 1-padding = 7F FF(00) FD —
+    the middle byte is a genuine stuffed 0xFF the reader must
+    unstuff. Coefficients land at zigzag 1,2,3 = (0,1),(1,0),(2,0);
+    expected pixels from the independent direct-sum IDCT."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    entropy = bytes([0x7F, 0xFF, 0x00, 0xFD])
+    jpg = _tiny_jpeg([0x00], [0x00, 0x06], entropy)
+    out = decode_jpeg(jpg)
+    assert out is not None
+    coef = [[0] * 8 for _ in range(8)]
+    coef[0][1] = coef[1][0] = coef[2][0] = 63
+    exp = _idct_direct(coef)
+    import numpy as np
+
+    pix = np.clip(np.round(np.array(exp)) + 128, 0, 255)
+    assert out["features"] == [float(r) for r in pix.mean(axis=1)]
+
+
+def test_jpeg_roundtrip_closed_form():
+    """decode(synth(d)) must equal the constant-block closed form for
+    a doc_id sweep covering every (w, h) combination and DC-diff
+    wraparound (the lossy codec is exactly lossless by construction
+    on these payloads)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_jpeg,
+        synth_jpeg_payload,
+    )
+
+    for d in [0, 1, 4, 7, 19, 20, 85, 137, 255, 256, 1000, 4321]:
+        out = decode_jpeg(synth_jpeg_payload(d))
+        w, h = 8 * (1 + d % 5), 8 * (1 + (d // 5) % 4)
+        assert (out["width"], out["height"]) == (w, h)
+        exp = [(d * 3 + (j // w // 8) * (w // 8) + (j % w) // 8) % 256
+               for j in range(w * h)]
+        assert out["features"] == _chunk_means(exp), d
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive (SOF2), color (3 components), 16-bit quant tables,
+    and restart intervals are the honest codec boundary -> None (and
+    the null row through _samples_or_null), never an exception."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _samples_or_null,
+        decode_jpeg,
+        synth_jpeg_payload,
+    )
+
+    base = bytearray(synth_jpeg_payload(3))
+    sof = base.index(b"\xff\xc0")
+    prog = bytearray(base)
+    prog[sof + 1] = 0xC2                      # SOF0 -> SOF2
+    assert decode_jpeg(bytes(prog)) is None
+    color = bytearray(base)
+    color[sof + 9] = 3                        # ncomp 1 -> 3 (header lies,
+    assert decode_jpeg(bytes(color)) is None  # but the gate is the count)
+    deep = bytearray(base)
+    dqt = base.index(b"\xff\xdb")
+    deep[dqt + 4] = 0x10                      # Pq=1: 16-bit table
+    assert decode_jpeg(bytes(deep)) is None
+    # truncated entropy stream must go null, not raise
+    trunc = bytes(base[:len(base) - 6])
+    assert _samples_or_null(trunc, "image")["features"] is None
+
+
+def test_multimodal_jpeg_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_jpeg,
+    )
+
+    compare(multimodal_jpeg(spark, sf_dir), ORACLES["multimodal_jpeg"],
+            sf_dir, "multimodal_jpeg")

@@ -23,12 +23,22 @@ Three decode tiers:
   ``synth_png_payload`` emits valid RGB PNGs whose raw pixel stream
   is a pure function of doc_id, so the whole compress/filter round
   trip is oracle-checked (``multimodal_png``).
-- CAPABILITY-PROBED codec decode for the remaining compressed formats
-  (JPEG/MP3/H.264): ``decode_real`` probes Pillow / soundfile / av at
-  call time, decodes when present, and raises NotImplementedError
-  only when the library is genuinely absent from the environment
-  (as here) — the code self-activates in a richer container.
-  ``decode_stub`` remains the deterministic fake for plumbing tests.
+- REAL compressed-format decode with stdlib(+numpy) only, the full
+  set now: PNG (``decode_png``: zlib inflate + all-five-filter
+  defilter), GIF (``decode_gif``: variable-width LZW + palette),
+  baseline grayscale JPEG (``decode_jpeg``: canonical Huffman + DC
+  prediction + zigzag dequant + full 8×8 IDCT), IMA-ADPCM WAV
+  (``_ima_decode_mono``: saturating table recurrence) and G.711
+  μ-law WAV (``_mulaw_to_linear``) — each with a synthesized corpus
+  whose decoded stream is a pure function of doc_id and a DuckDB
+  oracle replaying it (``multimodal_png/gif/jpeg/adpcm/mulaw``).
+- CAPABILITY-PROBED codec decode for what genuinely needs a codec
+  library (color/progressive JPEG, MP3, H.264): ``decode_real``
+  probes Pillow / soundfile / av at call time, decodes when present,
+  and raises NotImplementedError only when the library is genuinely
+  absent from the environment (as here) — the code self-activates in
+  a richer container. ``decode_stub`` remains the deterministic fake
+  for plumbing tests.
 
 Scale notes: mapInPandas streams Arrow record batches — payload bytes
 never materialize row-at-a-time in Python; batch size is governed by
@@ -43,6 +53,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -216,6 +227,8 @@ def decode_samples(payload: bytes) -> dict | None:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = abs(int.from_bytes(payload[22:26], "little", signed=True))
@@ -633,6 +646,137 @@ def _ima_decode_mono(data: bytes, block_align: int,
     return out[:n_samples]
 
 
+# Baseline JPEG (ITU-T T.81, public spec) — stdlib + numpy only.
+# Zigzag scan order (T.81 Figure 5): zigzag index -> (row, col).
+_JPEG_ZIGZAG = (
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+)
+
+# Annex K typical luminance Huffman tables (public spec data).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _huffman_codes(bits: tuple, vals: tuple) -> dict:
+    """Canonical Huffman assignment (T.81 Annex C): codes of each
+    length are consecutive, starting from (prev_start + count) << 1.
+    Returns {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)    # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; raises ValueError past the end or at a real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: dangling 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1            # stuffed 0xFF data byte
+                else:
+                    raise ValueError("jpeg: marker inside entropy data")
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return out
+
+    def huff(self, table: dict) -> int:
+        """table: {(code, length): symbol} decoded bit-by-bit (JPEG
+        codes are <= 16 bits; the per-bit walk is simple and the
+        blocks here are tiny)."""
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.take(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(value: int, size: int) -> int:
+    """T.81 EXTEND: a size-bit magnitude with a 0 top bit encodes a
+    negative value (one's-complement style)."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _jpeg_category(value: int) -> int:
+    return abs(value).bit_length()
+
+
 def _mulaw_to_linear(u_val: int) -> int:
     """G.711 μ-law expansion (public ITU-T spec; the classic CCITT
     reference implementation): complement the code byte, rebuild the
@@ -699,6 +843,186 @@ def synth_mulaw_payload(doc_id: int) -> bytes:
                         b"WAVE") + body + pad)
 
 
+def _jpeg_idct_matrix() -> "np.ndarray":
+    """The 8-point DCT basis M[u, x] = a(u)/2 · cos((2x+1)uπ/16)
+    (a(0) = 1/√2, else 1), so spatial = Mᵀ · S · M."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        a = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = a / 2 * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_JPEG_IDCT_M = _jpeg_idct_matrix()
+
+
+def _jpeg_segment(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) \
+        + payload
+
+
+def synth_jpeg_payload(doc_id: int) -> bytes:
+    """Deterministic VALID baseline JPEG (T.81: SOI/DQT/SOF0/DHT/SOS/
+    EOI, Annex K luminance Huffman tables, real entropy coding with
+    byte stuffing), grayscale, dimensions multiples of 8. Each 8×8
+    block is CONSTANT with value (doc_id*3 + block_index) % 256 — a
+    constant block survives the JPEG round trip EXACTLY when the DC
+    quantizer is 8: DCT DC = 8·(v−128), stored code v−128, and the
+    DC-only IDCT returns v−128 in every cell — so the decoded pixel
+    stream is a closed-form function of (doc_id, pixel index) the
+    DuckDB oracle replays. The ENTROPY LAYER is not degenerate: DC
+    diffs walk a wide category range against real Annex K tables
+    (the 0xFF-stuffing and AC-coefficient paths don't arise from
+    this construction — the hand-packed fixtures in
+    tests/test_multimodal.py exercise those)."""
+    w = 8 * (1 + doc_id % 5)
+    h = 8 * (1 + (doc_id // 5) % 4)
+    qtab = bytes([8] * 64)                   # uniform; DC q=8 is the
+    #                                          exactness requirement
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for b in range((w // 8) * (h // 8)):
+        dc = ((doc_id * 3 + b) % 256) - 128
+        diff = dc - pred
+        pred = dc
+        cat = _jpeg_category(diff)
+        code, length = dc_codes[cat]
+        bw.put(code, length)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bw.put(mag, cat)
+        eob_code, eob_len = ac_codes[0x00]
+        bw.put(eob_code, eob_len)
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, bytes([0x00]) + qtab)
+        + _jpeg_segment(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                        + bytes([1, 0x11, 0]))
+        + _jpeg_segment(0xC4, dht)
+        + _jpeg_segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(payload: bytes) -> dict | None:
+    """REAL baseline JPEG decode with stdlib + numpy only (the
+    PNG/GIF/ADPCM discipline, tier three): marker walk, 8-bit DQT,
+    canonical Huffman tables from DHT, MSB-first entropy decode with
+    0xFF00 unstuffing, DC prediction + EXTEND, zigzag dequant, full
+    8×8 float IDCT (matrix form of the T.81 reconstruction sum),
+    level shift and clamp. Scope is the honest stdlib boundary:
+    baseline sequential GRAYSCALE (SOF0, one component, 8-bit, no
+    restart markers); progressive/color return None and fall to
+    decode_real's Pillow probe."""
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    qtabs: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        seg = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    return None              # 16-bit tables unsupported
+                qtabs[tq] = list(seg[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or ncomp != 1:
+                return None                  # color needs a codec tier
+            cid, sampling, comp_q = seg[6], seg[7], seg[8]
+            if sampling != 0x11:
+                return None
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None                      # progressive/extended
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = tuple(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = tuple(seg[p + 17:p + 17 + nv])
+                table = {(c, ln): s for s, (c, ln)
+                         in _huffman_codes(bits, vals).items()}
+                (dc_tabs if tc == 0 else ac_tabs)[th] = table
+                p += 17 + nv
+        elif marker == 0xDD:
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                return None                  # restart intervals unsupported
+        elif marker == 0xDA:
+            if w is None or seg[0] != 1:
+                return None
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            scan_pos = pos + 2 + seg_len
+            return _jpeg_scan(payload, scan_pos, w, h,
+                              qtabs.get(comp_q),
+                              dc_tabs.get(comp_dc),
+                              ac_tabs.get(comp_ac))
+        pos += 2 + seg_len
+    return None
+
+
+def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
+               qtab: list | None, dc_tab: dict | None,
+               ac_tab: dict | None) -> dict | None:
+    if qtab is None or dc_tab is None or ac_tab is None:
+        return None
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    br = _BitReader(payload, pos)
+    pixels = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.int64)
+    pred = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            zz = [0] * 64
+            cat = br.huff(dc_tab)
+            diff = _jpeg_extend(br.take(cat), cat) if cat else 0
+            pred += diff
+            zz[0] = pred * qtab[0]
+            k = 1
+            while k < 64:
+                sym = br.huff(ac_tab)
+                if sym == 0x00:              # EOB
+                    break
+                if sym == 0xF0:              # ZRL: 16 zeros
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k >= 64 or size == 0:
+                    raise ValueError("jpeg: AC index past block")
+                zz[k] = _jpeg_extend(br.take(size), size) * qtab[k]
+                k += 1
+            coef = np.zeros((8, 8))
+            for i, (r, c) in enumerate(_JPEG_ZIGZAG):
+                coef[r, c] = zz[i]
+            block = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
+            pixels[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.round(block) + 128, 0, 255).astype(np.int64)
+    pix = pixels[:h, :w].reshape(-1).tolist()
+    return {"width": int(w), "height": int(h), "n_frames": 1,
+            "features": _chunk_means(pix)}
+
+
 def decode_real(payload: bytes, media_type: str) -> dict:
     """Codec-tier decode with CAPABILITY PROBING: the uncompressed
     public formats (24-bit BMP, 16-bit PCM WAV) decode via the pure
@@ -716,8 +1040,9 @@ def decode_real(payload: bytes, media_type: str) -> dict:
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:
             raise NotImplementedError(
-                "compressed image decode needs Pillow (absent here); "
-                "BMP decodes without it via decode_samples"
+                "color/progressive JPEG decode needs Pillow (absent "
+                "here); BMP, PNG, GIF and baseline grayscale JPEG "
+                "decode without it via decode_samples"
             ) from e
         import io  # noqa: PLC0415
         img = Image.open(io.BytesIO(payload)).convert("RGB")
@@ -1131,6 +1456,39 @@ def multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL baseline-JPEG decode with stdlib + numpy only:
+    synthesize valid T.81 grayscale JPEGs (Annex K Huffman tables,
+    genuine entropy coding with byte stuffing), push them through the
+    Arrow mapInPandas decode (marker walk + canonical Huffman + DC
+    prediction + zigzag dequant + full 8×8 IDCT), reduce to
+    chunk-mean features. Oracle-checkable because each 8×8 block is
+    constant with DC quantizer 8, making the lossy codec EXACTLY
+    lossless on these payloads — pixel j of doc_id is
+    (doc_id*3 + (j÷w÷8)·(w÷8) + (j mod w)÷8) mod 256, which DuckDB
+    replays symbolically."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_jpeg_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image",
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    df = decode_features(media, batch_decoder=_samples_or_null)
+    return df.select(
+        "doc_id", "width", "height", "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decoded": multimodal_decoded,
@@ -1139,6 +1497,7 @@ QUERIES = {
     "multimodal_gif": multimodal_gif,
     "multimodal_adpcm": multimodal_adpcm,
     "multimodal_mulaw": multimodal_mulaw,
+    "multimodal_jpeg": multimodal_jpeg,
 }
 
 
@@ -1421,3 +1780,44 @@ def _mulaw_oracle() -> str:
 
 
 ORACLES["multimodal_mulaw"] = _mulaw_oracle()
+
+def _jpeg_oracle() -> str:
+    """DuckDB replay of the JPEG pipeline's chunk means: pixel j of
+    doc_id's grayscale JPEG is (doc_id*3 + block_index) % 256 where
+    block_index = (j÷w÷8)·(w÷8) + (j mod w)÷8 — the constant-block /
+    DC-quantizer-8 construction makes the Huffman + DCT round trip
+    exactly lossless, so the integer-sum means must match bit-ward."""
+    val = ("(doc_id * 3 + ((j // w) // 8) * (w // 8)"
+           " + ((j % w) // 8)) % 256")
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> {val})) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (1 + doc_id % 5) AS w,
+                   8 * (1 + (doc_id // 5) % 4) AS h
+            FROM documents
+        ),
+        q AS (SELECT *, w * h AS n FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END
+                          AS step_sz
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_jpeg"] = _jpeg_oracle()
