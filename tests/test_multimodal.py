@@ -725,3 +725,41 @@ def test_multimodal_jpeg_pipeline(spark, sf_dir):
 
     compare(multimodal_jpeg(spark, sf_dir), ORACLES["multimodal_jpeg"],
             sf_dir, "multimodal_jpeg")
+
+
+def test_wav_samples_unifies_all_three_codings():
+    """_wav_samples must feed the same sample streams the per-format
+    decoders produce: PCM matches the synth formula, μ-law matches
+    per-byte expansion, ADPCM matches the recurrence decoder."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _mulaw_to_linear,
+        _wav_samples,
+        synth_adpcm_payload,
+        synth_media_payload,
+        synth_mulaw_payload,
+    )
+
+    s, sr = _wav_samples(synth_media_payload(41, "audio", ""))
+    assert sr == 8000 + 41 % 8 * 1000
+    assert s == [((41 * 31 + i * 7) % 65536) - 32768
+                 for i in range(100 + 41 % 400)]
+    s, sr = _wav_samples(synth_mulaw_payload(42))
+    assert sr == 8000
+    assert s == [_mulaw_to_linear((42 * 13 + j * 5) % 256)
+                 for j in range(120 + 42 % 333)]
+    s, _ = _wav_samples(synth_adpcm_payload(300))
+    assert len(s) == 400          # fact-trimmed across two blocks
+    assert _wav_samples(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_multimodal_audio_stats_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_audio_stats,
+    )
+
+    compare(multimodal_audio_stats(spark, sf_dir),
+            ORACLES["multimodal_audio_stats"], sf_dir,
+            "multimodal_audio_stats")

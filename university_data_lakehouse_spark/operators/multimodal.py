@@ -238,48 +238,50 @@ def decode_samples(payload: bytes) -> dict | None:
         return {"width": width, "height": height, "n_frames": 1,
                 "features": _chunk_means(list(pix))}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        pos, fmt_tag, channels = 12, None, None
-        block_align, data, fact_n = None, None, None
-        while pos + 8 <= len(payload):
-            cid = payload[pos:pos + 4]
-            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
-            if cid == b"fmt " and size >= 16:
-                fmt_tag, channels, _sr, _br, block_align, _bits = (
-                    struct.unpack("<HHIIHH", payload[pos + 8:pos + 24]))
-            elif cid == b"fact" and size >= 4:
-                fact_n = int.from_bytes(payload[pos + 8:pos + 12],
-                                        "little")
-            elif cid == b"data":
-                data = payload[pos + 8:pos + 8 + size]
-            pos += 8 + size + (size & 1)
-        if data is not None and fmt_tag == 1 and block_align == 2:
-            # 16-bit mono PCM
-            n = len(data) // 2
-            samples = struct.unpack(f"<{n}h", data[:2 * n])
-            return {"width": None, "height": None, "n_frames": n,
-                    "features": _chunk_means([abs(s) for s in samples])}
-        if (data is not None and fmt_tag == 7 and channels == 1
-                and block_align == 1):
-            # G.711 mu-law mono: one code byte per sample, closed-form
-            # expansion — no state between samples
-            n = fact_n if fact_n is not None else len(data)
-            samples = [_mulaw_to_linear(b) for b in data[:n]]
-            return {"width": None, "height": None,
-                    "n_frames": len(samples),
-                    "features": _chunk_means([abs(s) for s in samples])}
-        if (data is not None and fmt_tag == 0x11 and channels == 1
-                and block_align and block_align > 4):
-            # IMA/DVI ADPCM mono: table-driven nibble decode; the
-            # fact chunk bounds the sample count (the final block is
-            # zero-padded to block_align)
-            spb = 1 + 2 * (block_align - 4)
-            n_blocks = len(data) // block_align
-            n = fact_n if fact_n is not None else n_blocks * spb
-            samples = _ima_decode_mono(data, block_align, n)
-            return {"width": None, "height": None,
-                    "n_frames": len(samples),
-                    "features": _chunk_means([abs(s) for s in samples])}
+        got = _wav_samples(payload)
+        if got is None:
+            return None
+        samples, _sr = got
+        return {"width": None, "height": None,
+                "n_frames": len(samples),
+                "features": _chunk_means([abs(s) for s in samples])}
     return None
+
+
+def _wav_samples(payload: bytes) -> tuple[list[int], int] | None:
+    """RIFF walk → (int16 samples, sample_rate) for the three mono
+    WAV codings decodable without a codec library: 16-bit PCM
+    (wFormatTag 1), G.711 μ-law (7, closed-form per-byte expansion)
+    and IMA/DVI ADPCM (0x11, saturating table recurrence with the
+    fact chunk bounding the sample count). None for anything else —
+    the decode_real capability tier."""
+    pos, fmt_tag, channels, sr = 12, None, None, 0
+    block_align, data, fact_n = None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and size >= 16:
+            fmt_tag, channels, sr, _br, block_align, _bits = (
+                struct.unpack("<HHIIHH", payload[pos + 8:pos + 24]))
+        elif cid == b"fact" and size >= 4:
+            fact_n = int.from_bytes(payload[pos + 8:pos + 12], "little")
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)        # RIFF chunks pad to even
+    if data is None:
+        return None
+    if fmt_tag == 1 and block_align == 2:   # 16-bit mono PCM
+        n = len(data) // 2
+        return list(struct.unpack(f"<{n}h", data[:2 * n])), sr
+    if fmt_tag == 7 and channels == 1 and block_align == 1:
+        n = fact_n if fact_n is not None else len(data)
+        return [_mulaw_to_linear(b) for b in data[:n]], sr
+    if fmt_tag == 0x11 and channels == 1 and block_align \
+            and block_align > 4:
+        spb = 1 + 2 * (block_align - 4)
+        n = fact_n if fact_n is not None \
+            else (len(data) // block_align) * spb
+        return _ima_decode_mono(data, block_align, n), sr
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1489,6 +1491,59 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("peak", IntegerType()),
+    StructField("zcr", IntegerType()),
+    StructField("sum_sq", LongType()),
+])
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-quality statistics for a training-data pipeline — the
+    audio analog of text_quality_score: peak amplitude (clipping
+    gate), zero-crossing count (noisiness/silence proxy) and RMS
+    energy per decoded WAV. Decoding runs in the Arrow mapInPandas
+    batch over _wav_samples (so all three stdlib codings — PCM,
+    μ-law, IMA-ADPCM — feed the same stats); peak/zcr/sum-of-squares
+    are exact integers, and the one libm value (rms) is computed
+    JVM-side as ROUND(sqrt(sum_sq/n), 6) to mirror the oracle's
+    identical expression. Oracle-checkable on the PCM corpus because
+    sample j of doc_id is ((doc_id*31 + j*7) % 65536) - 32768."""
+    media = media_table_encoded(spark, sf_dir).where(
+        F.col("media_type") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "sample_rate": [], "n_samples": [],
+                    "peak": [], "zcr": [], "sum_sq": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                got = _wav_samples(bytes(p))
+                if got is None:
+                    continue
+                s, sr = got
+                rows["doc_id"].append(int(d))
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(len(s))
+                rows["peak"].append(max(abs(v) for v in s) if s else 0)
+                rows["zcr"].append(sum(
+                    1 for i in range(1, len(s))
+                    if (s[i] < 0) != (s[i - 1] < 0)))
+                rows["sum_sq"].append(sum(v * v for v in s))
+            yield pd.DataFrame(rows)
+
+    stats = media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+    return stats.select(
+        "doc_id", "sample_rate", "n_samples", "peak", "zcr",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double")
+                   / F.col("n_samples").cast("double")), 6,
+        ).alias("rms"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decoded": multimodal_decoded,
@@ -1498,6 +1553,7 @@ QUERIES = {
     "multimodal_adpcm": multimodal_adpcm,
     "multimodal_mulaw": multimodal_mulaw,
     "multimodal_jpeg": multimodal_jpeg,
+    "multimodal_audio_stats": multimodal_audio_stats,
 }
 
 
@@ -1821,3 +1877,34 @@ def _jpeg_oracle() -> str:
 
 
 ORACLES["multimodal_jpeg"] = _jpeg_oracle()
+
+def _audio_stats_oracle() -> str:
+    """DuckDB replay of the audio stats: sample j of doc_id's PCM WAV
+    is ((doc_id*31 + j*7) % 65536) - 32768 (synth_media_payload), so
+    peak/zcr/sum-of-squares are exact integer folds over a generated
+    range and rms mirrors the Spark side's ROUND(sqrt(...), 6)."""
+    smp = "((doc_id * 31 + j * 7) % 65536) - 32768"
+    prev = "((doc_id * 31 + (j - 1) * 7) % 65536) - 32768"
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 8) * 1000 AS INTEGER)
+                       AS sample_rate,
+                   100 + doc_id % 400 AS ns
+            FROM documents
+            WHERE doc_id % 3 = 1
+        )
+        SELECT doc_id, sample_rate,
+               CAST(ns AS INTEGER) AS n_samples,
+               CAST(list_max(list_transform(range(0, ns),
+                    j -> abs({smp}))) AS INTEGER) AS peak,
+               CAST(length(list_filter(range(1, ns),
+                    j -> (({smp}) < 0) != (({prev}) < 0)))
+                    AS INTEGER) AS zcr,
+               ROUND(sqrt(list_sum(list_transform(range(0, ns),
+                    j -> ({smp}) * ({smp}))) * 1.0 / ns), 6) AS rms
+        FROM p
+    """
+
+
+ORACLES["multimodal_audio_stats"] = _audio_stats_oracle()
