@@ -763,3 +763,86 @@ def test_multimodal_audio_stats_pipeline(spark, sf_dir):
     compare(multimodal_audio_stats(spark, sf_dir),
             ORACLES["multimodal_audio_stats"], sf_dir,
             "multimodal_audio_stats")
+
+
+def test_jpeg_color_hand_packed_chroma_fixture():
+    """Hand-packed 8x8 COLOR JPEG with NONZERO chroma: custom tables
+    (DC {cat0:'0', cat9:'1'}, AC {EOB:'0'}, quant all 1s), DC-only
+    blocks Y=90 (coef -304), Cb=128 (0), Cr=160 (coef +256) —
+    entropy bits hand-derived to B3 C6 00. Expected RGB from the
+    JFIF formulas computed independently here: R=round(90+1.402*32)
+    =135, G=round(90-0.714136*32)=67, B=90."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    seg = lambda m, p: bytes([0xFF, m]) + struct.pack(">H", 2 + len(p)) + p
+    dc_counts = [0] * 16
+    dc_counts[0] = 2
+    ac_counts = [0] * 16
+    ac_counts[0] = 1
+    dht = (bytes([0x00]) + bytes(dc_counts) + bytes([0, 9])
+           + bytes([0x10]) + bytes(ac_counts) + bytes([0x00]))
+    sof = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    jpg = (b"\xff\xd8"
+           + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+           + seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+           + bytes([0xB3, 0xC6, 0x00]) + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"]) == (8, 8)
+    r = round(90 + 1.402 * 32)
+    g = round(90 - 0.344136 * 0 - 0.714136 * 32)
+    b = round(90 + 1.772 * 0)
+    assert (r, g, b) == (135, 67, 90)
+    # every pixel identical -> every 24-byte chunk holds 8 RGB triples
+    mean = float(8 * (r + g + b)) / 24
+    assert out["features"] == [mean] * 8
+
+
+def test_jpeg_color_roundtrip_closed_form():
+    """Neutral-chroma color synth: decoded RGB stream must equal Y
+    replicated into all three channels (the interleaved-MCU and
+    color-conversion machinery runs; neutral chroma makes it exactly
+    lossless)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_jpeg,
+        synth_jpeg_color_payload,
+    )
+
+    for d in [0, 1, 4, 11, 12, 137, 999, 4321]:
+        out = decode_jpeg(synth_jpeg_color_payload(d))
+        w, h = 8 * (1 + d % 4), 8 * (1 + (d // 4) % 3)
+        assert (out["width"], out["height"]) == (w, h)
+        exp = [(d * 5 + (j // 3 // w // 8) * (w // 8)
+                + (j // 3 % w) // 8) % 256 for j in range(w * h * 3)]
+        assert out["features"] == _chunk_means(exp), d
+
+
+def test_jpeg_color_rejects_subsampled():
+    """Chroma subsampling (2x2 luma sampling factors) stays on the
+    probed codec tier."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_color_payload,
+    )
+
+    p = bytearray(synth_jpeg_color_payload(5))
+    sof = p.index(b"\xff\xc0")
+    p[sof + 11] = 0x22                        # Y sampling 1x1 -> 2x2
+    assert decode_jpeg(bytes(p)) is None
+
+
+def test_multimodal_jpeg_color_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_jpeg_color,
+    )
+
+    compare(multimodal_jpeg_color(spark, sf_dir),
+            ORACLES["multimodal_jpeg_color"], sf_dir,
+            "multimodal_jpeg_color")

@@ -912,23 +912,75 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
     )
 
 
+def synth_jpeg_color_payload(doc_id: int) -> bytes:
+    """Deterministic VALID baseline 4:4:4 COLOR JPEG: three
+    interleaved components (YCbCr, one 8×8 block each per MCU,
+    Annex K tables shared). Luma blocks are constant
+    (doc_id*5 + block) % 256 with DC quantizer 8 (the exactly-
+    lossless construction); chroma is NEUTRAL (Cb = Cr = 128, DC
+    diff 0 every block), so the JFIF conversion yields R = G = B = Y
+    bit-exactly and the decoded RGB stream stays a closed form of
+    doc_id — while the decoder still runs the full interleaved-MCU /
+    per-component-predictor / color-conversion machinery (a chroma
+    bug shifts every channel and fails the oracle)."""
+    w = 8 * (1 + doc_id % 4)
+    h = 8 * (1 + (doc_id // 4) % 3)
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_code, eob_len = ac_codes[0x00]
+    bw = _BitWriter()
+    pred_y = 0
+    for b in range((w // 8) * (h // 8)):
+        dc = ((doc_id * 5 + b) % 256) - 128
+        diff = dc - pred_y
+        pred_y = dc
+        cat = _jpeg_category(diff)
+        code, length = dc_codes[cat]
+        bw.put(code, length)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bw.put(mag, cat)
+        bw.put(eob_code, eob_len)
+        for _chroma in range(2):             # Cb, Cr: dc 128, diff 0
+            code, length = dc_codes[0]
+            bw.put(code, length)
+            bw.put(eob_code, eob_len)
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _jpeg_segment(0xC0, sof)
+        + _jpeg_segment(0xC4, dht)
+        + _jpeg_segment(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
 def decode_jpeg(payload: bytes) -> dict | None:
     """REAL baseline JPEG decode with stdlib + numpy only (the
     PNG/GIF/ADPCM discipline, tier three): marker walk, 8-bit DQT,
     canonical Huffman tables from DHT, MSB-first entropy decode with
     0xFF00 unstuffing, DC prediction + EXTEND, zigzag dequant, full
     8×8 float IDCT (matrix form of the T.81 reconstruction sum),
-    level shift and clamp. Scope is the honest stdlib boundary:
-    baseline sequential GRAYSCALE (SOF0, one component, 8-bit, no
-    restart markers); progressive/color return None and fall to
-    decode_real's Pillow probe."""
+    level shift and clamp. GRAYSCALE (one component) and 4:4:4 COLOR
+    (three interleaved components, per-component predictors and
+    table selection, JFIF YCbCr→RGB) are both decoded. The honest
+    stdlib boundary is what genuinely needs a codec library's
+    machinery: progressive scans, chroma subsampling (2x1/2x2 MCUs),
+    16-bit quant tables and restart intervals return None and fall
+    to decode_real's Pillow probe."""
     if payload[:3] != b"\xff\xd8\xff":
         return None
     qtabs: dict[int, list[int]] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     w = h = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int]] = []        # (component id, quant id)
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -948,11 +1000,15 @@ def decode_jpeg(payload: bytes) -> dict | None:
                 p += 65
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8 or ncomp != 1:
-                return None                  # color needs a codec tier
-            cid, sampling, comp_q = seg[6], seg[7], seg[8]
-            if sampling != 0x11:
+            if prec != 8 or ncomp not in (1, 3) \
+                    or len(seg) < 6 + 3 * ncomp:
                 return None
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * c:9 + 3 * c]
+                if sampling != 0x11:
+                    return None              # subsampled chroma: codec tier
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None                      # progressive/extended
@@ -971,56 +1027,90 @@ def decode_jpeg(payload: bytes) -> dict | None:
             if struct.unpack(">H", seg[:2])[0] != 0:
                 return None                  # restart intervals unsupported
         elif marker == 0xDA:
-            if w is None or seg[0] != 1:
+            ns = seg[0]
+            if w is None or ns != len(comps):
                 return None
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            by_id = dict(comps)
+            plan = []                        # (qtab, dc_tab, ac_tab)
+            for c in range(ns):
+                cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cid not in by_id:
+                    return None
+                plan.append((qtabs.get(by_id[cid]),
+                             dc_tabs.get(tsel >> 4),
+                             ac_tabs.get(tsel & 0x0F)))
             scan_pos = pos + 2 + seg_len
-            return _jpeg_scan(payload, scan_pos, w, h,
-                              qtabs.get(comp_q),
-                              dc_tabs.get(comp_dc),
-                              ac_tabs.get(comp_ac))
+            return _jpeg_scan(payload, scan_pos, w, h, plan)
         pos += 2 + seg_len
     return None
 
 
+def _jpeg_decode_block(br: _BitReader, qtab: list, dc_tab: dict,
+                       ac_tab: dict, pred: int) -> tuple:
+    """One entropy-coded 8×8 block → (spatial int block, new DC
+    predictor). Shared by the grayscale path and each component of
+    an interleaved color MCU."""
+    zz = [0] * 64
+    cat = br.huff(dc_tab)
+    diff = _jpeg_extend(br.take(cat), cat) if cat else 0
+    pred += diff
+    zz[0] = pred * qtab[0]
+    k = 1
+    while k < 64:
+        sym = br.huff(ac_tab)
+        if sym == 0x00:                      # EOB
+            break
+        if sym == 0xF0:                      # ZRL: 16 zeros
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k >= 64 or size == 0:
+            raise ValueError("jpeg: AC index past block")
+        zz[k] = _jpeg_extend(br.take(size), size) * qtab[k]
+        k += 1
+    coef = np.zeros((8, 8))
+    for i, (r, c) in enumerate(_JPEG_ZIGZAG):
+        coef[r, c] = zz[i]
+    block = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
+    spatial = np.clip(np.round(block) + 128, 0, 255)
+    return spatial, pred
+
+
 def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
-               qtab: list | None, dc_tab: dict | None,
-               ac_tab: dict | None) -> dict | None:
-    if qtab is None or dc_tab is None or ac_tab is None:
+               plan: list) -> dict | None:
+    """Entropy-decode the single interleaved scan: per MCU one 8×8
+    block per component (4:4:4), per-component DC predictors; then
+    grayscale passthrough or JFIF YCbCr→RGB (R = Y + 1.402·(Cr−128),
+    G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128),
+    B = Y + 1.772·(Cb−128); round then clamp)."""
+    if any(t is None for spec in plan for t in spec):
         return None
+    ncomp = len(plan)
     bw_blocks = (w + 7) // 8
     bh_blocks = (h + 7) // 8
     br = _BitReader(payload, pos)
-    pixels = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.int64)
-    pred = 0
+    planes = [np.zeros((bh_blocks * 8, bw_blocks * 8)) for _ in
+              range(ncomp)]
+    preds = [0] * ncomp
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
-            zz = [0] * 64
-            cat = br.huff(dc_tab)
-            diff = _jpeg_extend(br.take(cat), cat) if cat else 0
-            pred += diff
-            zz[0] = pred * qtab[0]
-            k = 1
-            while k < 64:
-                sym = br.huff(ac_tab)
-                if sym == 0x00:              # EOB
-                    break
-                if sym == 0xF0:              # ZRL: 16 zeros
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k >= 64 or size == 0:
-                    raise ValueError("jpeg: AC index past block")
-                zz[k] = _jpeg_extend(br.take(size), size) * qtab[k]
-                k += 1
-            coef = np.zeros((8, 8))
-            for i, (r, c) in enumerate(_JPEG_ZIGZAG):
-                coef[r, c] = zz[i]
-            block = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
-            pixels[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
-                np.round(block) + 128, 0, 255).astype(np.int64)
-    pix = pixels[:h, :w].reshape(-1).tolist()
+            for c, (qtab, dc_tab, ac_tab) in enumerate(plan):
+                spatial, preds[c] = _jpeg_decode_block(
+                    br, qtab, dc_tab, ac_tab, preds[c])
+                planes[c][by * 8:(by + 1) * 8,
+                          bx * 8:(bx + 1) * 8] = spatial
+    if ncomp == 1:
+        pix = planes[0][:h, :w].astype(np.int64).reshape(-1).tolist()
+    else:
+        y = planes[0][:h, :w]
+        cb = planes[1][:h, :w] - 128.0
+        cr = planes[2][:h, :w] - 128.0
+        r = np.clip(np.round(y + 1.402 * cr), 0, 255)
+        g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+        b = np.clip(np.round(y + 1.772 * cb), 0, 255)
+        pix = np.stack([r, g, b], axis=-1).astype(
+            np.int64).reshape(-1).tolist()
     return {"width": int(w), "height": int(h), "n_frames": 1,
             "features": _chunk_means(pix)}
 
@@ -1491,6 +1581,35 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end baseline 4:4:4 COLOR JPEG decode: interleaved
+    3-component MCUs, per-component DC predictors, JFIF YCbCr→RGB —
+    all real; the neutral-chroma synth (see synth_jpeg_color_payload)
+    keeps the lossy codec exactly lossless so DuckDB replays the RGB
+    stream in closed form."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_jpeg_color_payload(int(d))
+                        for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image",
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    df = decode_features(media, batch_decoder=_samples_or_null)
+    return df.select(
+        "doc_id", "width", "height", "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 AUDIO_STATS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("sample_rate", IntegerType()),
@@ -1553,6 +1672,7 @@ QUERIES = {
     "multimodal_adpcm": multimodal_adpcm,
     "multimodal_mulaw": multimodal_mulaw,
     "multimodal_jpeg": multimodal_jpeg,
+    "multimodal_jpeg_color": multimodal_jpeg_color,
     "multimodal_audio_stats": multimodal_audio_stats,
 }
 
@@ -1908,3 +2028,43 @@ def _audio_stats_oracle() -> str:
 
 
 ORACLES["multimodal_audio_stats"] = _audio_stats_oracle()
+
+def _jpeg_color_oracle() -> str:
+    """DuckDB replay of the color-JPEG pipeline: neutral chroma makes
+    R = G = B = Y, and Y of pixel p is (doc_id*5 + block) % 256 with
+    block = (p÷w÷8)·(w÷8) + (p mod w)÷8 — so byte j of the RGB stream
+    depends only on p = j÷3."""
+    val = ("(doc_id * 5 + (((j // 3) // w) // 8) * (w // 8)"
+           " + (((j // 3) % w) // 8)) % 256")
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> {val})) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (1 + doc_id % 4) AS w,
+                   8 * (1 + (doc_id // 4) % 3) AS h
+            FROM documents
+        ),
+        q AS (SELECT *, w * h * 3 AS n FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END
+                          AS step_sz
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_jpeg_color"] = _jpeg_color_oracle()
