@@ -69,6 +69,8 @@ HEADLINE = [
     "text_contamination_semantic",
     "multimodal_decoded",
     "multimodal_features",
+    "multimodal_jpeg",
+    "multimodal_audio_stats",
     "chunk_documents",
     "corpus_build",
 ]
@@ -130,8 +132,9 @@ SF10_QUERIES = [
     "olap_basket_affinity", "olap_customer_abc",
     "text_quality_score", "text_vocab_topk", "chunk_documents",
     # r8 (VERDICT item 8): the bounded-explode slope claims measured
-    # only to sf1 until now
-    "events_active_users", "text_tfidf_topk",
+    # only to sf1 until now, plus one Arrow mapInPandas decode key so
+    # the Python-batch path has a measured slope too
+    "events_active_users", "text_tfidf_topk", "multimodal_jpeg",
 ]
 
 

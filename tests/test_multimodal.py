@@ -846,3 +846,47 @@ def test_multimodal_jpeg_color_pipeline(spark, sf_dir):
     compare(multimodal_jpeg_color(spark, sf_dir),
             ORACLES["multimodal_jpeg_color"], sf_dir,
             "multimodal_jpeg_color")
+
+
+def test_avi_decode_and_rejections():
+    """Uncompressed-DIB AVI round trip plus the honest boundaries:
+    00dc (compressed) frame chunks and non-BI_RGB strf return None;
+    truncated RIFF goes null through _samples_or_null."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        _samples_or_null,
+        decode_avi,
+        synth_avi_payload,
+    )
+
+    d = 41
+    out = decode_avi(synth_avi_payload(d))
+    w, h, nf = 4 * (1 + d % 6), 2 + d % 7, 3 + d % 6
+    assert (out["width"], out["height"], out["n_frames"]) == (w, h, nf)
+    fsize = w * 3 * h
+    exp = [(d + (j // fsize) * 7 + (j % fsize)) % 256
+           for j in range(fsize * nf)]
+    assert out["features"] == _chunk_means(exp)
+
+    p = bytearray(synth_avi_payload(7))
+    i = p.index(b"00db")
+    p[i:i + 4] = b"00dc"
+    assert decode_avi(bytes(p)) is None
+    p = bytearray(synth_avi_payload(7))
+    i = p.index(b"strf")
+    p[i + 8 + 16:i + 8 + 20] = b"\x01\x00\x00\x00"   # biCompression=1
+    assert decode_avi(bytes(p)) is None
+    trunc = bytes(synth_avi_payload(7))[:40]
+    assert _samples_or_null(trunc, "video")["features"] is None
+
+
+def test_multimodal_avi_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_avi,
+    )
+
+    compare(multimodal_avi(spark, sf_dir), ORACLES["multimodal_avi"],
+            sf_dir, "multimodal_avi")

@@ -245,6 +245,8 @@ def decode_samples(payload: bytes) -> dict | None:
         return {"width": None, "height": None,
                 "n_frames": len(samples),
                 "features": _chunk_means([abs(s) for s in samples])}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi(payload)
     return None
 
 
@@ -910,6 +912,94 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
         + bw.flush()
         + b"\xff\xd9"
     )
+
+
+def _riff_chunk(cid: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return cid + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(ltype: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + payload)
+
+
+def synth_avi_payload(doc_id: int) -> bytes:
+    """Deterministic VALID AVI container with UNCOMPRESSED 24-bit DIB
+    frames (the video analog of BMP/WAV: the one public video format
+    parseable without any codec): real RIFF structure — LIST hdrl
+    {avih, LIST strl {strh 'vids'/'DIB ', strf BITMAPINFOHEADER}},
+    LIST movi {00db frames}. Frame f's byte j is
+    (doc_id + f*7 + j) % 256 over w*3*h bytes (w a multiple of 4 so
+    the DIB stride adds no padding) — a closed form the oracle
+    replays."""
+    w = 4 * (1 + doc_id % 6)
+    h = 2 + doc_id % 7
+    nf = 3 + doc_id % 6
+    fsize = w * 3 * h
+    frames = b"".join(
+        _riff_chunk(b"00db", bytes(
+            (doc_id + f * 7 + j) % 256 for j in range(fsize)))
+        for f in range(nf)
+    )
+    avih = struct.pack("<14I", 40000, fsize * 25, 0, 0, nf, 0, 1,
+                       fsize, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, 25, 0, nf, fsize, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize,
+                       0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi", frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> dict | None:
+    """REAL video-container decode with stdlib only: walks the RIFF
+    AVI tree (hdrl → avih for dimensions and the strf
+    BITMAPINFOHEADER for the BI_RGB check; movi → 00db uncompressed
+    DIB frame chunks), concatenates the raw frame bytes and reduces
+    to the standard 8-chunk-mean features with n_frames = the movi
+    frame count. COMPRESSED video (00dc chunks or a non-zero
+    biCompression) returns None — that is decode_real's av/pyav
+    probe tier."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    w = h = None
+    compression = None
+    frames: list[bytes] = []
+
+    def walk(data: bytes) -> bool:
+        nonlocal w, h, compression
+        pos = 0
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            size = int.from_bytes(data[pos + 4:pos + 8], "little")
+            body = data[pos + 8:pos + 8 + size]
+            if cid == b"LIST":
+                if not walk(body[4:]):
+                    return False
+            elif cid == b"avih" and size >= 40:
+                vals = struct.unpack("<10I", body[:40])
+                w, h = vals[8], vals[9]
+            elif cid == b"strf" and size >= 20:
+                compression = int.from_bytes(body[16:20], "little")
+            elif cid[2:] == b"db":
+                frames.append(body)
+            elif cid[2:] == b"dc":
+                return False                 # compressed frames: codec tier
+            pos += 8 + size + (size & 1)
+        return True
+
+    if not walk(payload[12:]) or w is None or not frames:
+        return None
+    if compression not in (None, 0):         # BI_RGB only
+        return None
+    stream = b"".join(frames)
+    return {"width": int(w), "height": int(h), "n_frames": len(frames),
+            "features": _chunk_means(list(stream))}
 
 
 def synth_jpeg_color_payload(doc_id: int) -> bytes:
@@ -1610,6 +1700,37 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video-container decode with stdlib only:
+    synthesize valid uncompressed-DIB AVIs (real RIFF hdrl/strl/movi
+    structure), walk them in the Arrow mapInPandas batch, reduce the
+    concatenated frame bytes to chunk-mean features with the frame
+    count from the movi chunks. Completes the media-type triangle —
+    image (BMP/PNG/GIF/JPEG), audio (PCM/μ-law/ADPCM), video (DIB
+    AVI) — all oracle-checked; compressed video stays on the av
+    probe."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_avi_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "video",
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    df = decode_features(media, batch_decoder=_samples_or_null)
+    return df.select(
+        "doc_id", "width", "height", "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 AUDIO_STATS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("sample_rate", IntegerType()),
@@ -1674,6 +1795,7 @@ QUERIES = {
     "multimodal_jpeg": multimodal_jpeg,
     "multimodal_jpeg_color": multimodal_jpeg_color,
     "multimodal_audio_stats": multimodal_audio_stats,
+    "multimodal_avi": multimodal_avi,
 }
 
 
@@ -2068,3 +2190,44 @@ def _jpeg_color_oracle() -> str:
 
 
 ORACLES["multimodal_jpeg_color"] = _jpeg_color_oracle()
+
+def _avi_oracle() -> str:
+    """DuckDB replay of the AVI pipeline: frame f's byte j of doc_id
+    is (doc_id + f*7 + j) % 256 over fsize = w*3*h bytes per frame
+    (synth_avi_payload), so byte j of the concatenated stream is
+    (doc_id + (j ÷ fsize)*7 + (j mod fsize)) % 256."""
+    val = "(doc_id + (j // fsize) * 7 + (j % fsize)) % 256"
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> {val})) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   4 * (1 + doc_id % 6) AS w,
+                   2 + doc_id % 7 AS h,
+                   3 + doc_id % 6 AS nf
+            FROM documents
+        ),
+        q AS (SELECT *, w * 3 * h AS fsize,
+                     w * 3 * h * nf AS n FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END
+                          AS step_sz
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(nf AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_avi"] = _avi_oracle()
