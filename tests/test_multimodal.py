@@ -890,3 +890,19 @@ def test_multimodal_avi_pipeline(spark, sf_dir):
 
     compare(multimodal_avi(spark, sf_dir), ORACLES["multimodal_avi"],
             sf_dir, "multimodal_avi")
+
+
+def test_multimodal_frame_sample_pipeline(spark, sf_dir):
+    """Real per-frame extraction rows: every 2nd frame of each AVI,
+    frame mean from the actual DIB bytes, against the symbolic
+    oracle."""
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_frame_sample,
+    )
+
+    compare(multimodal_frame_sample(spark, sf_dir),
+            ORACLES["multimodal_frame_sample"], sf_dir,
+            "multimodal_frame_sample")

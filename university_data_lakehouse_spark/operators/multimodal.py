@@ -956,15 +956,12 @@ def synth_avi_payload(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(payload: bytes) -> dict | None:
-    """REAL video-container decode with stdlib only: walks the RIFF
-    AVI tree (hdrl → avih for dimensions and the strf
-    BITMAPINFOHEADER for the BI_RGB check; movi → 00db uncompressed
-    DIB frame chunks), concatenates the raw frame bytes and reduces
-    to the standard 8-chunk-mean features with n_frames = the movi
-    frame count. COMPRESSED video (00dc chunks or a non-zero
-    biCompression) returns None — that is decode_real's av/pyav
-    probe tier."""
+def _avi_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """RIFF AVI tree walk (LIST hdrl → avih dimensions + strf
+    BITMAPINFOHEADER BI_RGB gate; LIST movi → 00db uncompressed DIB
+    frame chunks) → (width, height, per-frame byte strings).
+    COMPRESSED video (00dc chunks or non-zero biCompression) returns
+    None — that is decode_real's av/pyav probe tier."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
     w = h = None
@@ -997,8 +994,20 @@ def decode_avi(payload: bytes) -> dict | None:
         return None
     if compression not in (None, 0):         # BI_RGB only
         return None
+    return int(w), int(h), frames
+
+
+def decode_avi(payload: bytes) -> dict | None:
+    """REAL video-container decode with stdlib only (see
+    _avi_frames): concatenates the raw frame bytes and reduces to the
+    standard 8-chunk-mean features with n_frames = the movi frame
+    count."""
+    got = _avi_frames(payload)
+    if got is None:
+        return None
+    w, h, frames = got
     stream = b"".join(frames)
-    return {"width": int(w), "height": int(h), "n_frames": len(frames),
+    return {"width": w, "height": h, "n_frames": len(frames),
             "features": _chunk_means(list(stream))}
 
 
@@ -1731,6 +1740,56 @@ def multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_mean", DoubleType()),
+])
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
+                            every_n: int = 2) -> DataFrame:
+    """REAL frame sampling — the production explode shape
+    (one output row per sampled frame) with ACTUAL per-frame pixel
+    bytes, not the stubbed frame counts `frame_sample` plumbs: decode
+    the AVI in the Arrow batch, emit every ``every_n``-th frame's
+    index and mean byte value (exact integer sum / fixed frame size,
+    so the doubles are engine-identical). This is the stage a video
+    training pipeline runs before per-frame feature extraction."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_avi_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "video",
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_mean": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                got = _avi_frames(bytes(p))
+                if got is None:
+                    continue
+                _w, _h, frames = got
+                for f in range(0, len(frames), every_n):
+                    rows["doc_id"].append(int(d))
+                    rows["frame_idx"].append(f)
+                    rows["frame_mean"].append(
+                        float(sum(frames[f])) / len(frames[f]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("sample_rate", IntegerType()),
@@ -1796,6 +1855,7 @@ QUERIES = {
     "multimodal_jpeg_color": multimodal_jpeg_color,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_avi": multimodal_avi,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 
@@ -2231,3 +2291,30 @@ def _avi_oracle() -> str:
 
 
 ORACLES["multimodal_avi"] = _avi_oracle()
+
+def _frame_sample_oracle() -> str:
+    """DuckDB replay of the frame-sampling stage: doc_id's AVI has
+    nf = 3 + doc_id % 6 frames of fsize = w*3*h bytes; sampled frames
+    are f = 0, 2, 4 ... < nf and frame f's mean is the exact integer
+    sum of (doc_id + f*7 + j) % 256 over j < fsize, divided once."""
+    return """
+        WITH p AS (
+            SELECT doc_id,
+                   4 * (1 + doc_id % 6) * 3 * (2 + doc_id % 7) AS fsize,
+                   3 + doc_id % 6 AS nf
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, fsize, CAST(unnest(range(0, nf, 2))
+                                       AS INTEGER) AS frame_idx
+            FROM p
+        )
+        SELECT doc_id, frame_idx,
+               list_sum(list_transform(range(0, fsize),
+                   j -> (doc_id + frame_idx * 7 + j) % 256))
+                   * 1.0 / fsize AS frame_mean
+        FROM f
+    """
+
+
+ORACLES["multimodal_frame_sample"] = _frame_sample_oracle()
