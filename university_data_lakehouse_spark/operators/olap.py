@@ -1183,8 +1183,11 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped BEFORE pair generation (and from the support/lift
     denominators, so all statistics describe the same capped
     universe); the per-orderkey count uses a window over the same
-    hash partitioning the pair self-join needs, so the cap costs no
-    extra shuffle."""
+    hash partitioning the pair self-join needs. Measured at sf10
+    (controlled, same session, median of 2): window-cap 23.4s vs
+    uncapped 22.2s vs a broadcast-anti-join cap 36.4s — the window
+    shares the join's exchange while the anti-join recomputes the
+    distinct, so the window form is the scale choice."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     w_sz = Window.partitionBy("l_orderkey")
