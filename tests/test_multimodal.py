@@ -499,7 +499,9 @@ def test_adpcm_malformed_payloads_go_null_not_raise():
         b"RIFF\x10\x00\x00\x00WAVEjunk",       # bogus chunk walk
     ]:
         out = _samples_or_null(bad, "audio")
-        assert out["features"] is None or out["n_frames"] is not None
+        # the contract under test is NO EXCEPTION; the row must still
+        # be a well-formed decode dict (null or partial)
+        assert set(out) == {"width", "height", "n_frames", "features"}
 
 
 def test_gif_malformed_payloads_go_null_not_raise():
@@ -523,7 +525,10 @@ def test_gif_malformed_payloads_go_null_not_raise():
     p = bytearray(synth_gif_payload(7))
     p[13 + 768 + 10 + 2] = 0xFF       # smash into the code stream
     out = _samples_or_null(bytes(p), "image")
-    assert out["features"] is None or out["features"] is not None  # no raise
+    # the contract under test is NO EXCEPTION through the null
+    # boundary; the smashed stream may decode to garbage-but-valid or
+    # to the null row, both acceptable shapes
+    assert set(out) == {"width", "height", "n_frames", "features"}
     # index beyond the declared 2-entry palette -> honest None,
     # not a silently truncated RGB stream
     pal2 = bytes([10, 20, 30, 40, 50, 60])
@@ -906,3 +911,62 @@ def test_multimodal_frame_sample_pipeline(spark, sf_dir):
     compare(multimodal_frame_sample(spark, sf_dir),
             ORACLES["multimodal_frame_sample"], sf_dir,
             "multimodal_frame_sample")
+
+
+def test_multimodal_plans_have_no_shuffle(spark, sf_dir):
+    """The scale guarantee of the whole multimodal tier: every decode
+    pipeline is a NARROW map (scan -> Arrow mapInPandas -> project) —
+    zero Exchange operators in the optimized plan, so at 100 TB it
+    parallelizes per input split with no shuffle barrier."""
+    from university_data_lakehouse_spark.operators import multimodal as mm
+
+    for key in ["multimodal_meta", "multimodal_decoded",
+                "multimodal_features", "multimodal_png",
+                "multimodal_gif", "multimodal_jpeg",
+                "multimodal_jpeg_color", "multimodal_adpcm",
+                "multimodal_mulaw", "multimodal_audio_stats",
+                "multimodal_avi", "multimodal_frame_sample"]:
+        df = mm.QUERIES[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{key} plan shuffles:\n{plan}"
+
+
+def test_jpeg_restart_markers_reset_dc_predictors():
+    """DRI/RSTn support (T.81 F.2.1.3.1): a hand-packed 16x8 gray
+    JPEG with DRI=1 and two MCUs, each coding DC diff +3 (custom
+    tables: DC {cat2:'0'}, AC {EOB:'0'}; bits 0|11|0 + pad = 0x6F),
+    separated by FF D0. WITH the predictor reset both blocks decode
+    to 128 + 3 = 131; without it the second block would be 134 —
+    the assertion distinguishes."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    seg = lambda m, p: bytes([0xFF, m]) + struct.pack(">H", 2 + len(p)) + p
+    dc_counts = [0] * 16
+    dc_counts[0] = 1
+    ac_counts = [0] * 16
+    ac_counts[0] = 1
+    dht = (bytes([0x00]) + bytes(dc_counts) + bytes([2])
+           + bytes([0x10]) + bytes(ac_counts) + bytes([0x00]))
+    jpg = (b"\xff\xd8"
+           + seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+           + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1)
+                 + bytes([1, 0x11, 0]))
+           + seg(0xC4, dht)
+           + seg(0xDD, struct.pack(">H", 1))
+           + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + bytes([0x6F]) + b"\xff\xd0" + bytes([0x6F])
+           + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"]) == (16, 8)
+    # 16x8 = 128 bytes, step 16: every chunk spans one row half;
+    # all pixels must be 131 (both blocks reset to diff-from-zero)
+    assert out["features"] == [131.0] * 8
+    # and a payload whose RST marker is MISSING must go null, not
+    # silently mis-decode
+    broken = jpg.replace(b"\xff\xd0", b"")
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _samples_or_null,
+    )
+    assert _samples_or_null(broken, "image")["features"] is None

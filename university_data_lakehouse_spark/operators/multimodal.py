@@ -755,6 +755,17 @@ class _BitReader:
         self.nbits -= n
         return out
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary: drop the
+        pad bits to the byte edge, then the two marker bytes
+        (FF D0..D7). Raises ValueError if the marker is absent."""
+        self.nbits = 0                       # discard byte-pad bits
+        if (self.pos + 2 > len(self.data)
+                or self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("jpeg: missing restart marker")
+        self.pos += 2
+
     def huff(self, table: dict) -> int:
         """table: {(code, length): symbol} decoded bit-by-bit (JPEG
         codes are <= 16 bits; the per-bit walk is simple and the
@@ -1080,6 +1091,7 @@ def decode_jpeg(payload: bytes) -> dict | None:
     ac_tabs: dict[int, dict] = {}
     w = h = None
     comps: list[tuple[int, int]] = []        # (component id, quant id)
+    restart_interval = 0                     # DRI: MCUs between RSTn
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1123,8 +1135,7 @@ def decode_jpeg(payload: bytes) -> dict | None:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = table
                 p += 17 + nv
         elif marker == 0xDD:
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                return None                  # restart intervals unsupported
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
             ns = seg[0]
             if w is None or ns != len(comps):
@@ -1139,7 +1150,8 @@ def decode_jpeg(payload: bytes) -> dict | None:
                              dc_tabs.get(tsel >> 4),
                              ac_tabs.get(tsel & 0x0F)))
             scan_pos = pos + 2 + seg_len
-            return _jpeg_scan(payload, scan_pos, w, h, plan)
+            return _jpeg_scan(payload, scan_pos, w, h, plan,
+                              restart_interval)
         pos += 2 + seg_len
     return None
 
@@ -1177,10 +1189,12 @@ def _jpeg_decode_block(br: _BitReader, qtab: list, dc_tab: dict,
 
 
 def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
-               plan: list) -> dict | None:
+               plan: list, restart_interval: int = 0) -> dict | None:
     """Entropy-decode the single interleaved scan: per MCU one 8×8
-    block per component (4:4:4), per-component DC predictors; then
-    grayscale passthrough or JFIF YCbCr→RGB (R = Y + 1.402·(Cr−128),
+    block per component (4:4:4), per-component DC predictors; a
+    non-zero DRI interval consumes an RSTn marker and resets every
+    predictor after that many MCUs (T.81 §F.2.1.3.1); then grayscale
+    passthrough or JFIF YCbCr→RGB (R = Y + 1.402·(Cr−128),
     G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128),
     B = Y + 1.772·(Cb−128); round then clamp)."""
     if any(t is None for spec in plan for t in spec):
@@ -1192,8 +1206,13 @@ def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
     planes = [np.zeros((bh_blocks * 8, bw_blocks * 8)) for _ in
               range(ncomp)]
     preds = [0] * ncomp
+    mcu = 0
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart()
+                preds = [0] * ncomp
+            mcu += 1
             for c, (qtab, dc_tab, ac_tab) in enumerate(plan):
                 spatial, preds[c] = _jpeg_decode_block(
                     br, qtab, dc_tab, ac_tab, preds[c])
