@@ -970,3 +970,84 @@ def test_jpeg_restart_markers_reset_dc_predictors():
         _samples_or_null,
     )
     assert _samples_or_null(broken, "image")["features"] is None
+
+
+def test_hostile_header_dims_go_null_not_oom():
+    """Review finding (r8): a forged SOF0/IHDR claiming 65535x65535
+    must return the null row BEFORE any plane allocation — MemoryError
+    is deliberately not in the null contract's catch set."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _samples_or_null,
+        synth_jpeg_payload,
+        synth_png_payload,
+    )
+
+    jpg = bytearray(synth_jpeg_payload(3))
+    sof = jpg.index(b"\xff\xc0")
+    jpg[sof + 5:sof + 9] = struct.pack(">HH", 65535, 65535)
+    assert _samples_or_null(bytes(jpg), "image")["features"] is None
+
+    png = bytearray(synth_png_payload(3))
+    # IHDR data starts at offset 16 (8 sig + 4 len + 4 type): w, h
+    png[16:24] = struct.pack(">II", 1 << 16, 1 << 16)
+    assert _samples_or_null(bytes(png), "image")["features"] is None
+
+
+def test_frame_sample_skips_empty_frames(spark, sf_dir):
+    """Review finding (r8): a zero-length 00db chunk must be skipped,
+    not divide by zero. Splice an empty frame chunk into a valid AVI
+    and run it through the explode closure logic."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _avi_frames,
+        synth_avi_payload,
+    )
+
+    p = bytearray(synth_avi_payload(7))
+    movi = p.index(b"movi")
+    empty = b"00db" + struct.pack("<I", 0)
+    spliced = bytes(p[:movi + 4]) + empty + bytes(p[movi + 4:])
+    # fix the two enclosing RIFF/LIST sizes
+    spliced = bytearray(spliced)
+    # grow the RIFF size (offset 4) and the movi LIST size (the
+    # 4 bytes just before the "movi" type tag)
+    for off in (4, movi - 4):
+        old = int.from_bytes(spliced[off:off + 4], "little")
+        spliced[off:off + 4] = struct.pack("<I", old + len(empty))
+    got = _avi_frames(bytes(spliced))
+    assert got is not None
+    _w, _h, frames = got
+    assert frames[0] == b""                  # the spliced empty frame
+    # the pipeline guard: empty frames produce no row and no raise
+    means = [float(sum(f)) / len(f) for f in frames if f]
+    assert len(means) == len(frames) - 1
+
+
+def test_avi_audio_strf_does_not_shadow_video():
+    """Review finding (r8): a trailing audio strl whose WAVEFORMATEX
+    is >= 20 bytes must not overwrite the video stream's BI_RGB
+    compression and reject a decodable DIB file."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _riff_chunk,
+        _riff_list,
+        decode_avi,
+        synth_avi_payload,
+    )
+
+    p = bytearray(synth_avi_payload(7))
+    # an MP3-ish WAVEFORMATEX: wFormatTag 0x55, 22 bytes of fields
+    wf = struct.pack("<HHIIHHH", 0x55, 1, 44100, 16000, 1, 0, 12) \
+        + b"\x00" * 12
+    audio_strl = _riff_list(
+        b"strl",
+        _riff_chunk(b"strh", b"auds" + b"\x00" * 52)
+        + _riff_chunk(b"strf", wf))
+    movi = p.index(b"LIST", 12)              # insert before... find hdrl end
+    # append the audio strl inside hdrl: simplest is to splice right
+    # before the movi LIST and extend the RIFF size
+    movi = p.index(b"movi") - 8              # LIST header of movi
+    spliced = bytearray(bytes(p[:movi]) + audio_strl + bytes(p[movi:]))
+    old = int.from_bytes(spliced[4:8], "little")
+    spliced[4:8] = struct.pack("<I", old + len(audio_strl))
+    out = decode_avi(bytes(spliced))
+    assert out is not None                   # video frames still decode
+    assert out["n_frames"] == 3 + 7 % 6

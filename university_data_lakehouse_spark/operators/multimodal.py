@@ -26,14 +26,16 @@ Three decode tiers:
 - REAL compressed-format decode with stdlib(+numpy) only, the full
   set now: PNG (``decode_png``: zlib inflate + all-five-filter
   defilter), GIF (``decode_gif``: variable-width LZW + palette),
-  baseline grayscale JPEG (``decode_jpeg``: canonical Huffman + DC
-  prediction + zigzag dequant + full 8×8 IDCT), IMA-ADPCM WAV
+  baseline JPEG, grayscale and 4:4:4 color incl. restart markers
+  (``decode_jpeg``: canonical Huffman + DC prediction + zigzag
+  dequant + full 8×8 IDCT + JFIF YCbCr→RGB), IMA-ADPCM WAV
   (``_ima_decode_mono``: saturating table recurrence) and G.711
   μ-law WAV (``_mulaw_to_linear``) — each with a synthesized corpus
   whose decoded stream is a pure function of doc_id and a DuckDB
   oracle replaying it (``multimodal_png/gif/jpeg/adpcm/mulaw``).
 - CAPABILITY-PROBED codec decode for what genuinely needs a codec
-  library (color/progressive JPEG, MP3, H.264): ``decode_real``
+  library (progressive/subsampled JPEG, MP3, H.264, compressed
+  video): ``decode_real``
   probes Pillow / soundfile / av at call time, decodes when present,
   and raises NotImplementedError only when the library is genuinely
   absent from the environment (as here) — the code self-activates in
@@ -98,6 +100,16 @@ FEATURE_SCHEMA = StructType([
     StructField("n_frames", IntegerType()),
     StructField("features", ArrayType(DoubleType())),
 ])
+
+
+# Upper bound on header-declared pixel counts the stdlib decoders
+# will allocate for (64 MPix ≈ 0.5 GiB of float64 planes). A feature
+# pass over corpus bytes must survive hostile headers: a forged SOF0/
+# IHDR claiming 65535x65535 would otherwise trigger a multi-GiB numpy
+# allocation (MemoryError / executor OOM) BEFORE any data-length check
+# bounds it — and MemoryError is deliberately not in the null-contract
+# catch set. Larger legitimate media belongs to the codec tier.
+_MAX_DECODE_PIXELS = 1 << 26
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,6 +377,10 @@ def decode_png(payload: bytes) -> dict | None:
                 ">IIBBBBB", data)
             if depth != 8 or interlace != 0 or color not in (0, 2, 6):
                 return None
+            if w * h > _MAX_DECODE_PIXELS:
+                return None      # hostile/corrupt IHDR dims: the
+                # per-row buffers allocate from these before the IDAT
+                # length bounds anything (see _MAX_DECODE_PIXELS)
             bpp = {0: 1, 2: 3, 6: 4}[color]
         elif ctype == b"IDAT":
             idat += data
@@ -977,10 +993,11 @@ def _avi_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
         return None
     w = h = None
     compression = None
+    stream_type = None                       # fccType of the last strh
     frames: list[bytes] = []
 
     def walk(data: bytes) -> bool:
-        nonlocal w, h, compression
+        nonlocal w, h, compression, stream_type
         pos = 0
         while pos + 8 <= len(data):
             cid = data[pos:pos + 4]
@@ -992,8 +1009,15 @@ def _avi_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
             elif cid == b"avih" and size >= 40:
                 vals = struct.unpack("<10I", body[:40])
                 w, h = vals[8], vals[9]
+            elif cid == b"strh" and size >= 4:
+                stream_type = body[:4]
             elif cid == b"strf" and size >= 20:
-                compression = int.from_bytes(body[16:20], "little")
+                # honor only the VIDEO stream's BITMAPINFOHEADER — a
+                # trailing audio strl's WAVEFORMATEX would otherwise
+                # overwrite biCompression with format-blob bytes and
+                # reject a decodable DIB file
+                if stream_type == b"vids":
+                    compression = int.from_bytes(body[16:20], "little")
             elif cid[2:] == b"db":
                 frames.append(body)
             elif cid[2:] == b"dc":
@@ -1079,11 +1103,11 @@ def decode_jpeg(payload: bytes) -> dict | None:
     8×8 float IDCT (matrix form of the T.81 reconstruction sum),
     level shift and clamp. GRAYSCALE (one component) and 4:4:4 COLOR
     (three interleaved components, per-component predictors and
-    table selection, JFIF YCbCr→RGB) are both decoded. The honest
-    stdlib boundary is what genuinely needs a codec library's
-    machinery: progressive scans, chroma subsampling (2x1/2x2 MCUs),
-    16-bit quant tables and restart intervals return None and fall
-    to decode_real's Pillow probe."""
+    table selection, JFIF YCbCr→RGB) are both decoded, including
+    DRI/RSTn restart intervals. The honest stdlib boundary is what
+    genuinely needs a codec library's machinery: progressive scans,
+    chroma subsampling (2x1/2x2 MCUs) and 16-bit quant tables return
+    None and fall to decode_real's Pillow probe."""
     if payload[:3] != b"\xff\xd8\xff":
         return None
     qtabs: dict[int, list[int]] = {}
@@ -1114,6 +1138,11 @@ def decode_jpeg(payload: bytes) -> dict | None:
             if prec != 8 or ncomp not in (1, 3) \
                     or len(seg) < 6 + 3 * ncomp:
                 return None
+            if w * h > _MAX_DECODE_PIXELS:
+                return None      # hostile/corrupt header: the planes
+                # are allocated from these UNVALIDATED dims BEFORE any
+                # entropy byte is read, and MemoryError is not part of
+                # the never-raise null contract's catch set
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -1250,9 +1279,10 @@ def decode_real(payload: bytes, media_type: str) -> dict:
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:
             raise NotImplementedError(
-                "color/progressive JPEG decode needs Pillow (absent "
-                "here); BMP, PNG, GIF and baseline grayscale JPEG "
-                "decode without it via decode_samples"
+                "progressive/subsampled JPEG decode needs Pillow "
+                "(absent here); BMP, PNG, GIF and baseline JPEG "
+                "(grayscale + 4:4:4 color) decode without it via "
+                "decode_samples"
             ) from e
         import io  # noqa: PLC0415
         img = Image.open(io.BytesIO(payload)).convert("RGB")
@@ -1402,6 +1432,42 @@ _NULL_DECODE = {"width": None, "height": None, "n_frames": None,
                 "features": None}
 
 
+def _synth_media_df(spark: SparkSession, sf_dir: str, synth_fn,
+                    media_type: str) -> DataFrame:
+    """Shared synthesis stage for the per-format pipelines
+    (png/gif/jpeg/jpeg_color/adpcm/mulaw/avi/frame_sample): documents
+    doc_ids → Arrow mapInPandas → MEDIA_SCHEMA rows whose payload is
+    ``synth_fn(doc_id)``. One definition so a schema change edits one
+    place, not eight copies."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_fn(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": media_type,
+                "payload": payloads,
+                "payload_len": pd.Series([len(p) for p in payloads],
+                                         dtype="int64"),
+                "magic_hex": [p[:4].hex().upper() for p in payloads],
+            })
+
+    return doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def _decoded_feature_select(media: DataFrame,
+                            with_dims: bool = True) -> DataFrame:
+    """Shared decode + projection tail: Arrow feature decode, then
+    doc_id [+ width/height] + n_frames + f0..f7."""
+    df = decode_features(media, batch_decoder=_samples_or_null)
+    dims = ["width", "height"] if with_dims else []
+    return df.select(
+        "doc_id", *dims, "n_frames",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 def _samples_or_null(payload: bytes, media_type: str) -> dict:
     """Feature-pass decoder: real pixel/sample decode where the bytes
     allow it, null metadata for opaque rows (a corpus feature pass
@@ -1549,26 +1615,8 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     to chunk-mean features. Oracle-checkable because the raw pixel
     stream is a pure function of doc_id — the filters and the deflate
     round trip must cancel exactly for the chunk means to match."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_png_payload(int(d)) for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "image",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    df = decode_features(media, batch_decoder=_samples_or_null)
-    return df.select(
-        "doc_id", "width", "height", "n_frames",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
-    )
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_png_payload, "image"))
 
 
 def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1580,26 +1628,8 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     RGB stream is a pure function of doc_id — byte j is
     ((doc_id + j//3) + 85*(j%3)) % 256 — so the LZW round trip and the
     palette lookup must cancel exactly for the chunk means to match."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_gif_payload(int(d)) for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "image",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    df = decode_features(media, batch_decoder=_samples_or_null)
-    return df.select(
-        "doc_id", "width", "height", "n_frames",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
-    )
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_gif_payload, "image"))
 
 
 def multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,26 +1644,8 @@ def multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — step table, saturation clamps, block reseeds and all — so any
     decoder defect (nibble order, clamp, table entry, block boundary)
     breaks the bit-exact parity."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_adpcm_payload(int(d)) for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "audio",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    df = decode_features(media, batch_decoder=_samples_or_null)
-    return df.select(
-        "doc_id", "n_frames",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
-    )
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_adpcm_payload, "audio"), with_dims=False)
 
 
 def multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,26 +1656,8 @@ def multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checkable because μ-law expansion is CLOSED-FORM per code
     byte — the DuckDB oracle rebuilds mantissa/exponent/sign/bias
     arithmetic symbolically over the doc_id-derived byte stream."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_mulaw_payload(int(d)) for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "audio",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    df = decode_features(media, batch_decoder=_samples_or_null)
-    return df.select(
-        "doc_id", "n_frames",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
-    )
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_mulaw_payload, "audio"), with_dims=False)
 
 
 def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,26 +1671,8 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless on these payloads — pixel j of doc_id is
     (doc_id*3 + (j÷w÷8)·(w÷8) + (j mod w)÷8) mod 256, which DuckDB
     replays symbolically."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_jpeg_payload(int(d)) for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "image",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    df = decode_features(media, batch_decoder=_samples_or_null)
-    return df.select(
-        "doc_id", "width", "height", "n_frames",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
-    )
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_jpeg_payload, "image"))
 
 
 def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,27 +1681,8 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     all real; the neutral-chroma synth (see synth_jpeg_color_payload)
     keeps the lossy codec exactly lossless so DuckDB replays the RGB
     stream in closed form."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_jpeg_color_payload(int(d))
-                        for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "image",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    df = decode_features(media, batch_decoder=_samples_or_null)
-    return df.select(
-        "doc_id", "width", "height", "n_frames",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
-    )
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_jpeg_color_payload, "image"))
 
 
 def multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,26 +1694,8 @@ def multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     image (BMP/PNG/GIF/JPEG), audio (PCM/μ-law/ADPCM), video (DIB
     AVI) — all oracle-checked; compressed video stays on the av
     probe."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_avi_payload(int(d)) for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "video",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    df = decode_features(media, batch_decoder=_samples_or_null)
-    return df.select(
-        "doc_id", "width", "height", "n_frames",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
-    )
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_avi_payload, "video"))
 
 
 FRAME_SAMPLE_SCHEMA = StructType([
@@ -1774,32 +1713,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
     the AVI in the Arrow batch, emit every ``every_n``-th frame's
     index and mean byte value (exact integer sum / fixed frame size,
     so the doubles are engine-identical). This is the stage a video
-    training pipeline runs before per-frame feature extraction."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [synth_avi_payload(int(d)) for d in pdf["doc_id"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": "video",
-                "payload": payloads,
-                "payload_len": pd.Series([len(p) for p in payloads],
-                                         dtype="int64"),
-                "magic_hex": [p[:4].hex().upper() for p in payloads],
-            })
-
-    media = doc.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    training pipeline runs before per-frame feature extraction.
+    Undecodable payloads and degenerate (zero-length) frames are
+    SKIPPED, never raised — the same null-row discipline as
+    _samples_or_null, shaped as row omission because the output is
+    an explode."""
+    media = _synth_media_df(spark, sf_dir, synth_avi_payload, "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_mean": []}
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                got = _avi_frames(bytes(p))
+                try:
+                    got = _avi_frames(bytes(p))
+                except (ValueError, KeyError, IndexError, struct.error):
+                    got = None
                 if got is None:
                     continue
                 _w, _h, frames = got
                 for f in range(0, len(frames), every_n):
+                    if not frames[f]:        # empty 00db chunk
+                        continue
                     rows["doc_id"].append(int(d))
                     rows["frame_idx"].append(f)
                     rows["frame_mean"].append(
