@@ -826,9 +826,10 @@ def test_jpeg_color_roundtrip_closed_form():
         assert out["features"] == _chunk_means(exp), d
 
 
-def test_jpeg_color_rejects_subsampled():
-    """Chroma subsampling (2x2 luma sampling factors) stays on the
-    probed codec tier."""
+def test_jpeg_color_rejects_exotic_sampling():
+    """Sampling factors outside {1,2} (e.g. 3x1) stay on the probed
+    codec tier; 2x2 (4:2:0) is now DECODED — covered by the
+    subsampled round-trip test below."""
     from university_data_lakehouse_spark.operators.multimodal import (
         decode_jpeg,
         synth_jpeg_color_payload,
@@ -836,7 +837,7 @@ def test_jpeg_color_rejects_subsampled():
 
     p = bytearray(synth_jpeg_color_payload(5))
     sof = p.index(b"\xff\xc0")
-    p[sof + 11] = 0x22                        # Y sampling 1x1 -> 2x2
+    p[sof + 11] = 0x31                        # Y sampling 3x1: exotic
     assert decode_jpeg(bytes(p)) is None
 
 
@@ -1051,3 +1052,70 @@ def test_avi_audio_strf_does_not_shadow_video():
     out = decode_avi(bytes(spliced))
     assert out is not None                   # video frames still decode
     assert out["n_frames"] == 3 + 7 % 6
+
+
+def test_jpeg_420_roundtrip_closed_form():
+    """4:2:0 layout correctness: four luma blocks per MCU must land
+    at their grid positions (a block-order bug scrambles the image
+    and fails this), neutral chroma keeps RGB = Y through the
+    replication upsample."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_jpeg,
+        synth_jpeg_420_payload,
+    )
+
+    for d in [0, 1, 2, 3, 5, 137, 4321]:
+        out = decode_jpeg(synth_jpeg_420_payload(d))
+        w, h = 16 * (1 + d % 3), 16 * (1 + (d // 3) % 2)
+        assert (out["width"], out["height"]) == (w, h)
+        exp = [(d * 11 + (j // 3 // w // 8) * (w // 8)
+                + (j // 3 % w) // 8) % 256 for j in range(w * h * 3)]
+        assert out["features"] == _chunk_means(exp), d
+
+
+def test_jpeg_420_chroma_upsample_is_replication():
+    """Hand-packed 16x16 single-MCU 4:2:0 JPEG with NON-CONSTANT
+    chroma (Cb coefficient (0,1) = 40, custom tables, quant all 1s):
+    image column c must take chroma column c//2 — NEAREST
+    replication, not interpolation. Expected pixels from the
+    independent direct-sum IDCT + the JFIF formulas."""
+    import numpy as np
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_jpeg,
+    )
+
+    seg = lambda m, p: bytes([0xFF, m]) + struct.pack(">H", 2 + len(p)) + p
+    dc_counts = [0] * 16
+    dc_counts[0] = 1
+    ac_counts = [0] * 16
+    ac_counts[0] = 2
+    dht = (bytes([0x00]) + bytes(dc_counts) + bytes([0])
+           + bytes([0x10]) + bytes(ac_counts) + bytes([0x00, 0x06]))
+    sof = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    # bits: Y x4 '00' ... Cb '0' dc, '1'+'101000' (AC (0,1)=40), '0'
+    # EOB ... Cr '00' ... pad 11111 -> bytes 00 68 1F
+    jpg = (b"\xff\xd8"
+           + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+           + seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+           + bytes([0x00, 0x68, 0x1F]) + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"]) == (16, 16)
+    cb_coef = [[0] * 8 for _ in range(8)]
+    cb_coef[0][1] = 40
+    cb_block = _idct_direct(cb_coef)
+    cb_row = [int(np.clip(np.round(v) + 128, 0, 255))
+              for v in cb_block[0]]          # constant in y
+    exp = []
+    for y in range(16):
+        for x in range(16):
+            cbd = cb_row[x // 2] - 128       # NEAREST: col c -> c//2
+            r = int(np.clip(np.round(128 + 1.402 * 0), 0, 255))
+            g = int(np.clip(np.round(128 - 0.344136 * cbd), 0, 255))
+            b = int(np.clip(np.round(128 + 1.772 * cbd), 0, 255))
+            exp += [r, g, b]
+    assert out["features"] == _chunk_means(exp)

@@ -1095,6 +1095,60 @@ def synth_jpeg_color_payload(doc_id: int) -> bytes:
     )
 
 
+def synth_jpeg_420_payload(doc_id: int) -> bytes:
+    """Deterministic VALID 4:2:0 baseline JPEG — the most common
+    real-world JPEG form: Y sampled 2×2, chroma 1×1, so each MCU
+    interleaves FOUR luma blocks + Cb + Cr and covers 16×16 pixels.
+    Luma block (R, C) of the block grid is constant
+    (doc_id*11 + R·(w/8) + C) % 256 (DC quantizer 8 → exactly
+    lossless); chroma is neutral, so replication upsampling and the
+    color convert leave R = G = B = Y — while the decoder must run
+    the full multi-block-per-MCU layout to land each luma block at
+    the right grid position (a layout bug scrambles blocks and fails
+    the oracle)."""
+    w = 16 * (1 + doc_id % 3)
+    h = 16 * (1 + (doc_id // 3) % 2)
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_code, eob_len = ac_codes[0x00]
+    bw = _BitWriter()
+    pred_y = 0
+    cols = w // 8
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for r in range(2):
+                for q in range(2):
+                    dc = ((doc_id * 11 + (2 * my + r) * cols
+                           + (2 * mx + q)) % 256) - 128
+                    diff = dc - pred_y
+                    pred_y = dc
+                    cat = _jpeg_category(diff)
+                    code, length = dc_codes[cat]
+                    bw.put(code, length)
+                    if cat:
+                        mag = diff if diff > 0 else diff + (1 << cat) - 1
+                        bw.put(mag, cat)
+                    bw.put(eob_code, eob_len)
+            for _chroma in range(2):         # Cb, Cr: dc 128, diff 0
+                code, length = dc_codes[0]
+                bw.put(code, length)
+                bw.put(eob_code, eob_len)
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _jpeg_segment(0xC0, sof)
+        + _jpeg_segment(0xC4, dht)
+        + _jpeg_segment(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
 def decode_jpeg(payload: bytes) -> dict | None:
     """REAL baseline JPEG decode with stdlib + numpy only (the
     PNG/GIF/ADPCM discipline, tier three): marker walk, 8-bit DQT,
@@ -1146,9 +1200,14 @@ def decode_jpeg(payload: bytes) -> dict | None:
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * c:9 + 3 * c]
-                if sampling != 0x11:
-                    return None              # subsampled chroma: codec tier
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None              # exotic sampling: codec tier
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                return None                  # non-divisible factors
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None                      # progressive/extended
@@ -1169,15 +1228,16 @@ def decode_jpeg(payload: bytes) -> dict | None:
             ns = seg[0]
             if w is None or ns != len(comps):
                 return None
-            by_id = dict(comps)
-            plan = []                        # (qtab, dc_tab, ac_tab)
+            by_id = {c[0]: c for c in comps}
+            plan = []                # (qtab, dc_tab, ac_tab, hi, vi)
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
                 if cid not in by_id:
                     return None
-                plan.append((qtabs.get(by_id[cid]),
+                _cid, hi, vi, tq = by_id[cid]
+                plan.append((qtabs.get(tq),
                              dc_tabs.get(tsel >> 4),
-                             ac_tabs.get(tsel & 0x0F)))
+                             ac_tabs.get(tsel & 0x0F), hi, vi))
             scan_pos = pos + 2 + seg_len
             return _jpeg_scan(payload, scan_pos, w, h, plan,
                               restart_interval)
@@ -1219,34 +1279,50 @@ def _jpeg_decode_block(br: _BitReader, qtab: list, dc_tab: dict,
 
 def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
                plan: list, restart_interval: int = 0) -> dict | None:
-    """Entropy-decode the single interleaved scan: per MCU one 8×8
-    block per component (4:4:4), per-component DC predictors; a
-    non-zero DRI interval consumes an RSTn marker and resets every
-    predictor after that many MCUs (T.81 §F.2.1.3.1); then grayscale
-    passthrough or JFIF YCbCr→RGB (R = Y + 1.402·(Cr−128),
+    """Entropy-decode the single interleaved scan with per-component
+    sampling factors (T.81 A.2.3): each MCU carries hi×vi blocks per
+    component in raster order — 1×1 each for grayscale/4:4:4, Y 2×2 +
+    chroma 1×1 for 4:2:0, Y 2×1 for 4:2:2. Subsampled planes are
+    decoded at their own resolution and upsampled by sample
+    REPLICATION (nearest) to the luma grid. Per-component DC
+    predictors; a non-zero DRI interval consumes an RSTn marker and
+    resets every predictor after that many MCUs (§F.2.1.3.1); then
+    grayscale passthrough or JFIF YCbCr→RGB
+    (R = Y + 1.402·(Cr−128),
     G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128),
     B = Y + 1.772·(Cb−128); round then clamp)."""
-    if any(t is None for spec in plan for t in spec):
+    if any(t is None for spec in plan for t in spec[:3]):
         return None
     ncomp = len(plan)
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
+    hmax = max(spec[3] for spec in plan)
+    vmax = max(spec[4] for spec in plan)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(payload, pos)
-    planes = [np.zeros((bh_blocks * 8, bw_blocks * 8)) for _ in
-              range(ncomp)]
+    planes = [np.zeros((mcus_y * 8 * spec[4], mcus_x * 8 * spec[3]))
+              for spec in plan]
     preds = [0] * ncomp
     mcu = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart()
                 preds = [0] * ncomp
             mcu += 1
-            for c, (qtab, dc_tab, ac_tab) in enumerate(plan):
-                spatial, preds[c] = _jpeg_decode_block(
-                    br, qtab, dc_tab, ac_tab, preds[c])
-                planes[c][by * 8:(by + 1) * 8,
-                          bx * 8:(bx + 1) * 8] = spatial
+            for c, (qtab, dc_tab, ac_tab, hi, vi) in enumerate(plan):
+                for r in range(vi):
+                    for q in range(hi):
+                        spatial, preds[c] = _jpeg_decode_block(
+                            br, qtab, dc_tab, ac_tab, preds[c])
+                        y0 = (my * vi + r) * 8
+                        x0 = (mx * hi + q) * 8
+                        planes[c][y0:y0 + 8, x0:x0 + 8] = spatial
+    # replicate subsampled planes up to the luma grid
+    for c, spec in enumerate(plan):
+        ry, rx = vmax // spec[4], hmax // spec[3]
+        if ry > 1 or rx > 1:
+            planes[c] = np.repeat(np.repeat(planes[c], ry, axis=0),
+                                  rx, axis=1)
     if ncomp == 1:
         pix = planes[0][:h, :w].astype(np.int64).reshape(-1).tolist()
     else:
@@ -1796,6 +1872,16 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end 4:2:0 chroma-subsampled JPEG decode: four luma
+    blocks + Cb + Cr per interleaved MCU, replication upsampling, the
+    full JFIF conversion — the most common real-world JPEG layout,
+    decoded stdlib-side and oracle-replayed in closed form (see
+    synth_jpeg_420_payload)."""
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_jpeg_420_payload, "image"))
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decoded": multimodal_decoded,
@@ -1809,6 +1895,7 @@ QUERIES = {
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_avi": multimodal_avi,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_jpeg_420": multimodal_jpeg_420,
 }
 
 
@@ -2271,3 +2358,42 @@ def _frame_sample_oracle() -> str:
 
 
 ORACLES["multimodal_frame_sample"] = _frame_sample_oracle()
+
+def _jpeg_420_oracle() -> str:
+    """DuckDB replay of the 4:2:0 pipeline: neutral chroma keeps
+    R = G = B = Y through the replication upsample, and Y of pixel
+    (x, y) is (doc_id*11 + (y÷8)·(w÷8) + x÷8) % 256."""
+    val = ("(doc_id * 11 + (((j // 3) // w) // 8) * (w // 8)"
+           " + (((j // 3) % w) // 8)) % 256")
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> {val})) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   16 * (1 + doc_id % 3) AS w,
+                   16 * (1 + (doc_id // 3) % 2) AS h
+            FROM documents
+        ),
+        q AS (SELECT *, w * h * 3 AS n FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END
+                          AS step_sz
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_jpeg_420"] = _jpeg_420_oracle()
