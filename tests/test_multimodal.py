@@ -694,9 +694,11 @@ def test_jpeg_roundtrip_closed_form():
 
 
 def test_jpeg_rejects_unsupported_variants():
-    """Progressive (SOF2), color (3 components), 16-bit quant tables,
-    and restart intervals are the honest codec boundary -> None (and
-    the null row through _samples_or_null), never an exception."""
+    """Arithmetic coding (SOF9), color-count lies, and 16-bit quant
+    tables are the honest codec boundary -> None (and the null row
+    through _samples_or_null), never an exception. A baseline stream
+    relabeled SOF2 is MALFORMED progressive (baseline scan header
+    under SOF2) — it must go null through the boundary."""
     from university_data_lakehouse_spark.operators.multimodal import (
         _samples_or_null,
         decode_jpeg,
@@ -705,9 +707,12 @@ def test_jpeg_rejects_unsupported_variants():
 
     base = bytearray(synth_jpeg_payload(3))
     sof = base.index(b"\xff\xc0")
+    arith = bytearray(base)
+    arith[sof + 1] = 0xC9                     # arithmetic sequential
+    assert decode_jpeg(bytes(arith)) is None
     prog = bytearray(base)
-    prog[sof + 1] = 0xC2                      # SOF0 -> SOF2
-    assert decode_jpeg(bytes(prog)) is None
+    prog[sof + 1] = 0xC2                      # SOF0 -> SOF2: malformed
+    assert _samples_or_null(bytes(prog), "image")["features"] is None
     color = bytearray(base)
     color[sof + 9] = 3                        # ncomp 1 -> 3 (header lies,
     assert decode_jpeg(bytes(color)) is None  # but the gate is the count)
@@ -1119,3 +1124,122 @@ def test_jpeg_420_chroma_upsample_is_replication():
             b = int(np.clip(np.round(128 + 1.772 * cbd), 0, 255))
             exp += [r, g, b]
     assert out["features"] == _chunk_means(exp)
+
+
+def test_jpeg_progressive_roundtrip_closed_form():
+    """SOF2 multi-scan accumulation: DC point-transform chain (Al=1),
+    DC refinement bits, AC band scan — decoded pixels must equal the
+    constant-block closed form for a doc_id sweep (wrong shift or
+    refine bit changes every pixel)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_jpeg,
+        synth_jpeg_prog_payload,
+    )
+
+    for d in [0, 1, 5, 6, 29, 137, 4321]:
+        out = decode_jpeg(synth_jpeg_prog_payload(d))
+        w, h = 8 * (1 + d % 6), 8 * (1 + (d // 6) % 5)
+        assert (out["width"], out["height"]) == (w, h)
+        exp = [(d * 13 + (j // w // 8) * (w // 8) + (j % w) // 8) % 256
+               for j in range(w * h)]
+        assert out["features"] == _chunk_means(exp), d
+
+
+def _prog_jpeg(w, h, dc_vals, ac_vals, scans):
+    """Hand-assembled progressive grayscale JPEG with custom
+    single-length Huffman tables; scans = [(td_ta, Ss, Se, Ah, Al,
+    entropy_bytes), ...]."""
+    seg = lambda m, p: bytes([0xFF, m]) + struct.pack(">H", 2 + len(p)) + p
+    dc_counts = [0] * 16
+    dc_counts[0] = len(dc_vals)
+    ac_counts = [0] * 16
+    ac_counts[0] = len(ac_vals)
+    dht = (bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals)
+           + bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
+    out = (b"\xff\xd8"
+           + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+           + seg(0xC2, struct.pack(">BHHB", 8, h, w, 1)
+                 + bytes([1, 0x11, 0]))
+           + seg(0xC4, dht))
+    for td_ta, ss, se, ah, al, data in scans:
+        out += seg(0xDA, bytes([1, 1, td_ta, ss, se,
+                                (ah << 4) | al])) + data
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_ac_refine_fixture():
+    """Hand-packed single-block progressive image exercising the AC
+    REFINEMENT protocol: scan2 (AC first, Al=1) places zigzag-1 = 2
+    via sym(run0,size1)+bit; scan3 (AC refine, Al=0) sends EOB then a
+    correction bit 1, so the coefficient must become 3 — the
+    spec's towards-larger-magnitude append. Expected pixels from the
+    independent direct-sum IDCT."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_jpeg,
+    )
+
+    # DC {cat0:'0'}; AC {EOB:'0', (run0,size1):'1'}
+    jpg = _prog_jpeg(
+        8, 8, [0x00], [0x00, 0x01],
+        [
+            (0x00, 0, 0, 0, 0, bytes([0x7F])),   # DC: '0' + pad 1s
+            (0x00, 1, 63, 0, 1, bytes([0xDF])),  # '1'+'1'+'0' + pad
+            (0x00, 1, 63, 1, 0, bytes([0x7F])),  # EOB '0' + corr '1'
+        ])
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"]) == (8, 8)
+    coef = [[0] * 8 for _ in range(8)]
+    coef[0][1] = 3                           # refined 2 -> 3
+    exp = _idct_direct(coef)
+    import numpy as np
+
+    pix = np.clip(np.round(np.array(exp)) + 128, 0, 255)
+    assert out["features"] == [float(r) for r in pix.mean(axis=1)]
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """EOBn with extension bits: a 16x8 image whose AC scan is ONE
+    EOB1 run (code + 1 extra bit) covering both blocks — the run
+    must consume the current block and the next."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    # DC {cat0:'0'}; AC {EOB1(0x10):'0'}
+    jpg = _prog_jpeg(
+        16, 8, [0x00], [0x10],
+        [
+            (0x00, 0, 0, 0, 0, bytes([0x3F])),   # DC '0','0' + pad
+            (0x00, 1, 63, 0, 0, bytes([0x3F])),  # EOB1 '0' + extra '0'
+        ])
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"]) == (16, 8)
+    assert out["features"] == [128.0] * 8
+
+
+def test_multimodal_jpeg_progressive_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_jpeg_progressive,
+    )
+
+    compare(multimodal_jpeg_progressive(spark, sf_dir),
+            ORACLES["multimodal_jpeg_progressive"], sf_dir,
+            "multimodal_jpeg_progressive")
+
+
+def test_multimodal_jpeg_420_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_jpeg_420,
+    )
+
+    compare(multimodal_jpeg_420(spark, sf_dir),
+            ORACLES["multimodal_jpeg_420"], sf_dir,
+            "multimodal_jpeg_420")

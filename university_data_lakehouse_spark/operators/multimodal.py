@@ -1149,6 +1149,62 @@ def synth_jpeg_420_payload(doc_id: int) -> bytes:
     )
 
 
+def synth_jpeg_prog_payload(doc_id: int) -> bytes:
+    """Deterministic VALID PROGRESSIVE JPEG (SOF2, grayscale, three
+    scans): scan 1 codes the DC chain point-transformed by Al=1
+    (arithmetic shift), scan 2 is the DC refinement pass (one raw
+    bit per block — the low bit of each DC), scan 3 covers the AC
+    band 1..63 at Al=0 (all-zero here: one EOB per block). Same
+    exactly-lossless constant-block construction as the baseline
+    synths — block (R, C) is (doc_id*13 + R·(w/8) + C) % 256 — so
+    the DuckDB oracle replays the pixels in closed form while the
+    decoder must run the real multi-scan accumulation (a wrong shift
+    or refine bit changes every pixel)."""
+    w = 8 * (1 + doc_id % 6)
+    h = 8 * (1 + (doc_id // 6) % 5)
+    cols = w // 8
+    dcs = [((doc_id * 13 + b) % 256) - 128
+           for b in range(cols * (h // 8))]
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw1 = _BitWriter()                       # DC first, Al=1
+    pred = 0
+    for dc in dcs:
+        v = dc >> 1                          # arithmetic point transform
+        diff = v - pred
+        pred = v
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw1.put(code, ln)
+        if cat:
+            bw1.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    bw2 = _BitWriter()                       # DC refine, Ah=1 Al=0
+    for dc in dcs:
+        bw2.put(dc & 1, 1)
+    bw3 = _BitWriter()                       # AC first, band 1..63
+    eob_code, eob_len = ac_codes[0x00]
+    for _ in dcs:
+        bw3.put(eob_code, eob_len)           # all-zero band: EOB each
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+
+    def sos(td_ta: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_segment(
+            0xDA, bytes([1, 1, td_ta, ss, se, (ah << 4) | al]))
+
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _jpeg_segment(0xC2, struct.pack(">BHHB", 8, h, w, 1)
+                        + bytes([1, 0x11, 0]))
+        + _jpeg_segment(0xC4, dht)
+        + sos(0x00, 0, 0, 0, 1) + bw1.flush()
+        + sos(0x00, 0, 0, 1, 0) + bw2.flush()
+        + sos(0x00, 1, 63, 0, 0) + bw3.flush()
+        + b"\xff\xd9"
+    )
+
+
 def decode_jpeg(payload: bytes) -> dict | None:
     """REAL baseline JPEG decode with stdlib + numpy only (the
     PNG/GIF/ADPCM discipline, tier three): marker walk, 8-bit DQT,
@@ -1170,6 +1226,7 @@ def decode_jpeg(payload: bytes) -> dict | None:
     w = h = None
     comps: list[tuple[int, int]] = []        # (component id, quant id)
     restart_interval = 0                     # DRI: MCUs between RSTn
+    progressive = False
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1187,7 +1244,8 @@ def decode_jpeg(payload: bytes) -> dict | None:
                     return None              # 16-bit tables unsupported
                 qtabs[tq] = list(seg[p + 1:p + 65])
                 p += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or ncomp not in (1, 3) \
                     or len(seg) < 6 + 3 * ncomp:
@@ -1208,9 +1266,9 @@ def decode_jpeg(payload: bytes) -> dict | None:
             vmax = max(c[2] for c in comps)
             if any(hmax % c[1] or vmax % c[2] for c in comps):
                 return None                  # non-divisible factors
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None                      # progressive/extended
+            return None                      # extended/arith/lossless
         elif marker == 0xC4:
             p = 0
             while p < len(seg):
@@ -1225,8 +1283,14 @@ def decode_jpeg(payload: bytes) -> dict | None:
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
+            if w is None:
+                return None
+            if progressive:
+                return _jpeg_progressive(payload, pos, w, h, comps,
+                                         qtabs, dc_tabs, ac_tabs,
+                                         restart_interval)
             ns = seg[0]
-            if w is None or ns != len(comps):
+            if ns != len(comps):
                 return None
             by_id = {c[0]: c for c in comps}
             plan = []                # (qtab, dc_tab, ac_tab, hi, vi)
@@ -1317,13 +1381,22 @@ def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
                         y0 = (my * vi + r) * 8
                         x0 = (mx * hi + q) * 8
                         planes[c][y0:y0 + 8, x0:x0 + 8] = spatial
-    # replicate subsampled planes up to the luma grid
-    for c, spec in enumerate(plan):
-        ry, rx = vmax // spec[4], hmax // spec[3]
+    samplings = [(spec[3], spec[4]) for spec in plan]
+    return _jpeg_planes_to_features(planes, samplings, w, h,
+                                    hmax, vmax)
+
+
+def _jpeg_planes_to_features(planes: list, samplings: list, w: int,
+                             h: int, hmax: int, vmax: int) -> dict:
+    """Shared reconstruction tail (baseline and progressive):
+    replicate subsampled planes to the luma grid, then grayscale
+    passthrough or JFIF YCbCr→RGB, crop, chunk means."""
+    for c, (hi, vi) in enumerate(samplings):
+        ry, rx = vmax // vi, hmax // hi
         if ry > 1 or rx > 1:
             planes[c] = np.repeat(np.repeat(planes[c], ry, axis=0),
                                   rx, axis=1)
-    if ncomp == 1:
+    if len(planes) == 1:
         pix = planes[0][:h, :w].astype(np.int64).reshape(-1).tolist()
     else:
         y = planes[0][:h, :w]
@@ -1336,6 +1409,249 @@ def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
             np.int64).reshape(-1).tolist()
     return {"width": int(w), "height": int(h), "n_frames": 1,
             "features": _chunk_means(pix)}
+
+
+def _jpeg_ac_first(br: _BitReader, ac_tab: dict, zz: list, ss: int,
+                   se: int, al: int, eobrun: int) -> int:
+    """Progressive AC scan, first pass (T.81 G.1.2.2): spectral band
+    [ss, se], coefficients point-transformed by Al, EOBn codes carry
+    end-of-band runs across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = br.huff(ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC band overflow")
+            zz[k] = _jpeg_extend(br.take(s), s) * (1 << al)
+            k += 1
+        elif r == 15:
+            k += 16                          # ZRL
+        else:
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.take(r)
+            break
+    return eobrun
+
+
+def _jpeg_ac_refine(br: _BitReader, ac_tab: dict, zz: list, ss: int,
+                    se: int, al: int, eobrun: int) -> int:
+    """Progressive AC scan, refinement pass (T.81 G.1.2.3): each
+    already-nonzero coefficient in the band consumes a correction
+    bit; s=1 symbols insert new ±1<<Al coefficients at zero-history
+    positions; EOBn runs cover whole blocks whose remaining nonzero
+    coefficients still take correction bits."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = br.huff(ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.take(r)
+                    break
+                # r == 15: ZRL — pass over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: refine size != 1")
+                val = p1 if br.take(1) else m1
+            while k <= se:
+                if zz[k]:
+                    if br.take(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:                       # EOB region: correction
+            if zz[k]:                        # bits for the nonzeros
+                if br.take(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
+                      comps: list, qtabs: dict, dc_tabs: dict,
+                      ac_tabs: dict, restart_interval: int
+                      ) -> dict | None:
+    """T.81 Annex G progressive decode: quantized coefficients
+    accumulate per block across every scan (DC first/refine with the
+    point transform as arithmetic shift; AC first/refine over
+    spectral bands with EOBn runs); dequant + IDCT happen once at
+    EOI. Interleaved multi-component DC scans and single-component
+    non-interleaved scans are both handled; DHT/DRI segments between
+    scans update tables live. ``pos`` is the first SOS marker."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    info: dict[int, dict] = {}
+    for cid, hi, vi, tq in comps:
+        wb, hb = mcus_x * hi, mcus_y * vi
+        cw = -(-(w * hi) // hmax)            # component resolution
+        ch = -(-(h * vi) // vmax)
+        info[cid] = {
+            "hi": hi, "vi": vi, "tq": tq, "wb": wb, "hb": hb,
+            "wb_n": -(-cw // 8), "hb_n": -(-ch // 8),
+            "coefs": [[0] * 64 for _ in range(wb * hb)],
+        }
+    dri = restart_interval
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        seg = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = tuple(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = tuple(seg[p + 17:p + 17 + nv])
+                table = {(c, ln): s for s, (c, ln)
+                         in _huffman_codes(bits, vals).items()}
+                (dc_tabs if tc == 0 else ac_tabs)[th] = table
+                p += 17 + nv
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cid not in info:
+                    return None
+                scomps.append((cid, tsel >> 4, tsel & 0x0F))
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            br = _BitReader(payload, pos + 2 + seg_len)
+            _jpeg_progressive_one_scan(
+                br, info, scomps, dc_tabs, ac_tabs,
+                ss, se, ah, al, dri, mcus_x, mcus_y)
+            pos = br.pos
+            continue
+        pos += 2 + seg_len
+    planes, samplings = [], []
+    for cid, hi, vi, tq in comps:
+        ci = info[cid]
+        qtab = qtabs.get(tq)
+        if qtab is None:
+            return None
+        plane = np.zeros((ci["hb"] * 8, ci["wb"] * 8))
+        for b, zz in enumerate(ci["coefs"]):
+            by, bx = divmod(b, ci["wb"])
+            coef = np.zeros((8, 8))
+            for i, (r, c) in enumerate(_JPEG_ZIGZAG):
+                coef[r, c] = zz[i] * qtab[i]
+            block = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
+            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.round(block) + 128, 0, 255)
+        planes.append(plane)
+        samplings.append((hi, vi))
+    return _jpeg_planes_to_features(planes, samplings, w, h,
+                                    hmax, vmax)
+
+
+def _jpeg_progressive_one_scan(br: _BitReader, info: dict,
+                               scomps: list, dc_tabs: dict,
+                               ac_tabs: dict, ss: int, se: int,
+                               ah: int, al: int, dri: int,
+                               mcus_x: int, mcus_y: int) -> None:
+    """Decode one progressive scan's entropy data in place."""
+    if ss == 0:                              # DC scan
+        if se != 0:
+            raise ValueError("jpeg: bad DC scan band")
+        preds = {cid: 0 for cid, _td, _ta in scomps}
+        if len(scomps) > 1:                  # interleaved over MCUs
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and unit and unit % dri == 0:
+                        br.restart()
+                        preds = {c: 0 for c in preds}
+                    unit += 1
+                    for cid, td, _ta in scomps:
+                        ci = info[cid]
+                        for r in range(ci["vi"]):
+                            for q in range(ci["hi"]):
+                                b = ((my * ci["vi"] + r) * ci["wb"]
+                                     + mx * ci["hi"] + q)
+                                zz = ci["coefs"][b]
+                                preds[cid] = _jpeg_dc_progress(
+                                    br, dc_tabs.get(td), zz, ah, al,
+                                    preds[cid])
+        else:                                # single comp: raster
+            cid, td, _ta = scomps[0]
+            ci = info[cid]
+            unit = 0
+            for by in range(ci["hb_n"]):
+                for bx in range(ci["wb_n"]):
+                    if dri and unit and unit % dri == 0:
+                        br.restart()
+                        preds = {c: 0 for c in preds}
+                    unit += 1
+                    zz = ci["coefs"][by * ci["wb"] + bx]
+                    preds[cid] = _jpeg_dc_progress(
+                        br, dc_tabs.get(td), zz, ah, al, preds[cid])
+    else:                                    # AC scan: one component
+        if len(scomps) != 1:
+            raise ValueError("jpeg: interleaved AC scan")
+        cid, _td, ta = scomps[0]
+        ac_tab = ac_tabs.get(ta)
+        if ac_tab is None:
+            raise ValueError("jpeg: missing AC table")
+        ci = info[cid]
+        eobrun = 0
+        unit = 0
+        for by in range(ci["hb_n"]):
+            for bx in range(ci["wb_n"]):
+                if dri and unit and unit % dri == 0:
+                    br.restart()
+                    eobrun = 0
+                unit += 1
+                zz = ci["coefs"][by * ci["wb"] + bx]
+                if ah == 0:
+                    eobrun = _jpeg_ac_first(br, ac_tab, zz, ss, se,
+                                            al, eobrun)
+                else:
+                    eobrun = _jpeg_ac_refine(br, ac_tab, zz, ss, se,
+                                             al, eobrun)
+
+
+def _jpeg_dc_progress(br: _BitReader, dc_tab: dict | None, zz: list,
+                      ah: int, al: int, pred: int) -> int:
+    """One block's DC in a progressive DC scan: first pass decodes
+    the point-transformed diff chain; refinement ORs in the next
+    lower bit (two's complement, so negatives refine correctly)."""
+    if ah == 0:
+        if dc_tab is None:
+            raise ValueError("jpeg: missing DC table")
+        cat = br.huff(dc_tab)
+        diff = _jpeg_extend(br.take(cat), cat) if cat else 0
+        pred += diff
+        zz[0] = pred << al
+    else:
+        if br.take(1):
+            zz[0] |= 1 << al
+    return pred
 
 
 def decode_real(payload: bytes, media_type: str) -> dict:
@@ -1872,6 +2188,16 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg_progressive(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """End-to-end PROGRESSIVE JPEG decode (SOF2): DC spectral scan at
+    Al=1, DC refinement bits, AC band scan — the T.81 Annex G
+    multi-scan coefficient accumulation, decoded stdlib-side and
+    oracle-replayed in closed form (see synth_jpeg_prog_payload)."""
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_jpeg_prog_payload, "image"))
+
+
 def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end 4:2:0 chroma-subsampled JPEG decode: four luma
     blocks + Cb + Cr per interleaved MCU, replication upsampling, the
@@ -1896,6 +2222,7 @@ QUERIES = {
     "multimodal_avi": multimodal_avi,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_jpeg_420": multimodal_jpeg_420,
+    "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
 }
 
 
@@ -2397,3 +2724,42 @@ def _jpeg_420_oracle() -> str:
 
 
 ORACLES["multimodal_jpeg_420"] = _jpeg_420_oracle()
+
+def _jpeg_prog_oracle() -> str:
+    """DuckDB replay of the progressive pipeline: same constant-block
+    construction, moduli 13/6/5 — pixel (x, y) of doc_id is
+    (doc_id*13 + (y÷8)·(w÷8) + x÷8) % 256."""
+    val = ("(doc_id * 13 + ((j // w) // 8) * (w // 8)"
+           " + ((j % w) // 8)) % 256")
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> {val})) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (1 + doc_id % 6) AS w,
+                   8 * (1 + (doc_id // 6) % 5) AS h
+            FROM documents
+        ),
+        q AS (SELECT *, w * h AS n FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END
+                          AS step_sz
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_jpeg_progressive"] = _jpeg_prog_oracle()
