@@ -1243,3 +1243,48 @@ def test_multimodal_jpeg_420_pipeline(spark, sf_dir):
     compare(multimodal_jpeg_420(spark, sf_dir),
             ORACLES["multimodal_jpeg_420"], sf_dir,
             "multimodal_jpeg_420")
+
+
+def test_jpeg_gray_with_declared_2x2_factors_decodes():
+    """Review finding (r8 pass 2): a grayscale baseline JPEG whose
+    SOF declares 2x2 sampling factors (common from color-to-gray
+    converters) is still a NON-interleaved single-component scan per
+    T.81 F.2.2 — the declared factors must not change the block
+    raster. Expected pixels = the unmodified synth closed form."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        decode_jpeg,
+        synth_jpeg_payload,
+    )
+
+    for d in [3, 7, 19]:                     # incl. multi-block rows
+        p = bytearray(synth_jpeg_payload(d))
+        sof = p.index(b"\xff\xc0")
+        p[sof + 11] = 0x22                   # declare 2x2 on the gray comp
+        out = decode_jpeg(bytes(p))
+        w, h = 8 * (1 + d % 5), 8 * (1 + (d // 5) % 4)
+        assert (out["width"], out["height"]) == (w, h), d
+        exp = [(d * 3 + (j // w // 8) * (w // 8) + (j % w) // 8) % 256
+               for j in range(w * h)]
+        assert out["features"] == _chunk_means(exp), d
+
+
+def test_jpeg_progressive_dqt_between_scans():
+    """Review finding (r8 pass 2): T.81 allows DQT between scans —
+    move the quant table AFTER the first SOS and the image must still
+    reconstruct (dequant happens at EOI)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_prog_payload,
+    )
+
+    p = bytes(synth_jpeg_prog_payload(6))
+    dqt_at = p.index(b"\xff\xdb")
+    dqt_seg = p[dqt_at:dqt_at + 4 + 65]      # marker+len+pq/tq+64
+    stripped = p[:dqt_at] + p[dqt_at + len(dqt_seg):]
+    sos2 = stripped.index(b"\xff\xda", stripped.index(b"\xff\xda") + 2)
+    moved = stripped[:sos2] + dqt_seg + stripped[sos2:]
+    ref = decode_jpeg(p)
+    out = decode_jpeg(moved)
+    assert out is not None
+    assert out["features"] == ref["features"]

@@ -1205,18 +1205,35 @@ def synth_jpeg_prog_payload(doc_id: int) -> bytes:
     )
 
 
+def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
+    """Parse a DHT segment (one or more tables) into the live table
+    dicts — shared by the baseline marker walk and the progressive
+    between-scan walk."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        bits = tuple(seg[p + 1:p + 17])
+        nv = sum(bits)
+        vals = tuple(seg[p + 17:p + 17 + nv])
+        table = {(c, ln): s for s, (c, ln)
+                 in _huffman_codes(bits, vals).items()}
+        (dc_tabs if tc == 0 else ac_tabs)[th] = table
+        p += 17 + nv
+
+
 def decode_jpeg(payload: bytes) -> dict | None:
     """REAL baseline JPEG decode with stdlib + numpy only (the
     PNG/GIF/ADPCM discipline, tier three): marker walk, 8-bit DQT,
     canonical Huffman tables from DHT, MSB-first entropy decode with
     0xFF00 unstuffing, DC prediction + EXTEND, zigzag dequant, full
     8×8 float IDCT (matrix form of the T.81 reconstruction sum),
-    level shift and clamp. GRAYSCALE (one component) and 4:4:4 COLOR
-    (three interleaved components, per-component predictors and
-    table selection, JFIF YCbCr→RGB) are both decoded, including
-    DRI/RSTn restart intervals. The honest stdlib boundary is what
-    genuinely needs a codec library's machinery: progressive scans,
-    chroma subsampling (2x1/2x2 MCUs) and 16-bit quant tables return
+    level shift and clamp. The full baseline family decodes:
+    grayscale, 4:4:4 color, subsampled 4:2:0/4:2:2 (per-component
+    sampling factors in {1,2} with replication upsampling), DRI/RSTn
+    restart intervals — and SOF2 PROGRESSIVE streams route to the
+    Annex G multi-scan decoder (_jpeg_progressive). The honest
+    stdlib boundary: arithmetic-coded/lossless/hierarchical SOFs,
+    sampling factors outside {1,2}, and 16-bit quant tables return
     None and fall to decode_real's Pillow probe."""
     if payload[:3] != b"\xff\xd8\xff":
         return None
@@ -1224,7 +1241,7 @@ def decode_jpeg(payload: bytes) -> dict | None:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []        # (component id, quant id)
+    comps: list[tuple] = []       # (comp id, hi, vi, quant id)
     restart_interval = 0                     # DRI: MCUs between RSTn
     progressive = False
     pos = 2
@@ -1262,24 +1279,11 @@ def decode_jpeg(payload: bytes) -> dict | None:
                 if hi not in (1, 2) or vi not in (1, 2):
                     return None              # exotic sampling: codec tier
                 comps.append((cid, hi, vi, tq))
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            if any(hmax % c[1] or vmax % c[2] for c in comps):
-                return None                  # non-divisible factors
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None                      # extended/arith/lossless
         elif marker == 0xC4:
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = tuple(seg[p + 1:p + 17])
-                nv = sum(bits)
-                vals = tuple(seg[p + 17:p + 17 + nv])
-                table = {(c, ln): s for s, (c, ln)
-                         in _huffman_codes(bits, vals).items()}
-                (dc_tabs if tc == 0 else ac_tabs)[th] = table
-                p += 17 + nv
+            _parse_dht(seg, dc_tabs, ac_tabs)
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
@@ -1299,6 +1303,14 @@ def decode_jpeg(payload: bytes) -> dict | None:
                 if cid not in by_id:
                     return None
                 _cid, hi, vi, tq = by_id[cid]
+                if ns == 1:
+                    # T.81 F.2.2: a single-component scan is NON-
+                    # interleaved — one block per "MCU" over the
+                    # component's own raster, whatever the SOF
+                    # sampling factors declare (a grayscale file
+                    # declaring 2x2 factors is legal and common from
+                    # color-to-gray converters)
+                    hi = vi = 1
                 plan.append((qtabs.get(tq),
                              dc_tabs.get(tsel >> 4),
                              ac_tabs.get(tsel & 0x0F), hi, vi))
@@ -1508,7 +1520,9 @@ def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
         info[cid] = {
             "hi": hi, "vi": vi, "tq": tq, "wb": wb, "hb": hb,
             "wb_n": -(-cw // 8), "hb_n": -(-ch // 8),
-            "coefs": [[0] * 64 for _ in range(wb * hb)],
+            # numpy store: ~256 B/block vs ~600 B for int lists —
+            # the _MAX_DECODE_PIXELS guard was sized for numpy costs
+            "coefs": np.zeros((wb * hb, 64), dtype=np.int64),
         }
     dri = restart_interval
     while pos + 4 <= len(payload):
@@ -1520,16 +1534,17 @@ def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         seg = payload[pos + 4:pos + 2 + seg_len]
         if marker == 0xC4:
+            _parse_dht(seg, dc_tabs, ac_tabs)
+        elif marker == 0xDB:
+            # T.81 allows (re)defining quant tables between scans —
+            # dequant only happens at reconstruction
             p = 0
             while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = tuple(seg[p + 1:p + 17])
-                nv = sum(bits)
-                vals = tuple(seg[p + 17:p + 17 + nv])
-                table = {(c, ln): s for s, (c, ln)
-                         in _huffman_codes(bits, vals).items()}
-                (dc_tabs if tc == 0 else ac_tabs)[th] = table
-                p += 17 + nv
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    return None
+                qtabs[tq] = list(seg[p + 1:p + 65])
+                p += 65
         elif marker == 0xDD:
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
@@ -1555,8 +1570,12 @@ def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
         qtab = qtabs.get(tq)
         if qtab is None:
             return None
-        plane = np.zeros((ci["hb"] * 8, ci["wb"] * 8))
-        for b, zz in enumerate(ci["coefs"]):
+        plane = np.full((ci["hb"] * 8, ci["wb"] * 8), 128.0)
+        for b in range(ci["coefs"].shape[0]):
+            zz = ci["coefs"][b]
+            if not zz.any():
+                continue                     # all-zero (incl. padding)
+                # blocks IDCT to a flat 128 — preinitialized
             by, bx = divmod(b, ci["wb"])
             coef = np.zeros((8, 8))
             for i, (r, c) in enumerate(_JPEG_ZIGZAG):
@@ -1671,10 +1690,11 @@ def decode_real(payload: bytes, media_type: str) -> dict:
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:
             raise NotImplementedError(
-                "progressive/subsampled JPEG decode needs Pillow "
-                "(absent here); BMP, PNG, GIF and baseline JPEG "
-                "(grayscale + 4:4:4 color) decode without it via "
-                "decode_samples"
+                "arithmetic-coded/lossless JPEG decode needs Pillow "
+                "(absent here); BMP, PNG, GIF and the whole "
+                "Huffman JPEG family (baseline gray/4:4:4/4:2:0, "
+                "restart markers, progressive) decode without it "
+                "via decode_samples"
             ) from e
         import io  # noqa: PLC0415
         img = Image.open(io.BytesIO(payload)).convert("RGB")
