@@ -1288,3 +1288,56 @@ def test_jpeg_progressive_dqt_between_scans():
     out = decode_jpeg(moved)
     assert out is not None
     assert out["features"] == ref["features"]
+
+
+def test_jpeg_422_layout_decodes():
+    """Back the 4:2:2 claim: a 16x8 color JPEG with Y sampled 2x1
+    (MCU = two Y blocks + Cb + Cr covering 16x8), neutral chroma,
+    luma blocks 100 and 140 — the decoded halves must carry their
+    own values (a block-order or upsample-axis bug mixes them)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _huffman_codes,
+        _jpeg_category,
+        _BitWriter,
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        decode_jpeg,
+    )
+
+    seg = lambda m, p: bytes([0xFF, m]) + struct.pack(">H", 2 + len(p)) + p
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_code, eob_len = ac_codes[0x00]
+    bw = _BitWriter()
+    pred = 0
+    for v in (100, 140):                     # two Y blocks, one MCU
+        dc = v - 128
+        diff = dc - pred
+        pred = dc
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        bw.put(eob_code, eob_len)
+    for _ in range(2):                       # neutral Cb, Cr
+        code, ln = dc_codes[0]
+        bw.put(code, ln)
+        bw.put(eob_code, eob_len)
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sof = struct.pack(">BHHB", 8, 8, 16, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0])
+    jpg = (b"\xff\xd8"
+           + seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+           + seg(0xC0, sof) + seg(0xC4, dht)
+           + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+           + bw.flush() + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"]) == (16, 8)
+    # 16x8x3 = 384 bytes, step 48 = one row; rows identical; each row
+    # is 8px of 100 then 8px of 140 in all three channels
+    row_mean = (8 * 100 * 3 + 8 * 140 * 3) / 48
+    assert out["features"] == [row_mean] * 8
