@@ -1341,3 +1341,17 @@ def test_jpeg_422_layout_decodes():
     # is 8px of 100 then 8px of 140 in all three channels
     row_mean = (8 * 100 * 3 + 8 * 140 * 3) / 48
     assert out["features"] == [row_mean] * 8
+
+
+def test_multimodal_mixed_pipeline(spark, sf_dir):
+    """One Arrow pass over a four-format corpus: per-row magic
+    dispatch (PNG/GIF/JPEG/BMP) against the CASE-dispatched oracle."""
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_mixed,
+    )
+
+    compare(multimodal_mixed(spark, sf_dir), ORACLES["multimodal_mixed"],
+            sf_dir, "multimodal_mixed")

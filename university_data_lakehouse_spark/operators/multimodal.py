@@ -2208,6 +2208,32 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_mixed_payload(doc_id: int) -> bytes:
+    """Heterogeneous corpus row: format dispatched on doc_id % 4 —
+    PNG / GIF / baseline JPEG / BMP — each via its own deterministic
+    synth, so ONE Arrow pass must magic-dispatch four decoders."""
+    kind = doc_id % 4
+    if kind == 0:
+        return synth_png_payload(doc_id)
+    if kind == 1:
+        return synth_gif_payload(doc_id)
+    if kind == 2:
+        return synth_jpeg_payload(doc_id)
+    return synth_media_payload(doc_id, "image", "")
+
+
+def multimodal_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass decode of a MIXED-format corpus — the realistic
+    shape: a production media table carries many formats in one
+    binary column, and the feature pass must dispatch on magic bytes
+    row by row inside the same Arrow batch (PNG inflate+defilter,
+    GIF LZW+palette, JPEG Huffman+IDCT, BMP raw rows). Every row's
+    decoded stream is still a closed form of doc_id, so one DuckDB
+    oracle replays all four formats behind a CASE on doc_id % 4."""
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_mixed_payload, "image"))
+
+
 def multimodal_jpeg_progressive(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """End-to-end PROGRESSIVE JPEG decode (SOF2): DC spectral scan at
@@ -2243,6 +2269,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_jpeg_420": multimodal_jpeg_420,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+    "multimodal_mixed": multimodal_mixed,
 }
 
 
@@ -2783,3 +2810,60 @@ def _jpeg_prog_oracle() -> str:
 
 
 ORACLES["multimodal_jpeg_progressive"] = _jpeg_prog_oracle()
+
+def _mixed_oracle() -> str:
+    """DuckDB replay of the mixed-format pipeline: per-row CASE on
+    doc_id % 4 selects each format's own closed-form dims and pixel
+    function (PNG/BMP raw stream (doc_id+j)%256 — BMP over the
+    stride-padded rows; GIF palette-resolved; JPEG constant-block)."""
+    val = ("CASE doc_id % 4 "
+           "WHEN 1 THEN ((doc_id + j // 3) + 85 * (j % 3)) % 256 "
+           "WHEN 2 THEN (doc_id * 3 + ((j // w) // 8) * (w // 8)"
+           " + ((j % w) // 8)) % 256 "
+           "ELSE (doc_id + j) % 256 END")
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> {val})) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 4 + doc_id % 16
+                        WHEN 1 THEN 3 + doc_id % 15
+                        WHEN 2 THEN 8 * (1 + doc_id % 5)
+                        ELSE 4 + doc_id % 16 END AS w,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 5 + (doc_id // 16) % 16
+                        WHEN 1 THEN 4 + (doc_id // 15) % 14
+                        WHEN 2 THEN 8 * (1 + (doc_id // 5) % 4)
+                        ELSE 4 + (doc_id // 16) % 16 END AS h
+            FROM documents
+        ),
+        q AS (
+            SELECT *, CASE doc_id % 4
+                           WHEN 2 THEN w * h
+                           WHEN 3 THEN ((w * 3 + 3) // 4) * 4 * h
+                           ELSE w * h * 3 END AS n
+            FROM p
+        ),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END
+                          AS step_sz
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_mixed"] = _mixed_oracle()
