@@ -1205,6 +1205,21 @@ def synth_jpeg_prog_payload(doc_id: int) -> bytes:
     )
 
 
+def _parse_dqt(seg: bytes, qtabs: dict) -> bool:
+    """Parse a DQT segment (one or more 8-bit tables, zigzag order)
+    into the live table dict — shared by the baseline marker walk and
+    the progressive between-scan walk. False for 16-bit tables (the
+    honest codec boundary)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        if pq != 0:
+            return False
+        qtabs[tq] = list(seg[p + 1:p + 65])
+        p += 65
+    return True
+
+
 def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
     """Parse a DHT segment (one or more tables) into the live table
     dicts — shared by the baseline marker walk and the progressive
@@ -1254,13 +1269,8 @@ def decode_jpeg(payload: bytes) -> dict | None:
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         seg = payload[pos + 4:pos + 2 + seg_len]
         if marker == 0xDB:
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    return None              # 16-bit tables unsupported
-                qtabs[tq] = list(seg[p + 1:p + 65])
-                p += 65
+            if not _parse_dqt(seg, qtabs):
+                return None                  # 16-bit tables unsupported
         elif marker in (0xC0, 0xC2):
             progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -1520,9 +1530,11 @@ def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
         info[cid] = {
             "hi": hi, "vi": vi, "tq": tq, "wb": wb, "hb": hb,
             "wb_n": -(-cw // 8), "hb_n": -(-ch // 8),
-            # numpy store: ~256 B/block vs ~600 B for int lists —
-            # the _MAX_DECODE_PIXELS guard was sized for numpy costs
-            "coefs": np.zeros((wb * hb, 64), dtype=np.int64),
+            # numpy int32 store: 256 B/block vs ~600 B for int
+            # lists (quantized coefficients fit int32 with room —
+            # max |DC| ≈ 2047 << 13 ≈ 1.7e7); the _MAX_DECODE_PIXELS
+            # guard was sized for numpy costs
+            "coefs": np.zeros((wb * hb, 64), dtype=np.int32),
         }
     dri = restart_interval
     while pos + 4 <= len(payload):
@@ -1538,13 +1550,8 @@ def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
         elif marker == 0xDB:
             # T.81 allows (re)defining quant tables between scans —
             # dequant only happens at reconstruction
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    return None
-                qtabs[tq] = list(seg[p + 1:p + 65])
-                p += 65
+            if not _parse_dqt(seg, qtabs):
+                return None
         elif marker == 0xDD:
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
