@@ -45,8 +45,9 @@ _PRIORITY_KEYS = (
     "multimodal_jpeg", "multimodal_jpeg_color", "multimodal_audio_stats",
     "multimodal_avi", "multimodal_frame_sample", "multimodal_jpeg_420",
     "multimodal_jpeg_progressive", "multimodal_mixed",
-    # fill: 19 of the 50 keys whose last driver row is
-    # CORRECTNESS_r06 (1 round old). The OTHER 31 r6-aged keys
+    "multimodal_normalize",
+    # fill: 18 of the 50 keys whose last driver row is
+    # CORRECTNESS_r06 (1 round old). The OTHER 32 r6-aged keys
     # (dedup_* x6, events_asof_join/funnel/retention/sessionize/
     # user_stats/windowed_agg, multimodal_meta, multimodal_png,
     # sim_knn_bruteforce/ivf/ivfpq/pq, text_fingerprint/langid/
@@ -54,15 +55,16 @@ _PRIORITY_KEYS = (
     # olap_shipping_priority, olap_running_revenue,
     # olap_rollup_revenue, olap_revenue_forecast,
     # olap_pricing_summary, olap_price_percentiles,
-    # olap_market_pivot, olap_market_share) reach the 2-round limit
-    # this round and MUST lead the r9 window.
+    # olap_market_pivot, olap_market_share,
+    # olap_local_supplier_volume) reach the 2-round limit this round
+    # and MUST lead the r9 window.
     "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
     "silver_fact_contacts", "silver_fact_lineitems", "silver_fact_orders",
     "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
     "dq_no_duplicates", "dq_not_null_pk", "dq_referential_integrity",
     "dq_row_count", "dq_value_range",
     "olap_cube_revenue", "olap_inactive_customers", "olap_late_orders",
-    "olap_local_supplier_volume", "olap_min_cost_supplier",
+    "olap_min_cost_supplier",
 )
 
 

@@ -1355,3 +1355,71 @@ def test_multimodal_mixed_pipeline(spark, sf_dir):
 
     compare(multimodal_mixed(spark, sf_dir), ORACLES["multimodal_mixed"],
             sf_dir, "multimodal_mixed")
+
+
+def test_normalize_resize_units():
+    """normalize_resize: gray JPEG expands to RGB; BMP bottom-up rows
+    come out top-down; RGBA PNG drops alpha — each checked against
+    the source closed form at sampled positions."""
+    import zlib as _zlib
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _png_chunk,
+        normalize_resize,
+        synth_jpeg_payload,
+        synth_media_payload,
+    )
+
+    # gray JPEG -> RGB replication
+    d = 7
+    w, h, rgb = normalize_resize(synth_jpeg_payload(d), target=8)
+    assert (w, h) == (8 * (1 + d % 5), 8 * (1 + (d // 5) % 4))
+    for y in (0, 7):
+        for x in (0, 7):
+            sx, sy = x * w // 8, y * h // 8
+            g = (d * 3 + (sy // 8) * (w // 8) + sx // 8) % 256
+            o = (y * 8 + x) * 3
+            assert rgb[o:o + 3] == bytes([g, g, g]), (x, y)
+
+    # BMP: stored bottom-up -> image-coordinate top-down
+    d = 37
+    bmp = synth_media_payload(d, "image", "")
+    w, h, rgb = normalize_resize(bmp, target=4)
+    stride = (w * 3 + 3) & ~3
+    for y in (0, 3):
+        sy = y * h // 4
+        sx = 0
+        o = (y * 4 + 0) * 3
+        exp = bytes(((d + (h - 1 - sy) * stride + 3 * sx + c) % 256)
+                    for c in range(3))
+        assert rgb[o:o + 3] == exp, y
+
+    # RGBA PNG: alpha dropped
+    raw = b"\x00" + bytes([10, 20, 30, 255])     # filter 0, 1 px RGBA
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+           + _png_chunk(b"IDAT", _zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    w, h, rgb = normalize_resize(png, target=2)
+    assert (w, h) == (1, 1)
+    assert rgb == bytes([10, 20, 30]) * 4
+
+    # undecodable -> None
+    assert normalize_resize(b"not an image") is None
+
+
+def test_multimodal_normalize_pipeline(spark, sf_dir):
+    """Distributed canonicalization: mixed corpus -> raw pixels ->
+    nearest resize -> fixed 32x32x3 tensors, against the sampled
+    closed-form oracle."""
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_normalize,
+    )
+
+    compare(multimodal_normalize(spark, sf_dir),
+            ORACLES["multimodal_normalize"], sf_dir,
+            "multimodal_normalize")

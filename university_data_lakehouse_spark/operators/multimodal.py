@@ -364,6 +364,17 @@ def decode_png(payload: bytes) -> dict | None:
     RGB (2), and RGBA (6) — non-interlaced. Returns None for
     non-PNG payloads or PNG variants outside that envelope (those go
     to decode_real's capability probe)."""
+    got = _png_pixels(payload)
+    if got is None:
+        return None
+    w, h, _bpp, raw = got
+    return {"width": w, "height": h, "n_frames": 1,
+            "features": _chunk_means(list(raw))}
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """PNG → (w, h, bytes-per-pixel, top-down unpadded pixel
+    stream)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, w = 8, None
@@ -410,8 +421,7 @@ def decode_png(payload: bytes) -> dict | None:
                 row[i] = (row[i] + _paeth(left, up, ul)) & 0xFF
         raw += row
         prior = bytes(row)
-    return {"width": int(w), "height": int(h), "n_frames": 1,
-            "features": _chunk_means(list(raw))}
+    return int(w), int(h), bpp, bytes(raw)
 
 
 _GIF_MAX_CODE = 1 << 12     # GIF LZW code space is capped at 12 bits
@@ -556,6 +566,18 @@ def synth_gif_payload(doc_id: int) -> bytes:
 
 def decode_gif(payload: bytes) -> dict | None:
     """REAL compressed-image decode with stdlib only, part two (the
+    r6 PNG discipline) — see _gif_pixels for the walk; reduces the
+    palette-resolved RGB stream to chunk-mean features."""
+    got = _gif_pixels(payload)
+    if got is None:
+        return None
+    w, h, _nch, rgb = got
+    return {"width": w, "height": h, "n_frames": 1,
+            "features": _chunk_means(list(rgb))}
+
+
+def _gif_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """GIF → (w, h, 3, top-down RGB stream) — part two (the
     r6 PNG discipline): GIF is LZW (decoded by _lzw_decode above) +
     palette lookup. Walks the logical screen descriptor, global/local
     color tables, and extension blocks; decodes the FIRST image
@@ -605,8 +627,7 @@ def decode_gif(payload: bytes) -> dict | None:
             rgb = bytearray()
             for i in idx:
                 rgb += pal[3 * i:3 * i + 3]
-            return {"width": int(w), "height": int(h), "n_frames": 1,
-                    "features": _chunk_means(list(rgb))}
+            return int(w), int(h), 3, bytes(rgb)
         elif marker == 0x3B:                 # trailer
             break
         else:
@@ -1236,7 +1257,7 @@ def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
         p += 17 + nv
 
 
-def decode_jpeg(payload: bytes) -> dict | None:
+def decode_jpeg(payload: bytes, want_pixels: bool = False):
     """REAL baseline JPEG decode with stdlib + numpy only (the
     PNG/GIF/ADPCM discipline, tier three): marker walk, 8-bit DQT,
     canonical Huffman tables from DHT, MSB-first entropy decode with
@@ -1302,7 +1323,7 @@ def decode_jpeg(payload: bytes) -> dict | None:
             if progressive:
                 return _jpeg_progressive(payload, pos, w, h, comps,
                                          qtabs, dc_tabs, ac_tabs,
-                                         restart_interval)
+                                         restart_interval, want_pixels)
             ns = seg[0]
             if ns != len(comps):
                 return None
@@ -1326,7 +1347,7 @@ def decode_jpeg(payload: bytes) -> dict | None:
                              ac_tabs.get(tsel & 0x0F), hi, vi))
             scan_pos = pos + 2 + seg_len
             return _jpeg_scan(payload, scan_pos, w, h, plan,
-                              restart_interval)
+                              restart_interval, want_pixels)
         pos += 2 + seg_len
     return None
 
@@ -1364,7 +1385,8 @@ def _jpeg_decode_block(br: _BitReader, qtab: list, dc_tab: dict,
 
 
 def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
-               plan: list, restart_interval: int = 0) -> dict | None:
+               plan: list, restart_interval: int = 0,
+               want_pixels: bool = False):
     """Entropy-decode the single interleaved scan with per-component
     sampling factors (T.81 A.2.3): each MCU carries hi×vi blocks per
     component in raster order — 1×1 each for grayscale/4:4:4, Y 2×2 +
@@ -1405,14 +1427,17 @@ def _jpeg_scan(payload: bytes, pos: int, w: int, h: int,
                         planes[c][y0:y0 + 8, x0:x0 + 8] = spatial
     samplings = [(spec[3], spec[4]) for spec in plan]
     return _jpeg_planes_to_features(planes, samplings, w, h,
-                                    hmax, vmax)
+                                    hmax, vmax, want_pixels)
 
 
 def _jpeg_planes_to_features(planes: list, samplings: list, w: int,
-                             h: int, hmax: int, vmax: int) -> dict:
+                             h: int, hmax: int, vmax: int,
+                             want_pixels: bool = False):
     """Shared reconstruction tail (baseline and progressive):
     replicate subsampled planes to the luma grid, then grayscale
-    passthrough or JFIF YCbCr→RGB, crop, chunk means."""
+    passthrough or JFIF YCbCr→RGB, crop, chunk means — or, with
+    ``want_pixels``, the raw (w, h, nch, top-down stream) tuple for
+    the normalize/resize stage."""
     for c, (hi, vi) in enumerate(samplings):
         ry, rx = vmax // vi, hmax // hi
         if ry > 1 or rx > 1:
@@ -1429,6 +1454,9 @@ def _jpeg_planes_to_features(planes: list, samplings: list, w: int,
         b = np.clip(np.round(y + 1.772 * cb), 0, 255)
         pix = np.stack([r, g, b], axis=-1).astype(
             np.int64).reshape(-1).tolist()
+    if want_pixels:
+        return int(w), int(h), len(planes) if len(planes) > 1 else 1, \
+            bytes(pix)
     return {"width": int(w), "height": int(h), "n_frames": 1,
             "features": _chunk_means(pix)}
 
@@ -1509,8 +1537,8 @@ def _jpeg_ac_refine(br: _BitReader, ac_tab: dict, zz: list, ss: int,
 
 def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
                       comps: list, qtabs: dict, dc_tabs: dict,
-                      ac_tabs: dict, restart_interval: int
-                      ) -> dict | None:
+                      ac_tabs: dict, restart_interval: int,
+                      want_pixels: bool = False):
     """T.81 Annex G progressive decode: quantized coefficients
     accumulate per block across every scan (DC first/refine with the
     point transform as arithmetic shift; AC first/refine over
@@ -1593,7 +1621,7 @@ def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
         planes.append(plane)
         samplings.append((hi, vi))
     return _jpeg_planes_to_features(planes, samplings, w, h,
-                                    hmax, vmax)
+                                    hmax, vmax, want_pixels)
 
 
 def _jpeg_progressive_one_scan(br: _BitReader, info: dict,
@@ -2215,6 +2243,61 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decode_image_pixels(payload: bytes
+                         ) -> tuple[int, int, int, bytes] | None:
+    """Unified RAW-pixel accessor for every stdlib-decodable image
+    format → (w, h, channels, TOP-DOWN unpadded stream). BMP rows are
+    stored bottom-up with 4-byte stride padding — both are normalized
+    here; PNG may be gray/RGB/RGBA (bpp passes through); GIF is RGB;
+    JPEG is gray or RGB. None for undecodable payloads."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload, want_pixels=True)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        if w * h > _MAX_DECODE_PIXELS:
+            return None
+        offset = int.from_bytes(payload[10:14], "little")
+        stride = (w * 3 + 3) & ~3
+        out = bytearray()
+        for y in range(h):                   # flip bottom-up storage
+            row = payload[offset + (h - 1 - y) * stride:]
+            out += row[:w * 3]
+        return w, h, 3, bytes(out)
+    return None
+
+
+def normalize_resize(payload: bytes, target: int = 32
+                     ) -> tuple[int, int, bytes] | None:
+    """THE preprocessing stage an image training pipeline runs:
+    decode ANY stdlib-decodable format (PNG/GIF/JPEG/BMP), expand
+    gray→RGB / drop alpha, nearest-neighbor resize to target×target —
+    one canonical RGB tensor shape out, whatever came in. Returns
+    (src_w, src_h, target×target×3 RGB bytes)."""
+    got = _decode_image_pixels(bytes(payload))
+    if got is None:
+        return None
+    w, h, nch, pix = got
+    if w <= 0 or h <= 0:
+        return None
+    out = bytearray(target * target * 3)
+    for y in range(target):
+        sy = y * h // target
+        for x in range(target):
+            sx = x * w // target
+            base = (sy * w + sx) * nch
+            o = (y * target + x) * 3
+            if nch == 1:
+                out[o] = out[o + 1] = out[o + 2] = pix[base]
+            else:                            # RGB / RGBA: take 3
+                out[o:o + 3] = pix[base:base + 3]
+    return w, h, bytes(out)
+
+
 def synth_mixed_payload(doc_id: int) -> bytes:
     """Heterogeneous corpus row: format dispatched on doc_id % 4 —
     PNG / GIF / baseline JPEG / BMP — each via its own deterministic
@@ -2239,6 +2322,52 @@ def multimodal_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays all four formats behind a CASE on doc_id % 4."""
     return _decoded_feature_select(
         _synth_media_df(spark, sf_dir, synth_mixed_payload, "image"))
+
+
+NORMALIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("src_w", IntegerType()),
+    StructField("src_h", IntegerType()),
+    StructField("features", ArrayType(DoubleType())),
+])
+
+
+def multimodal_normalize(spark: SparkSession, sf_dir: str,
+                         target: int = 32) -> DataFrame:
+    """Normalize-and-resize over the mixed-format corpus — the
+    canonicalization stage an image training pipeline runs before
+    batching: whatever arrives (PNG gray/RGB/RGBA, GIF, JPEG gray or
+    color, BMP bottom-up rows), decode to raw pixels, expand
+    gray→RGB, nearest-resize to target×target, emit one fixed-shape
+    RGB tensor per row. Oracle-checkable because every source pixel
+    is a closed form of doc_id, so the resized stream is the SAMPLED
+    closed form — a wrong resize kernel, row order, or channel
+    expansion fails the hash."""
+    media = _synth_media_df(spark, sf_dir, synth_mixed_payload, "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "src_w": [], "src_h": [],
+                    "features": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    got = normalize_resize(bytes(p), target)
+                except (ValueError, KeyError, IndexError, struct.error,
+                        zlib.error):
+                    got = None
+                if got is None:
+                    continue
+                w, h, rgb = got
+                rows["doc_id"].append(int(d))
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["features"].append(_chunk_means(list(rgb)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=NORMALIZE_SCHEMA).select(
+        "doc_id", "src_w", "src_h",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 def multimodal_jpeg_progressive(spark: SparkSession,
@@ -2277,6 +2406,7 @@ QUERIES = {
     "multimodal_jpeg_420": multimodal_jpeg_420,
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "multimodal_mixed": multimodal_mixed,
+    "multimodal_normalize": multimodal_normalize,
 }
 
 
@@ -2874,3 +3004,53 @@ def _mixed_oracle() -> str:
 
 
 ORACLES["multimodal_mixed"] = _mixed_oracle()
+
+def _normalize_oracle() -> str:
+    """DuckDB replay of normalize-resize: resized byte j maps to
+    target cell (x, y) = ((j÷3) mod 32, (j÷3) ÷ 32), channel j mod 3,
+    source pixel (sx, sy) = (x·w÷32, y·h÷32); the per-format CASE
+    gives that source pixel's channel value in closed form (BMP reads
+    its bottom-up stride-padded stored byte; GIF folds the palette
+    offset; JPEG replicates gray into all channels)."""
+    sx = "((j // 3) % 32) * w // 32"
+    sy = "((j // 3) // 32) * h // 32"
+    c = "(j % 3)"
+    val = (f"CASE doc_id % 4 "
+           f"WHEN 0 THEN (doc_id + (({sy}) * w + ({sx})) * 3 + {c})"
+           f" % 256 "
+           f"WHEN 1 THEN (doc_id + ({sy}) * w + ({sx}) + 85 * {c})"
+           f" % 256 "
+           f"WHEN 2 THEN (doc_id * 3 + (({sy}) // 8) * (w // 8)"
+           f" + ({sx}) // 8) % 256 "
+           f"ELSE (doc_id + (h - 1 - ({sy})) * (((w * 3 + 3) // 4) * 4)"
+           f" + 3 * ({sx}) + {c}) % 256 END")
+    fcols = [
+        (f"list_sum(list_transform(range({i} * 384, {i + 1} * 384), "
+         f"j -> {val})) / 384.0 AS f{i}")
+        for i in range(8)
+    ]
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 4 + doc_id % 16
+                        WHEN 1 THEN 3 + doc_id % 15
+                        WHEN 2 THEN 8 * (1 + doc_id % 5)
+                        ELSE 4 + doc_id % 16 END AS w,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 5 + (doc_id // 16) % 16
+                        WHEN 1 THEN 4 + (doc_id // 15) % 14
+                        WHEN 2 THEN 8 * (1 + (doc_id // 5) % 4)
+                        ELSE 4 + (doc_id // 16) % 16 END AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS src_w,
+               CAST(h AS INTEGER) AS src_h,
+               {f_sql}
+        FROM p
+    """
+
+
+ORACLES["multimodal_normalize"] = _normalize_oracle()
