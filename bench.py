@@ -71,6 +71,8 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_jpeg",
     "multimodal_audio_stats",
+    "multimodal_mixed",
+    "multimodal_normalize",
     "chunk_documents",
     "corpus_build",
 ]
