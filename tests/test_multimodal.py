@@ -903,6 +903,72 @@ def test_multimodal_avi_pipeline(spark, sf_dir):
             sf_dir, "multimodal_avi")
 
 
+def test_decode_mjpeg_avi_frames():
+    """Motion-JPEG AVI: every 00dc chunk is a standalone baseline
+    JPEG; the decode must recover the closed-form per-frame constant
+    blocks bit-exactly (DC-q=8 lossless construction), and the
+    malformed shapes must go null: dc chunks without the MJPG
+    fourcc, an undecodable frame, and frames disagreeing on
+    dimensions."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _chunk_means,
+        _gray_jpeg_bytes,
+        _riff_chunk,
+        decode_avi,
+        synth_mjpeg_payload,
+    )
+
+    d = 37
+    out = decode_avi(synth_mjpeg_payload(d))
+    w, h, nf = 8 * (1 + d % 4), 8 * (1 + (d // 4) % 3), 2 + d % 5
+    assert (out["width"], out["height"], out["n_frames"]) == (w, h, nf)
+    fsize = w * h
+    exp = [(d * 3 + (j // fsize) * 11
+            + (((j % fsize) // w) // 8) * (w // 8)
+            + ((j % w) // 8)) % 256
+           for j in range(fsize * nf)]
+    assert out["features"] == _chunk_means(exp)
+
+    # dc frames but biCompression stays BI_RGB: neither path accepts
+    p = bytearray(synth_mjpeg_payload(5))
+    i = p.index(b"strf")
+    p[i + 8 + 16:i + 8 + 20] = b"\x00\x00\x00\x00"
+    assert decode_avi(bytes(p)) is None
+
+    # one frame's entropy bytes corrupted into an invalid stream
+    p = bytearray(synth_mjpeg_payload(5))
+    i = p.index(b"\xff\xd8")                 # first frame's SOI
+    p[i + 1] = 0x00                          # no longer a JPEG
+    assert decode_avi(bytes(p)) is None
+
+    # frames with mismatched dimensions (16x8 vs 8x8) must reject
+    j1 = _gray_jpeg_bytes(16, 8, lambda b: 10)
+    j2 = _gray_jpeg_bytes(8, 8, lambda b: 10)
+    base = bytearray(synth_mjpeg_payload(0))
+    movi = base.index(b"movi")
+    frames = _riff_chunk(b"00dc", j1) + _riff_chunk(b"00dc", j2)
+    spliced = bytes(base[:movi + 4]) + frames
+    # rebuild the movi LIST + RIFF sizes for the truncated tail
+    rebuilt = bytearray(spliced)
+    rebuilt[movi - 4:movi] = struct.pack("<I", 4 + len(frames))
+    rebuilt[4:8] = struct.pack("<I", len(rebuilt) - 8)
+    assert decode_avi(bytes(rebuilt)) is None
+
+
+def test_multimodal_mjpeg_pipeline(spark, sf_dir):
+    """Compressed-video tier end-to-end: synth MJPEG AVIs through the
+    Arrow decode against the symbolic oracle."""
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_mjpeg,
+    )
+
+    compare(multimodal_mjpeg(spark, sf_dir),
+            ORACLES["multimodal_mjpeg"], sf_dir, "multimodal_mjpeg")
+
+
 def test_multimodal_frame_sample_pipeline(spark, sf_dir):
     """Real per-frame extraction rows: every 2nd frame of each AVI,
     frame mean from the actual DIB bytes, against the symbolic
@@ -931,7 +997,8 @@ def test_multimodal_plans_have_no_shuffle(spark, sf_dir):
                 "multimodal_gif", "multimodal_jpeg",
                 "multimodal_jpeg_color", "multimodal_adpcm",
                 "multimodal_mulaw", "multimodal_audio_stats",
-                "multimodal_avi", "multimodal_frame_sample"]:
+                "multimodal_avi", "multimodal_mjpeg",
+                "multimodal_frame_sample"]:
         df = mm.QUERIES[key](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{key} plan shuffles:\n{plan}"
