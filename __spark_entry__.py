@@ -45,7 +45,7 @@ _PRIORITY_KEYS = (
     "multimodal_jpeg", "multimodal_jpeg_color", "multimodal_audio_stats",
     "multimodal_avi", "multimodal_frame_sample", "multimodal_jpeg_420",
     "multimodal_jpeg_progressive", "multimodal_mixed",
-    "multimodal_normalize", "multimodal_mjpeg",
+    "multimodal_normalize", "multimodal_mjpeg", "multimodal_flac",
     # fill: 18 of the 50 keys whose last driver row is
     # CORRECTNESS_r06 (1 round old). The OTHER 32 r6-aged keys
     # (dedup_* x6, events_asof_join/funnel/retention/sessionize/
@@ -56,14 +56,15 @@ _PRIORITY_KEYS = (
     # olap_rollup_revenue, olap_revenue_forecast,
     # olap_pricing_summary, olap_price_percentiles,
     # olap_market_pivot, olap_market_share,
-    # olap_local_supplier_volume, olap_min_cost_supplier) reach the
-    # 2-round limit this round and MUST lead the r9 window.
+    # olap_local_supplier_volume, olap_min_cost_supplier,
+    # olap_late_orders) reach the 2-round limit this round and MUST
+    # lead the r9 window.
     "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
     "silver_fact_contacts", "silver_fact_lineitems", "silver_fact_orders",
     "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
     "dq_no_duplicates", "dq_not_null_pk", "dq_referential_integrity",
     "dq_row_count", "dq_value_range",
-    "olap_cube_revenue", "olap_inactive_customers", "olap_late_orders",
+    "olap_cube_revenue", "olap_inactive_customers",
 )
 
 

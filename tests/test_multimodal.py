@@ -996,7 +996,8 @@ def test_multimodal_plans_have_no_shuffle(spark, sf_dir):
                 "multimodal_features", "multimodal_png",
                 "multimodal_gif", "multimodal_jpeg",
                 "multimodal_jpeg_color", "multimodal_adpcm",
-                "multimodal_mulaw", "multimodal_audio_stats",
+                "multimodal_mulaw", "multimodal_flac",
+                "multimodal_audio_stats",
                 "multimodal_avi", "multimodal_mjpeg",
                 "multimodal_frame_sample"]:
         df = mm.QUERIES[key](spark, sf_dir)

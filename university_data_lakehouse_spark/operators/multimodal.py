@@ -72,6 +72,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources.loader import load_table
+from .flac_codec import encode_flac, flac_samples
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -261,6 +262,15 @@ def decode_samples(payload: bytes) -> dict | None:
                 "features": _chunk_means([abs(s) for s in samples])}
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return decode_avi(payload)
+    if payload[:4] == b"fLaC":
+        got = flac_samples(payload)
+        if got is None:
+            return None
+        channels, _sr = got
+        inter = [abs(s) for frame in zip(*channels) for s in frame]
+        return {"width": None, "height": None,
+                "n_frames": len(channels[0]),
+                "features": _chunk_means(inter)}
     return None
 
 
@@ -895,6 +905,24 @@ def synth_mulaw_payload(doc_id: int) -> bytes:
     pad = b"\x00" if len(data) & 1 else b""    # RIFF even-pad
     return (struct.pack("<4sI4s", b"RIFF", 4 + len(body) + len(pad),
                         b"WAVE") + body + pad)
+
+
+def synth_flac_payload(doc_id: int) -> bytes:
+    """Deterministic VALID FLAC stream (see flac_codec.encode_flac:
+    STREAMINFO + MD5, CRC-8'd fixed-blocksize frame headers, CRC-16
+    frame footers, FIXED order-2 subframes with exhaustive-search
+    Rice parameters): mono 16-bit, sample j is
+    ((doc_id*31 + j*7) % 4096) - 2048 — a sawtooth whose order-2
+    residuals are zero away from the wrap points, so the Rice layer
+    genuinely compresses (~3.7× on these payloads) and the wraps
+    exercise large-quotient codes. ns up to 499 spans TWO frames, so
+    the partial-final-frame header path (8-bit blocksize-1 form) and
+    the frame-number coded-number increment are both exercised.
+    Lossless, so the decoded samples ARE the closed form the DuckDB
+    oracle replays — no codec knowledge needed oracle-side."""
+    ns = 100 + doc_id % 400
+    samples = [((doc_id * 31 + j * 7) % 4096) - 2048 for j in range(ns)]
+    return encode_flac([samples], sample_rate=8000, blocksize=256)
 
 
 def _jpeg_idct_matrix() -> "np.ndarray":
@@ -2206,6 +2234,21 @@ def multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_media_df(spark, sf_dir, synth_mulaw_payload, "audio"), with_dims=False)
 
 
+def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LOSSLESS-compressed-audio decode with stdlib only:
+    synthesize valid FLAC streams (real Rice-coded FIXED-predictor
+    frames, CRC-8/CRC-16/MD5 all verified on decode — see
+    flac_codec), push them through the Arrow mapInPandas feature
+    pass, reduce to chunk-mean |sample| features. The compressed
+    counterpart of the PCM WAV path: because FLAC is lossless the
+    decoded stream equals the closed-form synth input exactly, so
+    the DuckDB oracle replays the pipeline with no codec knowledge
+    (the PNG/GIF argument extended to audio)."""
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_flac_payload, "audio"),
+        with_dims=False)
+
+
 def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL baseline-JPEG decode with stdlib + numpy only:
     synthesize valid T.81 grayscale JPEGs (Annex K Huffman tables,
@@ -2513,6 +2556,7 @@ QUERIES = {
     "multimodal_gif": multimodal_gif,
     "multimodal_adpcm": multimodal_adpcm,
     "multimodal_mulaw": multimodal_mulaw,
+    "multimodal_flac": multimodal_flac,
     "multimodal_jpeg": multimodal_jpeg,
     "multimodal_jpeg_color": multimodal_jpeg_color,
     "multimodal_audio_stats": multimodal_audio_stats,
@@ -2805,6 +2849,39 @@ def _mulaw_oracle() -> str:
 
 
 ORACLES["multimodal_mulaw"] = _mulaw_oracle()
+
+def _flac_oracle() -> str:
+    """DuckDB replay of the FLAC pipeline: the codec is LOSSLESS, so
+    the decoded sample j of doc_id is exactly the synth's closed form
+    ((doc_id*31 + j*7) % 4096) - 2048 — the oracle needs no Rice /
+    CRC / predictor knowledge at all, which is precisely the claim
+    the bit-exact compare proves about the decoder."""
+    sample = "(((doc_id * 31 + j * 7) % 4096) - 2048)"
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, ns)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> abs({sample}))) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= ns THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id, 100 + doc_id % 400 AS ns FROM documents
+        ),
+        r AS (
+            SELECT *, CASE WHEN ns // 8 > 0 THEN ns // 8 ELSE 1 END
+                          AS step_sz
+            FROM p
+        )
+        SELECT doc_id, CAST(ns AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_flac"] = _flac_oracle()
 
 def _jpeg_oracle() -> str:
     """DuckDB replay of the JPEG pipeline's chunk means: pixel j of
