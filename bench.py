@@ -73,6 +73,8 @@ HEADLINE = [
     "multimodal_audio_stats",
     "multimodal_mixed",
     "multimodal_normalize",
+    "multimodal_mjpeg",
+    "multimodal_flac",
     "chunk_documents",
     "corpus_build",
 ]
