@@ -412,6 +412,92 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher quality-filter thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1.1
+# — public rule set; values are the paper's).  The reference repo has
+# no document-quality stage at all, so this is a pure pipeline
+# extension, not a parity item.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1     # '#' + '...' per word
+GOPHER_MAX_BULLET_RATIO = 0.9     # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3   # lines ending with ... / …
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_N_RULES = 7
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-free quality rules per document: word-count
+    bounds, mean word length, symbol-to-word ratio ('#' and '...'),
+    bullet-start / ellipsis-end line fractions, alphabetic-word ratio
+    and a stop-word floor — the published heuristic gate most
+    large-scale pretraining pipelines start from.
+
+    One narrow JVM map stage (split + higher-order array folds), zero
+    shuffle, embarrassingly parallel at 100 TB.  All metrics are
+    int-count ratios (CAST int AS DOUBLE / int with identical
+    expression shape in DuckDB) — no libm, so no rounding needed and
+    every threshold comparison is bit-identical cross-engine.
+    ``rules_passed`` counts the 7 rule booleans; ``keep`` is their
+    conjunction."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = word_chars.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all("text", F.lit(r"\.\.\."), F.lit(0)))
+    sym_ratio = (n_hash + n_ellipsis).cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_ratio = n_bullet.cast("double") / n_lines.cast("double")
+    ellipsis_ratio = n_ell_end.cast("double") / n_lines.cast("double")
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha_words.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
+    stop_hits = _count_in(tokens(F.col("text")), GOPHER_STOP)
+    rules = [
+        (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN),
+        sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        bullet_ratio <= GOPHER_MAX_BULLET_RATIO,
+        ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO,
+        alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        stop_hits >= GOPHER_MIN_STOP_HITS,
+    ]
+    passed = rules[0].cast("int")
+    for r in rules[1:]:
+        passed = passed + r.cast("int")
+    return doc.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        passed.alias("rules_passed"),
+        (passed == GOPHER_N_RULES).cast("int").alias("keep"),
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
