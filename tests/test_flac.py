@@ -215,3 +215,33 @@ def test_multimodal_flac_pipeline(spark, sf_dir):
 
     compare(multimodal_flac(spark, sf_dir),
             ORACLES["multimodal_flac"], sf_dir, "multimodal_flac")
+
+
+def test_crc_valid_out_of_range_samples_rejected():
+    """A CRC-valid stream whose FIXED residuals walk the cumulative
+    samples past int16 must raise ValueError (the null-row contract's
+    currency), NOT OverflowError out of the MD5 int.to_bytes fold —
+    and the Arrow boundary must turn it into a null row.  Fixture:
+    FIXED order-1, warm-up 32767, three +100 residuals via the raw
+    escape → samples 32767, 32867, ... > 32767.  A nonzero STREAMINFO
+    MD5 forces the fold on the pre-fix code path."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _samples_or_null,
+    )
+
+    w = _frame_header(4)
+    w.put(0, 1)
+    w.put(0b001001, 6)                       # FIXED order 1
+    w.put(0, 1)                              # no wasted bits
+    w.put_signed(32767, 16)                  # warm-up at the rail
+    w.put(0, 2)                              # rice method 0
+    w.put(0, 4)                              # partition order 0
+    w.put(0b1111, 4)                         # escape to raw residuals
+    w.put(9, 5)                              # raw bit width 9
+    for _ in range(3):
+        w.put_signed(100, 9)                 # walks past 32767
+    payload = (_streaminfo(4, 8000, 1, 16, 4, md5=b"\x01" * 16)
+               + _finish_frame(w))
+    with pytest.raises(ValueError, match="bits-per-sample"):
+        flac_samples(payload)
+    assert _samples_or_null(payload, "audio")["features"] is None

@@ -1491,3 +1491,37 @@ def test_multimodal_normalize_pipeline(spark, sf_dir):
     compare(multimodal_normalize(spark, sf_dir),
             ORACLES["multimodal_normalize"], sf_dir,
             "multimodal_normalize")
+
+
+def test_avi_deeply_nested_lists_no_recursion_error():
+    """A hostile AVI with thousands of nested LIST chunks must walk
+    iteratively — decode the real structure buried at the bottom (the
+    walker descends every LIST in order) and never RecursionError out
+    of the Arrow task.  Pre-fix code recursed once per LIST level."""
+    import sys
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _riff_chunk,
+        _riff_list,
+        _samples_or_null,
+        decode_avi,
+        synth_avi_payload,
+    )
+
+    base = synth_avi_payload(41)
+    inner = base[12:]                         # hdrl + movi lists
+    depth = sys.getrecursionlimit() + 500
+    for _ in range(depth):
+        inner = _riff_list(b"wrap", inner)
+    hostile = b"RIFF" + len(b"AVI " + inner).to_bytes(4, "little") \
+        + b"AVI " + inner
+    out = decode_avi(hostile)                # same frames, just buried
+    assert out == decode_avi(base)
+
+    # and a nest with NO decodable structure inside goes null cleanly
+    junk = _riff_chunk(b"junk", b"\x00" * 4)
+    for _ in range(depth):
+        junk = _riff_list(b"wrap", junk)
+    empty = b"RIFF" + len(b"AVI " + junk).to_bytes(4, "little") \
+        + b"AVI " + junk
+    assert _samples_or_null(empty, "video")["features"] is None

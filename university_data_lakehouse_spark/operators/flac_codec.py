@@ -519,6 +519,16 @@ def flac_samples(payload: bytes) -> tuple[list[list[int]], int] | None:
         pos = r.pos
     for c in channels:
         del c[total:]                        # guard against overrun
+    # A CRC-valid stream can still carry FIXED/LPC residuals whose
+    # cumulative predictions walk outside the stream's sample range
+    # (crafted or corrupt input) — range-check BEFORE the MD5 fold so
+    # the failure is the decoders' ValueError contract, not an
+    # OverflowError escaping int.to_bytes.
+    lo, hi = -(1 << (stream_bps - 1)), (1 << (stream_bps - 1)) - 1
+    for c in channels:
+        if c and (min(c) < lo or max(c) > hi):
+            raise ValueError("flac: decoded sample exceeds stream "
+                             "bits-per-sample")
     if md5_expect != b"\x00" * 16 and stream_bps % 8 == 0:
         md5 = hashlib.md5()
         nbytes = stream_bps // 8

@@ -1093,16 +1093,24 @@ def _avi_stream(payload: bytes) \
     stream_type = None                       # fccType of the last strh
     frames: list[tuple[bytes, bytes]] = []
 
-    def walk(data: bytes) -> None:
-        nonlocal w, h, compression, stream_type
-        pos = 0
+    # Iterative depth-first walk (explicit continuation stack, same
+    # visit order as recursion would give): a hostile file with
+    # thousands of nested LIST chunks must hit the normal null-row
+    # path, never RecursionError — each stack entry is (buffer,
+    # resume offset), pushed when descending into a LIST body.
+    stack: list[tuple[bytes, int]] = [(payload[12:], 0)]
+    while stack:
+        data, pos = stack.pop()
         while pos + 8 <= len(data):
             cid = data[pos:pos + 4]
             size = int.from_bytes(data[pos + 4:pos + 8], "little")
             body = data[pos + 8:pos + 8 + size]
+            nxt = pos + 8 + size + (size & 1)
             if cid == b"LIST":
-                walk(body[4:])
-            elif cid == b"avih" and size >= 40:
+                stack.append((data, nxt))    # resume here afterwards
+                data, pos = body[4:], 0      # descend now (in order)
+                continue
+            if cid == b"avih" and size >= 40:
                 vals = struct.unpack("<10I", body[:40])
                 w, h = vals[8], vals[9]
             elif cid == b"strh" and size >= 4:
@@ -1116,9 +1124,7 @@ def _avi_stream(payload: bytes) \
                     compression = int.from_bytes(body[16:20], "little")
             elif cid[2:] in (b"db", b"dc"):
                 frames.append((cid[2:], body))
-            pos += 8 + size + (size & 1)
-
-    walk(payload[12:])
+            pos = nxt
     if w is None or not frames:
         return None
     return int(w), int(h), compression, frames
@@ -2005,6 +2011,12 @@ def decode_features(media: DataFrame, batch_decoder=decode_stub) -> DataFrame:
 _NULL_DECODE = {"width": None, "height": None, "n_frames": None,
                 "features": None}
 
+# Every exception a malformed-but-magic-bearing payload may raise out
+# of the pure-Python decoders. The null-row boundaries catch exactly
+# this set; anything else is a code bug that SHOULD fail the task.
+_DECODE_ERRORS = (ValueError, KeyError, IndexError, struct.error,
+                  zlib.error, OverflowError, RecursionError)
+
 
 def _synth_media_df(spark: SparkSession, sf_dir: str, synth_fn,
                     media_type: str) -> DataFrame:
@@ -2051,10 +2063,14 @@ def _samples_or_null(payload: bytes, media_type: str) -> dict:
     descriptor, an LZW code past the table, a corrupt inflate stream)
     must also go null, never raise — the decoders raise
     ValueError/KeyError/IndexError/struct.error/zlib.error on such
-    bytes and this boundary converts all of them to the null row."""
+    bytes and this boundary converts all of them to the null row.
+    OverflowError/RecursionError are in the set as a backstop: the
+    decoders range-check samples and walk containers iteratively, but
+    a crafted payload must never fail the whole Spark task through an
+    escape hatch this boundary didn't anticipate."""
     try:
         out = decode_samples(bytes(payload))
-    except (ValueError, KeyError, IndexError, struct.error, zlib.error):
+    except _DECODE_ERRORS:
         return dict(_NULL_DECODE)
     if out is None:
         return dict(_NULL_DECODE)
@@ -2331,7 +2347,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     got = _avi_frames(bytes(p))
-                except (ValueError, KeyError, IndexError, struct.error):
+                except _DECODE_ERRORS:
                     got = None
                 if got is None:
                     continue
@@ -2510,8 +2526,7 @@ def multimodal_normalize(spark: SparkSession, sf_dir: str,
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     got = normalize_resize(bytes(p), target)
-                except (ValueError, KeyError, IndexError, struct.error,
-                        zlib.error):
+                except _DECODE_ERRORS:
                     got = None
                 if got is None:
                     continue
