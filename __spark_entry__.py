@@ -27,44 +27,42 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r8 rotation. Lead: the 18 keys whose last driver row is
-    # CORRECTNESS_r05 (2 rounds old — the standing invariant's limit).
-    "olap_priority_shipmode", "olap_profit_by_nation",
-    "olap_promo_revenue", "olap_prospect_customers",
-    "olap_returned_items", "olap_supplier_part_counts",
-    "olap_top_supplier", "olap_waiting_suppliers",
-    "pack_token_bins", "sample_split", "sample_stratified",
-    "sample_weighted", "sim_knn_lsh", "text_contamination",
-    "text_contamination_semantic", "text_lm_quality",
-    "text_pii_redact", "text_repetition",
-    # materially changed in r8 (banded CASE-chain fix, basket cap)
-    # plus the r8-new keys (the banded scale switch registered as a
-    # driver-checkable sibling; stdlib IMA-ADPCM audio decode).
-    "olap_basket_affinity", "olap_customer_abc",
-    "olap_customer_abc_banded", "multimodal_adpcm", "multimodal_mulaw",
-    "multimodal_jpeg", "multimodal_jpeg_color", "multimodal_audio_stats",
-    "multimodal_avi", "multimodal_frame_sample", "multimodal_jpeg_420",
-    "multimodal_jpeg_progressive", "multimodal_mixed",
-    "multimodal_normalize", "multimodal_mjpeg", "multimodal_flac",
-    # fill: 18 of the 50 keys whose last driver row is
-    # CORRECTNESS_r06 (1 round old). The OTHER 32 r6-aged keys
-    # (dedup_* x6, events_asof_join/funnel/retention/sessionize/
-    # user_stats/windowed_agg, multimodal_meta, multimodal_png,
-    # sim_knn_bruteforce/ivf/ivfpq/pq, text_fingerprint/langid/
-    # quality_score/token_stats, olap_top_k_per_group,
-    # olap_shipping_priority, olap_running_revenue,
-    # olap_rollup_revenue, olap_revenue_forecast,
-    # olap_pricing_summary, olap_price_percentiles,
-    # olap_market_pivot, olap_market_share,
-    # olap_local_supplier_volume, olap_min_cost_supplier,
-    # olap_late_orders) reach the 2-round limit this round and MUST
-    # lead the r9 window.
-    "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
-    "silver_fact_contacts", "silver_fact_lineitems", "silver_fact_orders",
-    "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
-    "dq_no_duplicates", "dq_not_null_pk", "dq_referential_integrity",
-    "dq_row_count", "dq_value_range",
-    "olap_cube_revenue", "olap_inactive_customers",
+    # r9 rotation. Lead: the 34 keys whose last driver row is
+    # CORRECTNESS_r06 (2 rounds old — the standing invariant's limit).
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "events_asof_join", "events_funnel", "events_retention",
+    "events_sessionize", "events_user_stats", "events_windowed_agg",
+    "multimodal_meta", "multimodal_png",
+    "sim_knn_bruteforce", "sim_knn_ivf", "sim_knn_ivfpq", "sim_knn_pq",
+    "text_fingerprint", "text_langid", "text_quality_score",
+    "text_token_stats",
+    "olap_top_k_per_group", "olap_shipping_priority",
+    "olap_running_revenue", "olap_rollup_revenue",
+    "olap_revenue_forecast", "olap_pricing_summary",
+    "olap_price_percentiles", "olap_market_pivot", "olap_market_share",
+    "olap_local_supplier_volume", "olap_min_cost_supplier",
+    "olap_late_orders",
+    # materially changed since the r8 gate ran: the FLAC range-check /
+    # iterative-AVI-walk hardening (commit eb64905) sits under these
+    # six decode keys, and text_gopher_rules is r9-new.
+    "text_gopher_rules", "multimodal_flac", "multimodal_avi",
+    "multimodal_mjpeg", "multimodal_frame_sample",
+    "multimodal_normalize", "multimodal_audio_stats",
+    # fill: 9 of the ~50 keys whose last driver row is CORRECTNESS_r07
+    # (1 round old). The REMAINING r7-aged keys (olap_disjunctive_
+    # revenue, olap_excess_suppliers, olap_revenue_mom, olap_repeat_
+    # customers, the r7 events_* batch, dedup_cluster_*/_name_fuzzy/
+    # _boilerplate/_embedding_lsh_auto, emb_*, text_entropy/
+    # tfidf_topk/vocab_topk, corpus_*, chunk_documents,
+    # forget_documents, multimodal_gif/decoded/features/resize/
+    # adpcm/mulaw/jpeg*/mixed, olap_basket_affinity,
+    # olap_customer_abc[_banded], dq_value_outliers) reach the
+    # 2-round limit next round and MUST lead the r10 window.
+    "dq_profile", "dq_freshness", "olap_grouping_sets",
+    "olap_nation_trade", "olap_customer_distribution",
+    "olap_avg_yearly", "olap_big_orders", "olap_important_parts",
+    "events_error_attribution",
 )
 
 

@@ -683,3 +683,71 @@ def test_mixture_plan_zero_token_lang(spark, tmp_path):
     assert out["xx"]["mixture_weight"] == 0.0
     for r in out.values():
         assert not math.isnan(r["mixture_weight"]), r
+
+
+def test_gopher_rules_hostile_text_cross_engine(spark, tmp_path):
+    """text_gopher_rules must bit-match its DuckDB oracle on the
+    whitespace/regex corner cases the two engines disagree on by
+    default: \\x0B (in Java's \\s, not RE2's — hence the explicit
+    WS_RE class), CRLF line endings (Java's $ matches before a
+    trailing \\r; \\z doesn't), unicode ellipsis/bullets, and
+    zero-word documents (NULL-ratio propagation)."""
+    import pandas as pd
+
+    from university_data_lakehouse_spark.operators.text import (
+        ORACLES,
+        text_gopher_rules,
+    )
+    from tests.oracle_utils import compare
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (1, "the quick brown fox \x0bjumps over the lazy dog and "
+            "that is to be of have with " * 5, "en"),
+        (2, "- bullet one...\r\n- bullet two…\r\n* three\r\n• four", "en"),
+        (3, "#### ## # hash #soup... ... .... ....... the of and", "en"),
+        (4, "", "en"),                      # zero words, zero chars
+        (5, "word\tword2\fword3\rword4\nword5  word6", "en"),
+        (6, "ends with dots...\nends with …\nplain line", "en"),
+        (7, "\x0b\x0b\x0b", "en"),          # whitespace-only
+        (8, "ends with cr dots...\r\nnext line", "en"),  # $ vs \z trap
+    ]
+    pd.DataFrame(
+        [(i, t, lg, "s", len(t)) for i, t, lg in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    compare(text_gopher_rules(spark, d), ORACLES["text_gopher_rules"],
+            d, name="text_gopher_rules@hostile")
+
+
+def test_gopher_rules_hand_values(spark, tmp_path):
+    """Hand-checked rule arithmetic: a clean 60-word English doc
+    passes all 7 rules; a 10-word doc fails only the word-count
+    floor; a bullet-heavy doc trips the bullet-ratio rule."""
+    from university_data_lakehouse_spark.operators.text import (
+        text_gopher_rules,
+    )
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    clean = ("the cat and the dog have that to be of with good "
+             "word here more text " * 4).strip()          # 64 words
+    # 10 words, 38 chars -> mean word len 3.8 (in range); only the
+    # 50-word floor fails
+    short = "the cats and then dogs have that here with good"
+    bullets = "\n".join("- item %d" % i for i in range(10))
+    rows = [
+        Row(doc_id=1, text=clean, lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=short, lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text=bullets, lang="en", source="s", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_gopher_rules(spark, d).collect()}
+    assert out[1]["keep"] == 1 and out[1]["rules_passed"] == 7
+    assert out[2]["keep"] == 0 and out[2]["rules_passed"] == 6
+    assert out[2]["n_words"] == 10
+    # every line is a bullet -> ratio 1.0 > 0.9; word count also fails
+    assert out[3]["bullet_ratio"] == 1.0
+    assert out[3]["keep"] == 0

@@ -428,6 +428,9 @@ GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
 GOPHER_MIN_STOP_HITS = 2
 GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_N_RULES = 7
+# Java \s and RE2 \s disagree on \x0B — both engines split on this
+# explicit class so the word lists are identical byte-for-byte.
+WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,9 +446,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression shape in DuckDB) — no libm, so no rounding needed and
     every threshold comparison is bit-identical cross-engine.
     ``rules_passed`` counts the 7 rule booleans; ``keep`` is their
-    conjunction."""
+    conjunction.  The whitespace split uses an explicit char class —
+    Java's \s includes \x0B where RE2's does not, and the oracle must
+    split identically."""
     doc = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(F.col("text"), WS_RE), lambda w: w != "")
     n_words = F.size(words)
     word_chars = F.aggregate(
         F.transform(words, F.length), F.lit(0), lambda a, x: a + x
@@ -461,8 +466,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+    # \z (end of input) in both engines — Java's $ also matches just
+    # BEFORE a trailing \r (line-terminator lookahead), RE2's doesn't,
+    # so $ would diverge on CRLF-terminated lines.
     n_ell_end = F.size(
-        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)\\z"))
     )
     bullet_ratio = n_bullet.cast("double") / n_lines.cast("double")
     ellipsis_ratio = n_ell_end.cast("double") / n_lines.cast("double")
@@ -510,6 +518,7 @@ _SHINGLES = (
 )
 
 QUERIES = {
+    "text_gopher_rules": text_gopher_rules,
     "text_entropy": text_entropy,
     "text_tfidf_topk": text_tfidf_topk,
     "text_vocab_topk": text_vocab_topk,
@@ -522,6 +531,66 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_gopher_rules": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(text, '{WS_RE}'),
+                       w -> w <> '') AS words,
+                   string_split(text, chr(10)) AS lines,
+                   LENGTH(text) - LENGTH(replace(text, '#', '')) AS n_hash,
+                   len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+                   {_TOKS} AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   CAST(list_sum(list_transform(words, w -> LENGTH(w)))
+                        AS DOUBLE)
+                       / NULLIF(CAST(len(words) AS DOUBLE), 0.0)
+                       AS mean_word_len,
+                   CAST(n_hash + n_ellipsis AS DOUBLE)
+                       / NULLIF(CAST(len(words) AS DOUBLE), 0.0)
+                       AS symbol_ratio,
+                   CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+                       / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+                   CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '(\.\.\.|…)\z')))
+                        AS DOUBLE)
+                       / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+                   CAST(len(list_filter(words,
+                            l -> regexp_matches(l, '[A-Za-z]'))) AS DOUBLE)
+                       / NULLIF(CAST(len(words) AS DOUBLE), 0.0)
+                       AS alpha_word_ratio,
+                   {_sql_count_in(GOPHER_STOP)} AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+               stop_hits, rules_passed,
+               CAST(rules_passed = {GOPHER_N_RULES} AS INTEGER) AS keep
+        FROM (
+            SELECT *,
+                   CAST(n_words >= {GOPHER_MIN_WORDS}
+                        AND n_words <= {GOPHER_MAX_WORDS} AS INTEGER)
+                   + CAST(mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                          AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                          AS INTEGER)
+                   + CAST(symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                          AS INTEGER)
+                   + CAST(bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
+                          AS INTEGER)
+                   + CAST(ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
+                          AS INTEGER)
+                   + CAST(alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+                          AS INTEGER)
+                   + CAST(stop_hits >= {GOPHER_MIN_STOP_HITS} AS INTEGER)
+                       AS rules_passed
+            FROM m
+        )
+    """,
     "text_entropy": r"""
         WITH t AS (
             SELECT doc_id, text,
