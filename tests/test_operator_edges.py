@@ -751,3 +751,48 @@ def test_gopher_rules_hand_values(spark, tmp_path):
     # every line is a bullet -> ratio 1.0 > 0.9; word count also fails
     assert out[3]["bullet_ratio"] == 1.0
     assert out[3]["keep"] == 0
+
+
+def test_c4_spans_planted_duplicates(spark, tmp_path):
+    """Cross-doc and within-doc 3-sentence span dups, short docs,
+    case normalization — hand-checked, plus the bit-exact oracle
+    compare on the same hostile corpus."""
+    import pandas as pd
+
+    from university_data_lakehouse_spark.operators.dedup import (
+        ORACLES,
+        dedup_c4_spans,
+    )
+    from tests.oracle_utils import compare
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    shared = "Alpha beta gamma. Delta epsilon zeta! Eta theta iota?"
+    rows = [
+        (1, "Unique opener sentence. " + shared + " Unique closer one."),
+        (2, "Different opener here! " + shared),     # cross-doc dup
+        (3, "Rep one. Rep two. Rep three. " * 2),    # within-doc dup
+        (4, "Too short. Only two!"),                 # < 3 sentences
+        (5, ""),
+        (6, "ALPHA beta GAMMA. delta EPSILON zeta! eta theta IOTA?"
+            " And a different tail."),               # case-insensitive dup
+    ]
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    spark.catalog.clearCache()
+    out = {r["doc_id"]: r for r in dedup_c4_spans(spark, d).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 0
+    # doc 2's second span == doc 1's middle span (earlier occurrence)
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[2]["keep"] == 0
+    # "Rep one..Rep three." x2 -> 6 sentences, 4 spans, span[3]==span[0]
+    assert out[3]["n_spans"] == 4 and out[3]["n_dup_spans"] == 1
+    assert out[4]["n_spans"] == 0 and out[4]["keep"] == 1
+    assert out[4]["dup_span_ratio"] is None
+    # lowercased span matches doc 1's shared span despite case
+    assert out[6]["n_dup_spans"] == 1
+    compare(dedup_c4_spans(spark, d), ORACLES["dedup_c4_spans"], d,
+            name="dedup_c4_spans@hostile")
+    spark.catalog.clearCache()

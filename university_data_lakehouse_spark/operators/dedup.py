@@ -778,7 +778,88 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4-style three-sentence-span dedup (Raffel et al. 2020 §2.2: "we
+# discarded all but one of any three-sentence span occurring more
+# than once in the data set").  Sentences are defined as the maximal
+# [^.!?]*[.!?] chunks of the lowercased text — deterministic and
+# identical in Java regex and RE2.
+C4_SPAN_N = 3
+C4_SENT_RE = "[^.!?]*[.!?]"
+
+
+def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 span dedup: every overlapping 3-sentence span is hashed and
+    the corpus-wide FIRST occurrence (lexicographic min of (doc_id,
+    span_idx)) is canonical; each doc reports its span count, how many
+    of its spans are duplicates of an earlier occurrence, and a keep
+    flag (no duplicated span).
+
+    Scale shape: explode carries only (doc_id, span_idx, md5) — 16
+    bytes per span regardless of sentence length.  First-occurrence
+    is a groupBy(h).min(struct) — partial aggregation combines
+    map-side, so a boilerplate span present in half the corpus (the
+    hot-key case for this operator) reduces to one row per partition
+    BEFORE the shuffle, where a window-over-hash formulation would
+    drag every occurrence into one task.  The join back is
+    hash-per-span against the one-row-per-distinct-span aggregate,
+    then one per-doc aggregate.  All shuffles are md5-keyed —
+    uniformly distributed by construction."""
+    doc = load_table(spark, sf_dir, "documents")
+    # single-arg lambda on purpose: F.trim has an optional second
+    # parameter (trim characters), so passing it bare would make
+    # transform() call trim(element, index).
+    sents = F.transform(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(C4_SENT_RE), F.lit(0)
+        ),
+        lambda s: F.trim(s),
+    )
+    # cache barrier BEFORE shingling — same discipline (and retained-
+    # cache contract) as _doc_shingle_sets: shingles() references its
+    # input array ~8×, and without the barrier Catalyst collapses the
+    # projection so the sentence regexp re-runs per reference.
+    sent_df = doc.select("doc_id", sents.alias("sents")).cache()
+    spans = sent_df.select(
+        "doc_id",
+        F.posexplode(
+            shingles(F.col("sents"), C4_SPAN_N)
+        ).alias("span_idx", "sp"),
+    ).select("doc_id", "span_idx", F.md5("sp").alias("h"))
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first")
+    )
+    per_doc = (
+        spans.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                (
+                    F.struct("doc_id", "span_idx") != F.col("first")
+                ).cast("long")
+            ).alias("n_dup_spans"),
+        )
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0).cast("long"))
+    n_dup = F.coalesce("n_dup_spans", F.lit(0).cast("long"))
+    return (
+        doc.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            (
+                n_dup.cast("double")
+                / F.nullif(n_spans.cast("double"), F.lit(0.0))
+            ).alias("dup_span_ratio"),
+            (n_dup == 0).cast("int").alias("keep"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_c4_spans": dedup_c4_spans,
     "dedup_boilerplate": dedup_boilerplate,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_exact": dedup_exact,
@@ -1132,4 +1213,48 @@ ORACLES["dedup_name_fuzzy"] = f"""
            CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
     FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+"""
+
+ORACLES["dedup_c4_spans"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                   regexp_extract_all(lower(text), '{C4_SENT_RE}'),
+                   s -> trim(s)) AS sents
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               list_transform(range(1, len(sents) - 1),
+                   i -> sents[i] || ' ' || sents[i+1] || ' ' || sents[i+2])
+                   AS spans
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id,
+               generate_subscripts(spans, 1) AS span_idx,
+               unnest(spans) AS sp_text
+        FROM sp
+    ),
+    r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(sp_text)
+                                  ORDER BY doc_id, span_idx) AS rn
+        FROM e
+    ),
+    pd AS (
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM r GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_spans, 0) AS n_spans,
+           COALESCE(pd.n_dup, 0) AS n_dup_spans,
+           CAST(COALESCE(pd.n_dup, 0) AS DOUBLE)
+               / NULLIF(CAST(COALESCE(pd.n_spans, 0) AS DOUBLE), 0.0)
+               AS dup_span_ratio,
+           CAST(COALESCE(pd.n_dup, 0) = 0 AS INTEGER) AS keep
+    FROM documents d LEFT JOIN pd USING (doc_id)
 """

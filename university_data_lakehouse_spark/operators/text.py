@@ -506,6 +506,71 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4 page/line filters (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+# the public clean-crawl rule set; values are the paper's).  Sentence
+# count is defined deterministically as the number of [.!?] marks in
+# the page (the paper splits heuristically; any fixed definition works
+# for the gate as long as both engines share it).
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+# terminal punctuation, allowing trailing spaces/tabs/CR (C4 checks
+# the stripped line); \z not $ — Java's $ matches before a final \r.
+C4_TERMINAL_RE = "[.!?\"][ \\t\\r]*\\z"
+
+
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics per document: lines kept iff they end in
+    terminal punctuation AND carry >= 5 words; page dropped on 'lorem
+    ipsum', a curly brace, < 3 sentences, or zero kept lines; the
+    line-level 'javascript' removals are surfaced as a count.
+
+    Same execution shape as ``text_gopher_rules``: one narrow JVM map
+    stage of split + higher-order folds, zero shuffle, embarrassingly
+    parallel at 100 TB.  All metrics are int counts or int-ratio
+    divisions — no libm — so the DuckDB oracle is bit-identical."""
+    doc = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+
+    def line_words(l):  # noqa: E741
+        return F.size(F.filter(F.split(l, WS_RE), lambda w: w != ""))
+
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (line_words(l) >= C4_MIN_WORDS_PER_LINE),
+    )
+    n_kept = F.size(kept)
+    n_js = F.size(
+        F.filter(lines, lambda l: F.lower(l).contains("javascript"))
+    )
+    n_sentences = F.size(
+        F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))
+    )
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    keep = (
+        (n_sentences >= C4_MIN_SENTENCES)
+        & (n_kept >= 1)
+        & ~has_lorem
+        & ~has_brace
+    )
+    return doc.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        (n_kept.cast("double") / n_lines.cast("double")).alias(
+            "kept_line_ratio"
+        ),
+        n_sentences.alias("n_sentences"),
+        n_js.alias("n_javascript_lines"),
+        has_lorem.cast("int").alias("has_lorem_ipsum"),
+        has_brace.cast("int").alias("has_curly_brace"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
@@ -519,6 +584,7 @@ _SHINGLES = (
 
 QUERIES = {
     "text_gopher_rules": text_gopher_rules,
+    "text_c4_rules": text_c4_rules,
     "text_entropy": text_entropy,
     "text_tfidf_topk": text_tfidf_topk,
     "text_vocab_topk": text_vocab_topk,
@@ -590,6 +656,40 @@ ORACLES = {
                        AS rules_passed
             FROM m
         )
+    """,
+    "text_c4_rules": rf"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines, l ->
+                       regexp_matches(l, '{C4_TERMINAL_RE}')
+                       AND len(list_filter(
+                               regexp_split_to_array(l, '{WS_RE}'),
+                               w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE}))
+                       AS n_kept_lines,
+                   len(list_filter(lines,
+                       l -> contains(lower(l), 'javascript')))
+                       AS n_javascript_lines,
+                   len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS lorem,
+                   contains(text, '{{') AS brace
+            FROM t
+        )
+        SELECT doc_id, n_lines, n_kept_lines,
+               CAST(n_kept_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                   AS kept_line_ratio,
+               n_sentences, n_javascript_lines,
+               CAST(lorem AS INTEGER) AS has_lorem_ipsum,
+               CAST(brace AS INTEGER) AS has_curly_brace,
+               CAST(n_sentences >= {C4_MIN_SENTENCES}
+                    AND n_kept_lines >= 1
+                    AND NOT lorem AND NOT brace AS INTEGER) AS keep
+        FROM m
     """,
     "text_entropy": r"""
         WITH t AS (
