@@ -573,6 +573,45 @@ def test_mulaw_expansion_full_codebook():
     assert _mulaw_to_linear(0x7F) == 0
 
 
+def test_alaw_expansion_full_codebook():
+    """All 256 A-law codes against an INDEPENDENT restatement of the
+    G.711 segment formula: magnitude = (2·mantissa + 1) << 4 in
+    segment 0, ((2·mantissa + 33) << seg) · 8 quarter-steps above —
+    algebraically (16m + 264) << (seg − 1); sign bit SET is
+    positive (A-law inverts μ-law's sign convention)."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _alaw_to_linear,
+    )
+
+    for code in range(256):
+        a = code ^ 0x55
+        sign, seg, mant = a & 0x80, (a >> 4) & 7, a & 0x0F
+        if seg == 0:
+            mag = (2 * mant + 1) << 3
+        else:
+            mag = ((2 * mant + 33) << (seg - 1)) << 3
+        assert _alaw_to_linear(code) == (mag if sign else -mag), code
+    # spec anchors (classic g711.c): 0x55 -> -8, 0xD5 -> +8,
+    # 0x2A -> -32256 (max magnitude), odd symmetry in the sign bit
+    assert _alaw_to_linear(0x55) == -8
+    assert _alaw_to_linear(0xD5) == 8
+    assert _alaw_to_linear(0x2A) == -32256
+    assert all(_alaw_to_linear(c ^ 0x80) == -_alaw_to_linear(c)
+               for c in range(256))
+
+
+def test_multimodal_alaw_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_alaw,
+    )
+
+    compare(multimodal_alaw(spark, sf_dir), ORACLES["multimodal_alaw"],
+            sf_dir, "multimodal_alaw")
+
+
 def test_multimodal_mulaw_pipeline(spark, sf_dir):
     from oracle_utils import compare
 
@@ -996,7 +1035,7 @@ def test_multimodal_plans_have_no_shuffle(spark, sf_dir):
                 "multimodal_features", "multimodal_png",
                 "multimodal_gif", "multimodal_jpeg",
                 "multimodal_jpeg_color", "multimodal_adpcm",
-                "multimodal_mulaw", "multimodal_flac",
+                "multimodal_mulaw", "multimodal_alaw", "multimodal_flac",
                 "multimodal_audio_stats",
                 "multimodal_avi", "multimodal_mjpeg",
                 "multimodal_frame_sample"]:

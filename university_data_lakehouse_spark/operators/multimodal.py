@@ -277,8 +277,8 @@ def decode_samples(payload: bytes) -> dict | None:
 def _wav_samples(payload: bytes) -> tuple[list[int], int] | None:
     """RIFF walk → (int16 samples, sample_rate) for the three mono
     WAV codings decodable without a codec library: 16-bit PCM
-    (wFormatTag 1), G.711 μ-law (7, closed-form per-byte expansion)
-    and IMA/DVI ADPCM (0x11, saturating table recurrence with the
+    (wFormatTag 1), G.711 μ-law (7) / A-law (6) (closed-form per-byte
+    expansions) and IMA/DVI ADPCM (0x11, saturating table recurrence with the
     fact chunk bounding the sample count). None for anything else —
     the decode_real capability tier."""
     pos, fmt_tag, channels, sr = 12, None, None, 0
@@ -302,6 +302,9 @@ def _wav_samples(payload: bytes) -> tuple[list[int], int] | None:
     if fmt_tag == 7 and channels == 1 and block_align == 1:
         n = fact_n if fact_n is not None else len(data)
         return [_mulaw_to_linear(b) for b in data[:n]], sr
+    if fmt_tag == 6 and channels == 1 and block_align == 1:
+        n = fact_n if fact_n is not None else len(data)
+        return [_alaw_to_linear(b) for b in data[:n]], sr
     if fmt_tag == 0x11 and channels == 1 and block_align \
             and block_align > 4:
         spb = 1 + 2 * (block_align - 4)
@@ -851,6 +854,23 @@ def _mulaw_to_linear(u_val: int) -> int:
     return 0x84 - t if u & 0x80 else t - 0x84
 
 
+def _alaw_to_linear(a_val: int) -> int:
+    """G.711 A-law expansion (public ITU-T spec; the classic CCITT
+    reference implementation): XOR the code byte with 0x55, rebuild
+    the 4-bit mantissa, add the segment bias, shift by the segment,
+    apply the sign (A-law's sign bit SET means positive)."""
+    a = a_val ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
 _ADPCM_BLOCK_ALIGN = 132                       # 4B header + 128 code bytes
 _ADPCM_SPB = 1 + 2 * (_ADPCM_BLOCK_ALIGN - 4)  # 257 samples per block
 
@@ -899,6 +919,23 @@ def synth_mulaw_payload(doc_id: int) -> bytes:
     ns = 120 + doc_id % 333
     data = bytes((doc_id * 13 + j * 5) % 256 for j in range(ns))
     fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sII", b"fact", 4, ns)
+            + struct.pack("<4sI", b"data", len(data)) + data)
+    pad = b"\x00" if len(data) & 1 else b""    # RIFF even-pad
+    return (struct.pack("<4sI4s", b"RIFF", 4 + len(body) + len(pad),
+                        b"WAVE") + body + pad)
+
+
+def synth_alaw_payload(doc_id: int) -> bytes:
+    """Deterministic VALID G.711 A-law WAV (wFormatTag 6, mono, 8-bit
+    codes, block_align 1): code byte j is (doc_id*11 + j*3) % 256
+    (moduli distinct from both the μ-law and ADPCM synths), so the
+    expanded sample stream is a CLOSED-FORM function of (doc_id, j)
+    the DuckDB oracle replays with xor/segment arithmetic."""
+    ns = 110 + doc_id % 357
+    data = bytes((doc_id * 11 + j * 3) % 256 for j in range(ns))
+    fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
     body = (struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
             + struct.pack("<4sII", b"fact", 4, ns)
             + struct.pack("<4sI", b"data", len(data)) + data)
@@ -2250,6 +2287,20 @@ def multimodal_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_media_df(spark, sf_dir, synth_mulaw_payload, "audio"), with_dims=False)
 
 
+def multimodal_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end G.711 A-law decode (the second companded-audio
+    law, completing the telephony pair with ``multimodal_mulaw``):
+    synthesize valid wFormatTag=6 WAVs, decode through the same Arrow
+    mapInPandas path (RIFF walk + per-byte A-law expansion), reduce
+    to chunk-mean |sample| features. Oracle-checkable because A-law
+    expansion is CLOSED-FORM per code byte — the DuckDB oracle
+    rebuilds the xor-0x55 / mantissa / segment-shift / sign
+    arithmetic symbolically over the doc_id-derived byte stream."""
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_alaw_payload, "audio"),
+        with_dims=False)
+
+
 def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LOSSLESS-compressed-audio decode with stdlib only:
     synthesize valid FLAC streams (real Rice-coded FIXED-predictor
@@ -2571,6 +2622,7 @@ QUERIES = {
     "multimodal_gif": multimodal_gif,
     "multimodal_adpcm": multimodal_adpcm,
     "multimodal_mulaw": multimodal_mulaw,
+    "multimodal_alaw": multimodal_alaw,
     "multimodal_flac": multimodal_flac,
     "multimodal_jpeg": multimodal_jpeg,
     "multimodal_jpeg_color": multimodal_jpeg_color,
@@ -2864,6 +2916,44 @@ def _mulaw_oracle() -> str:
 
 
 ORACLES["multimodal_mulaw"] = _mulaw_oracle()
+
+def _alaw_oracle() -> str:
+    """DuckDB replay of the A-law pipeline: code byte j of doc_id is
+    (doc_id*11 + j*3) % 256; the G.711 A-law expansion — xor 0x55,
+    4-bit mantissa << 4, +8 in segment 0 / +0x108 biased and shifted
+    by seg-1 above, sign bit SET means positive — is pure integer
+    arithmetic, so each chunk mean is an exact integer-sum / count."""
+    a = "xor((doc_id * 11 + j * 3) % 256, 85)"
+    t = (f"CASE WHEN (({a} // 16) % 8) = 0 THEN ({a} % 16) * 16 + 8 "
+         f"WHEN (({a} // 16) % 8) = 1 THEN ({a} % 16) * 16 + 264 "
+         f"ELSE (({a} % 16) * 16 + 264) * "
+         f"([2, 4, 8, 16, 32, 64])[(({a} // 16) % 8) - 1] END")
+    sample = f"CASE WHEN {a} >= 128 THEN {t} ELSE -({t}) END"
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, ns)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> abs({sample}))) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= ns THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id, 110 + doc_id % 357 AS ns FROM documents
+        ),
+        r AS (
+            SELECT *, CASE WHEN ns // 8 > 0 THEN ns // 8 ELSE 1 END
+                          AS step_sz
+            FROM p
+        )
+        SELECT doc_id, CAST(ns AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_alaw"] = _alaw_oracle()
 
 def _flac_oracle() -> str:
     """DuckDB replay of the FLAC pipeline: the codec is LOSSLESS, so
