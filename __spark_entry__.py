@@ -47,7 +47,8 @@ _PRIORITY_KEYS = (
     # iterative-AVI-walk hardening (commit eb64905) sits under these
     # six decode keys, and text_gopher_rules is r9-new.
     "text_gopher_rules", "text_c4_rules", "dedup_c4_spans",
-    "multimodal_alaw", "multimodal_flac", "multimodal_avi",
+    "multimodal_alaw", "multimodal_y4m",
+    "multimodal_flac", "multimodal_avi",
     "multimodal_mjpeg", "multimodal_frame_sample",
     "multimodal_normalize", "multimodal_audio_stats",
     # fill: 9 of the ~50 keys whose last driver row is CORRECTNESS_r07
@@ -62,7 +63,6 @@ _PRIORITY_KEYS = (
     # 2-round limit next round and MUST lead the r10 window.
     "dq_profile", "dq_freshness", "olap_grouping_sets",
     "olap_nation_trade", "olap_customer_distribution",
-    "olap_avg_yearly",
 )
 
 

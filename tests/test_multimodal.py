@@ -612,6 +612,56 @@ def test_multimodal_alaw_pipeline(spark, sf_dir):
             sf_dir, "multimodal_alaw")
 
 
+def test_y4m_decode_hand_fixtures():
+    """Hand-built YUV4MPEG2 streams independent of the synth: known
+    mono/420 plane geometry, FRAME params, the exact-tag colourspace
+    gate (C420p10 must NOT take the 8-bit 420 branch), and the
+    malformed-payload ValueError contract."""
+    import pytest as _pytest
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _samples_or_null,
+        decode_y4m,
+    )
+
+    p = (b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+         b"FRAME\n\x01\x02\x03\x04FRAME\n\x05\x06\x07\x08")
+    got = decode_y4m(p)
+    assert (got["width"], got["height"], got["n_frames"]) == (2, 2, 2)
+    assert got["features"] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    # 4:2:0: 4x2 luma + two 2x1 chroma planes = 12 bytes/frame
+    g = decode_y4m(b"YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n" + bytes(range(12)))
+    assert g["n_frames"] == 1 and g["width"] == 4
+    # FRAME-level params are legal and skipped
+    assert decode_y4m(
+        b"YUV4MPEG2 W2 H2 Cmono\nFRAME Ip\n\x01\x02\x03\x04"
+    )["n_frames"] == 1
+    # 10-bit / alpha tags: probe tier (None), never the 8-bit branch
+    assert decode_y4m(b"YUV4MPEG2 W2 H2 C420p10\nFRAME\n" + bytes(12)) is None
+    assert decode_y4m(
+        b"YUV4MPEG2 W2 H2 C444alpha\nFRAME\n" + bytes(16)) is None
+    # malformed with the right magic -> ValueError -> null row
+    for bad in (b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n\x01\x02",
+                b"YUV4MPEG2 W2 H2 Cmono\nFRAMX\n\x01\x02\x03\x04",
+                b"YUV4MPEG2 H2 Cmono\nFRAME\n\x01\x02\x03\x04",
+                b"YUV4MPEG2 W2 H2 Cmono"):
+        with _pytest.raises(ValueError):
+            decode_y4m(bad)
+        assert _samples_or_null(bad, "video")["n_frames"] is None
+
+
+def test_multimodal_y4m_pipeline(spark, sf_dir):
+    from oracle_utils import compare
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        ORACLES,
+        multimodal_y4m,
+    )
+
+    compare(multimodal_y4m(spark, sf_dir), ORACLES["multimodal_y4m"],
+            sf_dir, "multimodal_y4m")
+
+
 def test_multimodal_mulaw_pipeline(spark, sf_dir):
     from oracle_utils import compare
 
@@ -1037,7 +1087,7 @@ def test_multimodal_plans_have_no_shuffle(spark, sf_dir):
                 "multimodal_jpeg_color", "multimodal_adpcm",
                 "multimodal_mulaw", "multimodal_alaw", "multimodal_flac",
                 "multimodal_audio_stats",
-                "multimodal_avi", "multimodal_mjpeg",
+                "multimodal_avi", "multimodal_y4m", "multimodal_mjpeg",
                 "multimodal_frame_sample"]:
         df = mm.QUERIES[key](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

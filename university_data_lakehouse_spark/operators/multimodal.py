@@ -262,6 +262,8 @@ def decode_samples(payload: bytes) -> dict | None:
                 "features": _chunk_means([abs(s) for s in samples])}
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return decode_avi(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
     if payload[:4] == b"fLaC":
         got = flac_samples(payload)
         if got is None:
@@ -1217,6 +1219,87 @@ def _avi_mjpeg_pixels(payload: bytes) \
             return None
         pix.append(stream)
     return w, h, pix
+
+
+def decode_y4m(payload: bytes) -> dict | None:
+    """REAL raw-video stream decode with stdlib only: YUV4MPEG2 (the
+    public uncompressed interchange format of the mjpegtools suite —
+    a plain-text stream header ``YUV4MPEG2 W.. H.. F.. I. A.. C..``
+    followed by ``FRAME``-delimited planar YCbCr frames). Supports
+    the 8-bit C420*/C422/C444/Cmono plane geometries; anything else
+    (alpha, 10-bit) returns None for the capability-probe tier.
+    Malformed streams with the right magic (missing W/H, bad FRAME
+    marker, truncated planes) raise ValueError into the null-row
+    boundary. Features are the standard 8-chunk means over the
+    concatenated plane bytes of all frames, n_frames from the FRAME
+    count."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m: unterminated stream header")
+    w = h = None
+    ctag = b"420jpeg"                      # spec default when C absent
+    for field in payload[9:nl].split(b" "):
+        if not field:
+            continue
+        tag, val = field[:1], field[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            ctag = val
+    if not w or not h or w < 0 or h < 0:
+        raise ValueError("y4m: missing or invalid W/H")
+    # exact 8-bit tags only — prefix matching would swallow the
+    # 10-bit (C420p10) and alpha (C444alpha) variants, whose plane
+    # geometry differs; those return None for the probe tier.
+    if ctag in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif ctag == b"422":
+        fsize = w * h + 2 * ((w // 2) * h)
+    elif ctag == b"444":
+        fsize = 3 * w * h
+    elif ctag == b"mono":
+        fsize = w * h
+    else:
+        return None
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("y4m: bad FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("y4m: unterminated FRAME header")
+        body = payload[fnl + 1:fnl + 1 + fsize]
+        if len(body) < fsize:
+            raise ValueError("y4m: truncated frame")
+        frames.append(body)
+        pos = fnl + 1 + fsize
+    if not frames:
+        return None
+    stream = b"".join(frames)
+    return {"width": w, "height": h, "n_frames": len(frames),
+            "features": _chunk_means(list(stream))}
+
+
+def synth_y4m_payload(doc_id: int) -> bytes:
+    """Deterministic VALID YUV4MPEG2 stream (C420jpeg, even
+    dimensions so the chroma planes are exact): byte j of frame f's
+    planar data (w·h luma + 2·(w/2)·(h/2) chroma bytes) is
+    (doc_id*19 + f*23 + j) % 256 — a closed form over the
+    concatenated stream the DuckDB oracle replays."""
+    w = 2 * (2 + doc_id % 5)
+    h = 2 * (1 + doc_id % 4)
+    nf = 2 + doc_id % 6
+    fsize = w * h + 2 * ((w // 2) * (h // 2))
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h))
+    for f in range(nf):
+        out += b"FRAME\n"
+        out += bytes(
+            (doc_id * 19 + f * 23 + j) % 256 for j in range(fsize))
+    return bytes(out)
 
 
 def decode_avi(payload: bytes) -> dict | None:
@@ -2377,6 +2460,19 @@ FRAME_SAMPLE_SCHEMA = StructType([
 ])
 
 
+def multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAW-video-stream decode with stdlib only: YUV4MPEG2
+    is to video what PCM WAV is to audio and BMP to images — the
+    public uncompressed interchange format (mjpegtools), so this key
+    completes the uncompressed tier across all three media types
+    inside one corpus. Synthesize valid C420jpeg streams, walk the
+    FRAME-delimited planar frames in the Arrow mapInPandas batch,
+    reduce to chunk-mean features with the stream's true frame
+    count."""
+    return _decoded_feature_select(
+        _synth_media_df(spark, sf_dir, synth_y4m_payload, "video"))
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
                             every_n: int = 2) -> DataFrame:
     """REAL frame sampling — the production explode shape
@@ -2628,6 +2724,7 @@ QUERIES = {
     "multimodal_jpeg_color": multimodal_jpeg_color,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_avi": multimodal_avi,
+    "multimodal_y4m": multimodal_y4m,
     "multimodal_mjpeg": multimodal_mjpeg,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_jpeg_420": multimodal_jpeg_420,
@@ -3140,6 +3237,48 @@ def _avi_oracle() -> str:
 
 
 ORACLES["multimodal_avi"] = _avi_oracle()
+
+def _y4m_oracle() -> str:
+    """DuckDB replay of the Y4M pipeline: byte j of doc_id's
+    concatenated planar stream is (doc_id*19 + (j ÷ fsize)*23 +
+    (j mod fsize)) % 256 with fsize = w·h + 2·(w/2)·(h/2)
+    (synth_y4m_payload's C420 geometry)."""
+    val = "(doc_id * 19 + (j // fsize) * 23 + (j % fsize)) % 256"
+    fcols = []
+    for i in range(8):
+        lo = f"{i} * step_sz"
+        hi = f"least(({i} + 1) * step_sz, n)"
+        mean = (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"j -> {val})) * 1.0 / ({hi} - {lo})")
+        fcols.append(
+            f"CASE WHEN {lo} >= n THEN 0.0 ELSE {mean} END AS f{i}")
+    f_sql = ",\n               ".join(fcols)
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   2 * (2 + doc_id % 5) AS w,
+                   2 * (1 + doc_id % 4) AS h,
+                   2 + doc_id % 6 AS nf
+            FROM documents
+        ),
+        q AS (SELECT *, w * h + 2 * ((w // 2) * (h // 2)) AS fsize,
+                     (w * h + 2 * ((w // 2) * (h // 2))) * nf AS n
+              FROM p),
+        r AS (
+            SELECT *, CASE WHEN n // 8 > 0 THEN n // 8 ELSE 1 END
+                          AS step_sz
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(nf AS INTEGER) AS n_frames,
+               {f_sql}
+        FROM r
+    """
+
+
+ORACLES["multimodal_y4m"] = _y4m_oracle()
 
 def _mjpeg_oracle() -> str:
     """DuckDB replay of the Motion-JPEG pipeline: frame f of doc_id
