@@ -77,6 +77,13 @@ HEADLINE = [
     "multimodal_flac",
     "chunk_documents",
     "corpus_build",
+    # r9: the C4 cleaning pair, the Gopher gate, and the two new
+    # decode formats (A-law audio, Y4M raw video)
+    "text_gopher_rules",
+    "text_c4_rules",
+    "dedup_c4_spans",
+    "multimodal_alaw",
+    "multimodal_y4m",
 ]
 
 # Frozen r4 headline set: `core_total` sums exactly these 27 queries
@@ -117,6 +124,10 @@ SKEW_QUERIES = [
     "events_sessionize",
     "events_first_last_touch",
     "olap_basket_affinity",
+    # r9: one boilerplate span planted into ~30% of documents — one
+    # md5 key carrying a third of the span table; the groupBy+min
+    # partial aggregation must absorb it map-side
+    "dedup_c4_spans",
 ]
 
 # sf10 section (VERDICT r6 #9): the always-≲-linear subset re-timed on
@@ -139,6 +150,9 @@ SF10_QUERIES = [
     # only to sf1 until now, plus one Arrow mapInPandas decode key so
     # the Python-batch path has a measured slope too
     "events_active_users", "text_tfidf_topk", "multimodal_jpeg",
+    # r9: the new corpus-wide shuffle op and one of the map-only rule
+    # gates get three-point slopes from day one
+    "dedup_c4_spans", "text_gopher_rules",
 ]
 
 

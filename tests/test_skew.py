@@ -97,3 +97,27 @@ def test_basket_affinity_cap_drops_mega_basket(spark, skew_dir):
     if row:
         n_in_support = round(row[0]["n_both"] / row[0]["support"])
         assert n_in_support == all_orders - 1
+
+
+def test_c4_spans_skewed_oracle_parity(spark, skew_dir):
+    """~30% of documents carry the same planted boilerplate span —
+    one md5 key owning a third of the span table. The groupBy+min
+    first-occurrence aggregation must absorb it (map-side partial
+    agg) and the skewed dir must hash-match the oracle; the planted
+    span must show up as real duplicates (every hot doc except the
+    first occurrence reports >= 1 dup span)."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        ORACLES,
+        dedup_c4_spans,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    spark.catalog.clearCache()
+    compare(dedup_c4_spans(spark, skew_dir), ORACLES["dedup_c4_spans"],
+            skew_dir, "dedup_c4_spans[skew]")
+    n_docs = load_table(spark, skew_dir, "documents").count()
+    out = dedup_c4_spans(spark, skew_dir).toPandas()
+    n_hot = int(n_docs * 0.3)
+    # at least the hot docs after the first occurrence carry a dup
+    assert (out["n_dup_spans"] > 0).sum() >= n_hot - 1
+    spark.catalog.clearCache()

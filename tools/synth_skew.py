@@ -10,6 +10,10 @@ a planted, pathological share of the data —
   lines over DISTINCT parts — so the basket-affinity self-join's
   per-order fan-out hits C(hot_lines, 2) pairs inside a single join
   key, exactly the shape AQE's skew-join split exists for.
+- ``documents``: ONE boilerplate 3-sentence span is appended to
+  ``hot_doc_frac`` of all documents — so the span-hash aggregation of
+  ``dedup_c4_spans`` sees one md5 key carrying ~30% of the corpus
+  (the hot-key case its map-side partial aggregation absorbs).
 
 Everything else is copied through byte-identically, arrow schemas
 preserved, so the same oracle SQL replays on the skewed dir and the
@@ -46,8 +50,14 @@ def _write_like(src_path: str, out_path: str, df: pd.DataFrame) -> None:
     )
 
 
+HOT_SPAN = ("All rights reserved worldwide. "
+            "Subscribe to our newsletter today! "
+            "This copyright notice applies to every page here.")
+
+
 def synthesize(src: str, out: str, hot_frac: float = 0.1,
-               hot_lines: int = 10_000) -> dict[str, int]:
+               hot_lines: int = 10_000,
+               hot_doc_frac: float = 0.3) -> dict[str, int]:
     """Build the skewed dir; returns planted-key stats for assertions."""
     os.makedirs(out, exist_ok=True)
     stats: dict[str, int] = {}
@@ -81,6 +91,22 @@ def synthesize(src: str, out: str, hot_frac: float = 0.1,
     stats["hot_order"] = hot_order
     stats["hot_order_lines"] = len(base)
     stats["lineitem_total"] = len(li) + len(base)
+
+    doc_src = os.path.join(src, "documents.parquet")
+    if os.path.exists(doc_src):
+        doc = pd.read_parquet(doc_src)
+        n_hot_docs = int(len(doc) * hot_doc_frac)
+        idx = doc.index[:n_hot_docs]
+        # ". " first: documents whose text does not end in terminal
+        # punctuation would otherwise merge their unique tail into
+        # the span's first sentence, making every "shared" span
+        # distinct — the separator closes the original text so the
+        # three boilerplate sentences stand alone in every hot doc
+        doc.loc[idx, "text"] = doc.loc[idx, "text"].astype(str) \
+            + ". " + HOT_SPAN
+        _write_like(doc_src, os.path.join(out, "documents.parquet"), doc)
+        stats["hot_span_docs"] = n_hot_docs
+        stats["documents_total"] = len(doc)
     return stats
 
 
@@ -92,8 +118,10 @@ def main() -> None:
                                                   "skew"))
     ap.add_argument("--hot-frac", type=float, default=0.1)
     ap.add_argument("--hot-lines", type=int, default=10_000)
+    ap.add_argument("--hot-doc-frac", type=float, default=0.3)
     a = ap.parse_args()
-    stats = synthesize(a.src, a.out, a.hot_frac, a.hot_lines)
+    stats = synthesize(a.src, a.out, a.hot_frac, a.hot_lines,
+                       a.hot_doc_frac)
     for k, v in sorted(stats.items()):
         print(f"{k}: {v}")
 
