@@ -296,3 +296,39 @@ def test_ivfpq_recall_at_k(spark, planted_dir):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
     assert recall >= 0.9, f"ivfpq recall@{TOP_K} = {recall:.3f}"
+
+
+def test_random_projection_matrix_and_hand_values(spark, tmp_path):
+    """The JL matrix is ±1, balanced, distinct-rowed and md5-frozen;
+    a one-hot embedding projects to exactly its matrix column × 0.25,
+    and the projection is linear (rp(2v) = 2·rp(v) bit-exactly —
+    doubling a ±0.25 value is exact in binary)."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        EMB_DIM,
+        RP_DIM,
+        _rp_matrix,
+        emb_random_projection,
+    )
+
+    m = _rp_matrix()
+    assert len(m) == RP_DIM and all(len(r) == EMB_DIM for r in m)
+    assert all(x in (1, -1) for r in m for x in r)
+    assert len({tuple(r) for r in m}) == RP_DIM
+    frac = sum(x == 1 for r in m for x in r) / (RP_DIM * EMB_DIM)
+    assert 0.4 < frac < 0.6, frac
+
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    onehot = [0.0] * EMB_DIM
+    onehot[3] = 1.0
+    pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [np.array(onehot, dtype=np.float32),
+                      np.array([2 * x for x in onehot], dtype=np.float32)],
+        "label": np.array([0, 0], dtype=np.int32),
+    }).to_parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r["vec_id"]: r
+           for r in emb_random_projection(spark, d).collect()}
+    for j in range(RP_DIM):
+        assert out[0][f"rp{j}"] == m[j][3] * 0.25
+        assert out[1][f"rp{j}"] == 2 * out[0][f"rp{j}"]

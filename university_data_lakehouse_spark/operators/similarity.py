@@ -796,7 +796,47 @@ def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_DIM = 16
+RP_SCALE = 0.25              # 1 / sqrt(RP_DIM) — exact in binary
+
+
+def _rp_matrix() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003 sign
+    construction, derandomized through md5 exactly like the LSH
+    hyperplanes — distinct 'rp:' seed so the two matrices differ)."""
+    return [
+        [1 if hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0] >= "8"
+         else -1 for i in range(EMB_DIM)]
+        for j in range(RP_DIM)
+    ]
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection: 64-dim float
+    embeddings → RP_DIM doubles, scaled by 1/√RP_DIM = 0.25 (exact
+    in binary, so no libm rounding is needed anywhere) — the standard
+    dimensionality-reduction stage in front of ANN indexing, clustering
+    and dedup at corpus scale (4× less vector IO downstream).
+
+    Scale shape: a pure map — zero shuffle, RP_DIM strict-left-fold
+    dots per row inside the JVM, embarrassingly parallel at 100 TB
+    (for much larger matrices the Arrow/numpy twin pattern of
+    ``lsh_signature`` applies; at 16×64 the definitional JVM
+    expression is already cheap). The md5-derived matrix is shared
+    verbatim with the DuckDB oracle, so the projection is
+    bit-reproducible across engines and runs."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    cols = []
+    for j, row in enumerate(_rp_matrix()):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        cols.append((dot(F.col("v"), plane) * RP_SCALE).alias(f"rp{j}"))
+    return v.select("vec_id", *cols)
+
+
 QUERIES = {
+    "emb_random_projection": emb_random_projection,
     "emb_label_centroids": emb_label_centroids,
     "emb_nearest_centroid": emb_nearest_centroid,
     "sim_knn_bruteforce": sim_knn_bruteforce,
@@ -1360,3 +1400,23 @@ def _knn_ivfpq_oracle() -> str:
 
 
 ORACLES["sim_knn_ivfpq"] = _knn_ivfpq_oracle()
+
+
+def _rp_oracle() -> str:
+    """DuckDB replay of the JL projection: the SAME md5-derived ±1
+    matrix is interpolated as list literals, the dot is the standard
+    left fold over range(1, 65), and the 0.25 rescale is exact."""
+    terms = []
+    for j, row in enumerate(_rp_matrix()):
+        lst = "[" + ", ".join(f"{x}.0" for x in row) + "]"
+        terms.append(
+            f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lst})[i]), "
+            f"(x, y) -> x + y) * {RP_SCALE} AS rp{j}"
+        )
+    return ("SELECT vec_id,\n       "
+            + ",\n       ".join(terms)
+            + "\nFROM embeddings")
+
+
+ORACLES["emb_random_projection"] = _rp_oracle()
