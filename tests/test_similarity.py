@@ -332,3 +332,21 @@ def test_random_projection_matrix_and_hand_values(spark, tmp_path):
     for j in range(RP_DIM):
         assert out[0][f"rp{j}"] == m[j][3] * 0.25
         assert out[1][f"rp{j}"] == 2 * out[0][f"rp{j}"]
+
+
+def test_rp_knn_recall_at_k(spark, planted_dir):
+    """The RP prefilter must keep the planted near-dups (cos ~0.93):
+    a 16-dim JL projection distorts high-cosine pairs least, so the
+    exact re-rank recovers >= 0.9 of the exact top-k. (On pure random
+    noise recall is meaningless — every 'neighbor' is arbitrary —
+    which is why the gate runs on the planted corpus like the rest of
+    the ANN family.)"""
+    from university_data_lakehouse_spark.operators.similarity import (
+        sim_knn_rp,
+    )
+
+    exact = _topk_sets(sim_knn_bruteforce(spark, planted_dir))
+    approx = _topk_sets(sim_knn_rp(spark, planted_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.9, f"rp recall@{TOP_K} = {recall:.3f}"
