@@ -47,7 +47,7 @@ _PRIORITY_KEYS = (
     # iterative-AVI-walk hardening (commit eb64905) sits under these
     # six decode keys, and text_gopher_rules is r9-new.
     "text_gopher_rules", "text_c4_rules", "dedup_c4_spans",
-    "emb_random_projection", "sim_knn_rp",
+    "emb_random_projection", "sim_knn_rp", "dq_psi_drift",
     "multimodal_alaw", "multimodal_y4m",
     "multimodal_flac", "multimodal_avi",
     "multimodal_mjpeg", "multimodal_frame_sample",
@@ -62,7 +62,7 @@ _PRIORITY_KEYS = (
     # adpcm/mulaw/jpeg*/mixed, olap_basket_affinity,
     # olap_customer_abc[_banded], dq_value_outliers) reach the
     # 2-round limit next round and MUST lead the r10 window.
-    "dq_profile", "dq_freshness", "olap_grouping_sets",
+    "dq_profile", "dq_freshness",
 )
 
 

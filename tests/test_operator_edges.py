@@ -796,3 +796,58 @@ def test_c4_spans_planted_duplicates(spark, tmp_path):
     compare(dedup_c4_spans(spark, d), ORACLES["dedup_c4_spans"], d,
             name="dedup_c4_spans@hostile")
     spark.catalog.clearCache()
+
+
+def test_psi_drift_planted_shift(spark, tmp_path):
+    """A hand-planted distribution shift: reference half is all
+    'view', current half is all 'click' — PSI must blow past the 0.2
+    alert; a perfectly stable stream must sit near 0. Values checked
+    against a NumPy-free hand computation of the smoothed PSI."""
+    import math
+
+    from university_data_lakehouse_spark.operators.quality import (
+        ORACLES,
+        PSI_SMOOTH,
+        dq_psi_drift,
+    )
+    from tests.oracle_utils import compare
+
+    def mk(rows_spec, name):
+        import pandas as pd
+
+        rows, eid = [], 0
+        for hour, etype, n in rows_spec:
+            for _ in range(n):
+                rows.append((eid, _t(hour), 1, etype, 1.0, "{}"))
+                eid += 1
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        # single-file parquet (pandas, not Spark's directory layout)
+        # so the DuckDB side of compare() can read the same path
+        pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ]).to_parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    # shift: hours 0-9 all 'view' (100), hours 10-19 all 'click' (100)
+    d = mk([(h, "view", 10) for h in range(10)]
+           + [(h, "click", 10) for h in range(10, 20)], "shift")
+    out = {r["event_type"]: r for r in dq_psi_drift(spark, d).collect()}
+    # midpoint = (h0 + h19)/2 -> ref = hours 0-9 exactly
+    assert out["view"]["n_ref"] == 100 and out["view"]["n_cur"] == 0
+    assert out["click"]["n_ref"] == 0 and out["click"]["n_cur"] == 100
+    p_hi = (100 + PSI_SMOOTH) / 102.0
+    p_lo = (0 + PSI_SMOOTH) / 102.0
+    contrib = round((p_hi - p_lo) * math.log(p_hi / p_lo), 6)
+    assert out["view"]["psi_contribution"] == contrib
+    assert out["view"]["drift_flag"] == 1
+    assert out["view"]["psi_total"] >= 2 * contrib - 1e-6
+    compare(dq_psi_drift(spark, d), ORACLES["dq_psi_drift"], d,
+            name="dq_psi_drift@shift")
+
+    # stable: identical mix in both halves -> contributions 0, no flag
+    d2 = mk([(h, t, 5) for h in range(20)
+             for t in ("view", "click")], "stable")
+    out2 = dq_psi_drift(spark, d2).collect()
+    assert all(r["drift_flag"] == 0 for r in out2)
+    assert all(abs(r["psi_contribution"]) < 1e-4 for r in out2)

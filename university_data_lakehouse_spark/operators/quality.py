@@ -339,7 +339,81 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _union(parts)
 
 
+PSI_SMOOTH = 1          # Laplace count so absent categories stay finite
+PSI_ALERT = 0.2         # the standard "significant shift" threshold
+PSI_Q = 1_000_000       # fixed-point quantum for the order-free total
+
+
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift check over the events stream:
+    split the table at the midpoint of its time range (reference =
+    first half, current = second half — the standard
+    train-vs-serve / week-over-week shape), compare the event_type
+    distributions, and report per-type PSI contributions plus the
+    total with the classic alert threshold (PSI ≥ 0.2).
+
+    Math discipline: Laplace smoothing ((n+1)/(N+k)) keeps absent
+    categories finite with pure integer ratios; the midpoint test is
+    ``2·ts ≥ min+max`` (no division, no rounding ambiguity); the one
+    libm call (ln of a probability ratio) is ROUND(…,6) in both
+    engines; and the total sums the rounded contributions as
+    fixed-point BIGINTs (PSI contributions are provably ≥ 0, so
+    floor(x·1e6) is safe) — order-independent, so the window sum is
+    bit-stable.
+
+    Scale shape: one full-scan aggregate to (event_type, n_ref,
+    n_cur) with map-side combine, then everything downstream is
+    |event_types|-sized metadata — the single-partition window over
+    it is ~10 rows at any corpus size."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    is_cur = F.unix_micros("ts") * 2 >= F.col("mn") + F.col("mx")
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum((~is_cur).cast("long")).alias("n_ref"),
+            F.sum(is_cur.cast("long")).alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy()
+    p_ref = (F.col("n_ref") + PSI_SMOOTH).cast("double") / (
+        F.sum("n_ref").over(w) + F.count(F.lit(1)).over(w)
+    ).cast("double")
+    p_cur = (F.col("n_cur") + PSI_SMOOTH).cast("double") / (
+        F.sum("n_cur").over(w) + F.count(F.lit(1)).over(w)
+    ).cast("double")
+    scored = counts.select(
+        "event_type", "n_ref", "n_cur",
+        p_ref.alias("p_ref"), p_cur.alias("p_cur"),
+    ).withColumn(
+        "psi_contribution",
+        F.round(
+            (F.col("p_ref") - F.col("p_cur"))
+            * F.log(F.col("p_ref") / F.col("p_cur")),
+            6,
+        ),
+    )
+    psi_total = (
+        F.sum(
+            F.floor(F.col("psi_contribution") * PSI_Q).cast("long")
+        ).over(w).cast("double")
+        / F.lit(float(PSI_Q))
+    )
+    return scored.select(
+        "*",
+        psi_total.alias("psi_total"),
+        (psi_total >= PSI_ALERT).cast("int").alias("drift_flag"),
+    )
+
+
 QUERIES = {
+    "dq_psi_drift": dq_psi_drift,
     "dq_freshness": dq_freshness,
     "dq_value_outliers": dq_value_outliers,
     "dq_profile": dq_profile,
@@ -397,3 +471,47 @@ ORACLES = {
     "dq_referential_integrity": _oracle_referential_integrity(),
     "dq_value_range": _oracle_value_range(),
 }
+
+ORACLES["dq_psi_drift"] = f"""
+    WITH b AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        FROM events
+    ),
+    c AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.mn + b.mx
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.mn + b.mx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM events CROSS JOIN b
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS k
+        FROM c
+    ),
+    p AS (
+        SELECT c.event_type, c.n_ref, c.n_cur,
+               CAST(c.n_ref + {PSI_SMOOTH} AS DOUBLE)
+                   / CAST(t.tr + t.k AS DOUBLE) AS p_ref,
+               CAST(c.n_cur + {PSI_SMOOTH} AS DOUBLE)
+                   / CAST(t.tc + t.k AS DOUBLE) AS p_cur
+        FROM c CROSS JOIN t
+    ),
+    q AS (
+        SELECT *,
+               ROUND((p_ref - p_cur) * ln(p_ref / p_cur), 6)
+                   AS psi_contribution
+        FROM p
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(FLOOR(psi_contribution * {PSI_Q})
+                             AS BIGINT)) AS DOUBLE) / {PSI_Q}.0
+                   AS psi_total
+        FROM q
+    )
+    SELECT q.event_type, q.n_ref, q.n_cur, q.p_ref, q.p_cur,
+           q.psi_contribution, s.psi_total,
+           CAST(s.psi_total >= {PSI_ALERT} AS INTEGER) AS drift_flag
+    FROM q CROSS JOIN s
+"""

@@ -434,7 +434,7 @@ WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher repetition-free quality rules per document: word-count
+    r"""Gopher repetition-free quality rules per document: word-count
     bounds, mean word length, symbol-to-word ratio ('#' and '...'),
     bullet-start / ellipsis-end line fractions, alphabetic-word ratio
     and a stop-word floor — the published heuristic gate most
