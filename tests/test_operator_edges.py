@@ -753,6 +753,69 @@ def test_gopher_rules_hand_values(spark, tmp_path):
     assert out[3]["keep"] == 0
 
 
+def test_c4_rules_hostile_text_cross_engine(spark, tmp_path):
+    """text_c4_rules must bit-match its DuckDB oracle on the same
+    cross-engine regex traps its Gopher twin is pinned on — and the
+    fixture is mutation-sensitive: doc 3 ends in NEL (\\u0085, a Java
+    line terminator), so replacing \\z with $ in the Spark expression
+    flips its kept-line count (Java's $ matches before a final NEL;
+    RE2's does not); doc 2 straddles the 5-word line floor on a \\x0B
+    separator, so replacing the explicit WS_RE class with \\s in the
+    ORACLE (RE2's \\s excludes \\x0B; Java's \\s equals WS_RE exactly,
+    so the Spark side has no such mutation to catch) flips its
+    kept-line count.  Hand-computed rows back the compare() so a
+    symmetrical two-sided mutation is caught too."""
+    import pandas as pd
+
+    from university_data_lakehouse_spark.operators.text import (
+        ORACLES,
+        text_c4_rules,
+    )
+    from tests.oracle_utils import compare
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        # CRLF page: after the \n split every non-final line keeps a
+        # trailing \r that C4_TERMINAL_RE's [ \t\r]* must absorb.
+        (1, "This is line one okay.\r\nThis line has five words!\r\n"
+            "short.\r\n"),
+        # 5 words iff \x0B splits (WS_RE does; RE2 \s does not).
+        (2, "one two three four\x0bfive."),
+        # NEL-terminated: kept iff \z is weakened to Java's $.
+        (3, "alpha beta gamma delta works fine.\u0085"),
+        # Quote-terminated kept line; 3 sentences -> page kept.
+        (4, "First sentence here is good.\n"
+            'He said "five words are here."\n'
+            "And a third one ends now!"),
+        # Would pass, but carries a curly brace.
+        (5, "This would pass all rules fine. Another sentence here "
+            "too! A third sentence with words? But it has a { brace."),
+        # lorem ipsum casing trap.
+        (6, "LoReM IpSuM dolor sit amet words. More sentence here is "
+            "fine! Third sentence goes right here."),
+        (7, ""),                                     # empty page
+        (8, "Only two sentences right here okay. "
+            "And the second one now!"),              # < 3 sentences
+    ]
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_c4_rules(spark, d).collect()}
+    assert out[1]["n_kept_lines"] == 2 and out[1]["keep"] == 1
+    assert out[2]["n_kept_lines"] == 1          # \x0B IS a separator
+    assert out[2]["keep"] == 0                  # but only 1 sentence
+    assert out[3]["n_kept_lines"] == 0          # NEL is not [ \t\r]
+    assert out[4]["n_kept_lines"] >= 2 and out[4]["keep"] == 1
+    assert out[5]["keep"] == 0 and out[5]["has_curly_brace"] == 1
+    assert out[6]["keep"] == 0 and out[6]["has_lorem_ipsum"] == 1
+    assert out[7]["n_sentences"] == 0 and out[7]["keep"] == 0
+    assert out[8]["keep"] == 0
+    compare(text_c4_rules(spark, d), ORACLES["text_c4_rules"], d,
+            name="text_c4_rules@hostile")
+
+
 def test_c4_spans_planted_duplicates(spark, tmp_path):
     """Cross-doc and within-doc 3-sentence span dups, short docs,
     case normalization — hand-checked, plus the bit-exact oracle

@@ -468,9 +468,12 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
     # \z (end of input) in both engines — Java's $ also matches just
     # BEFORE a trailing \r (line-terminator lookahead), RE2's doesn't,
-    # so $ would diverge on CRLF-terminated lines.
+    # so $ would diverge on CRLF-terminated lines.  Tolerate trailing
+    # [ \t\r] (mirroring C4_TERMINAL_RE) so CRLF documents — where
+    # every non-final line carries a trailing \r after the \n split —
+    # still count their '...'-terminated lines toward the rule.
     n_ell_end = F.size(
-        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)\\z"))
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)[ \\t\\r]*\\z"))
     )
     bullet_ratio = n_bullet.cast("double") / n_lines.cast("double")
     ellipsis_ratio = n_ell_end.cast("double") / n_lines.cast("double")
@@ -623,7 +626,7 @@ ORACLES = {
                             l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
                        / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
                    CAST(len(list_filter(lines,
-                            l -> regexp_matches(l, '(\.\.\.|…)\z')))
+                            l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*\z')))
                         AS DOUBLE)
                        / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
                    CAST(len(list_filter(words,
