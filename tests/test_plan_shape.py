@@ -581,6 +581,51 @@ def test_dv_read_broadcasts_vector_anti_join(spark, tmp_path):
     assert "SortMergeJoin" not in tree, tree
 
 
+# ------------------------------------------------- r10 plan pins
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["text_gopher_rules", "text_c4_rules", "emb_random_projection"],
+)
+def test_map_only_keys_have_zero_exchanges(spark, sf_dir, key):
+    """r10 (VERDICT r9 item 9): the docstrings of the Gopher/C4 gates
+    and the JL projection claim zero shuffle — pin it: scan → project,
+    no Exchange, no Join, and (for the text gates) the parquet scan
+    pruned to (doc_id, text)."""
+    from university_data_lakehouse_spark.operators import similarity, text
+
+    fn = {
+        "text_gopher_rules": text.text_gopher_rules,
+        "text_c4_rules": text.text_c4_rules,
+        "emb_random_projection": similarity.emb_random_projection,
+    }[key]
+    plan = _plan(fn(spark, sf_dir))
+    tree = _tree(plan)
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    if key.startswith("text_"):
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, plan
+        for struct in schemas:
+            cols = {f.split(":")[0].strip()
+                    for f in struct.split(",") if f.strip()}
+            assert cols == {"doc_id", "text"}, (cols, plan)
+
+
+def test_psi_drift_single_events_scan(spark, sf_dir):
+    """r10 (VERDICT r9 item 7): dq_psi_drift pre-aggregates to
+    (event_type, hour bucket) in ONE pass and derives the midpoint
+    split from the bucket table — the r9 shape's second full scan
+    (raw min/max pass) must not reappear. Partial aggregation must
+    survive (map-side combine before the bucket shuffle)."""
+    from university_data_lakehouse_spark.operators import quality
+
+    tree = _tree(_plan(quality.dq_psi_drift(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("HashAggregate") >= 2, tree
+
+
 def test_basket_affinity_topk_is_take_ordered(spark, sf_dir):
     """r7 (VERDICT r6 item 2): the top-K cut of the UNBOUNDED pairs
     table must execute as TakeOrderedAndProject (per-partition heap

@@ -342,6 +342,7 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 PSI_SMOOTH = 1          # Laplace count so absent categories stay finite
 PSI_ALERT = 0.2         # the standard "significant shift" threshold
 PSI_Q = 1_000_000       # fixed-point quantum for the order-free total
+PSI_BUCKET_US = 3_600_000_000   # 1-hour split granularity (micros)
 
 
 def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,34 +355,47 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Math discipline: Laplace smoothing ((n+1)/(N+k)) keeps absent
     categories finite with pure integer ratios; the midpoint test is
-    ``2·ts ≥ min+max`` (no division, no rounding ambiguity); the one
-    libm call (ln of a probability ratio) is ROUND(…,6) in both
-    engines; and the total sums the rounded contributions as
-    fixed-point BIGINTs (PSI contributions are provably ≥ 0, so
-    floor(x·1e6) is safe) — order-independent, so the window sum is
-    bit-stable.
+    ``2·bucket ≥ min+max`` over 1-hour bucket indices (integer epoch
+    division — no float division, no rounding ambiguity; ``div``
+    truncates and ``//`` floors, identical for the non-negative
+    epochs events carry); the one libm call (ln of a probability
+    ratio) is ROUND(…,6) in both engines; and the total sums the
+    rounded contributions as fixed-point BIGINTs (PSI contributions
+    are provably ≥ 0, so floor(x·1e6) is safe) — order-independent,
+    so the window sum is bit-stable.
 
-    Scale shape: one full-scan aggregate to (event_type, n_ref,
-    n_cur) with map-side combine, then everything downstream is
-    |event_types|-sized metadata — the single-partition window over
-    it is ~10 rows at any corpus size."""
+    Scale shape (r10, one-scan): a SINGLE full scan pre-aggregates to
+    (event_type, hour_bucket, cnt) with map-side combine; the
+    time-range midpoint and the ref/cur split are then derived FROM
+    that bucket table (|event_types|·|hours|-sized metadata) via a
+    single-partition window — the r9 shape scanned events twice (one
+    min/max pass + one conditional-count pass).  Splitting at hour
+    granularity instead of the raw microsecond is the standard PSI
+    framing (reference vs current WINDOW) and is what makes the
+    one-scan derivation exact."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(
-        F.min(F.unix_micros("ts")).alias("mn"),
-        F.max(F.unix_micros("ts")).alias("mx"),
+    bkt = F.expr(f"unix_micros(ts) div {PSI_BUCKET_US}")
+    buckets = ev.groupBy(
+        F.col("event_type"), bkt.alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy()
+    is_cur = (
+        F.col("bkt") * 2 >= F.min("bkt").over(w) + F.max("bkt").over(w)
     )
-    is_cur = F.unix_micros("ts") * 2 >= F.col("mn") + F.col("mx")
     counts = (
-        ev.crossJoin(F.broadcast(b))
+        buckets.withColumn("is_cur", is_cur)
         .groupBy("event_type")
         .agg(
-            F.sum((~is_cur).cast("long")).alias("n_ref"),
-            F.sum(is_cur.cast("long")).alias("n_cur"),
+            F.sum(
+                F.when(~F.col("is_cur"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_ref"),
+            F.sum(
+                F.when(F.col("is_cur"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_cur"),
         )
     )
-    w = Window.partitionBy()
     p_ref = (F.col("n_ref") + PSI_SMOOTH).cast("double") / (
         F.sum("n_ref").over(w) + F.count(F.lit(1)).over(w)
     ).cast("double")
@@ -473,17 +487,25 @@ ORACLES = {
 }
 
 ORACLES["dq_psi_drift"] = f"""
-    WITH b AS (
-        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+    WITH bk AS (
+        SELECT event_type,
+               epoch_us(ts) // {PSI_BUCKET_US} AS bkt,
+               COUNT(*) AS cnt
         FROM events
+        GROUP BY 1, 2
+    ),
+    sp AS (
+        SELECT event_type, bkt, cnt,
+               bkt * 2 >= MIN(bkt) OVER () + MAX(bkt) OVER () AS is_cur
+        FROM bk
     ),
     c AS (
         SELECT event_type,
-               CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.mn + b.mx
-                             THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
-               CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.mn + b.mx
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-        FROM events CROSS JOIN b
+               CAST(SUM(CASE WHEN is_cur THEN 0 ELSE cnt END)
+                    AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN is_cur THEN cnt ELSE 0 END)
+                    AS BIGINT) AS n_cur
+        FROM sp
         GROUP BY 1
     ),
     t AS (
