@@ -350,3 +350,21 @@ def test_rp_knn_recall_at_k(spark, planted_dir):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
     assert recall >= 0.9, f"rp recall@{TOP_K} = {recall:.3f}"
+
+
+def test_ivf_rp_recall_at_k(spark, planted_dir):
+    """r10: IVF with 16-dim projected cell assignment + probing must
+    keep recall — a planted near-dup (cos ~0.93) stays close to its
+    query after the JL projection, so the two land in the same (or a
+    probed) projected cell and the exact full-dim re-rank recovers
+    >= 0.9 of the exact top-k. Quantizer training is byte-identical
+    to sim_knn_ivf; only the assignment/probe space changes."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        sim_knn_ivf_rp,
+    )
+
+    exact = _topk_sets(sim_knn_bruteforce(spark, planted_dir))
+    approx = _topk_sets(sim_knn_ivf_rp(spark, planted_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.9, f"ivf_rp recall@{TOP_K} = {recall:.3f}"

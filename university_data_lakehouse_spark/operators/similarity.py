@@ -902,9 +902,106 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _project(vec: list[float]) -> list[float]:
+    """Strict left-fold JL projection of one driver-side vector —
+    the same operation order as the JVM expression in
+    ``emb_random_projection`` and the oracle's list_reduce (0.0-init
+    left fold ≡ no-init fold in IEEE), so projecting the trained IVF
+    centroids driver-side replays bit-identically in SQL."""
+    out = []
+    for row in _rp_matrix():
+        s = 0.0
+        for a, b in zip(vec, row):
+            s = s + a * float(b)
+        out.append(s * RP_SCALE)
+    return out
+
+
+def _cell_scores_p(cp: list[list[float]], col: str) -> F.Column:
+    """(score, cell) structs of a projected vector column against the
+    projected centroids. 16 cells × 16-dim folds = 256 multiplies per
+    row — cheap enough for the definitional JVM expression (the
+    64-dim full-space twin ``_centroid_scores`` needs the Arrow
+    kernel); same (score, cell) lexicographic tie-break as IVF."""
+    return F.array(*[
+        F.struct(
+            dot(F.col(col),
+                F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cp)
+    ])
+
+
+def sim_knn_ivf_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with RANDOM-PROJECTION cell probing — the r10 composition
+    the r9 keys were building toward: the coarse quantizer trains
+    exactly as ``sim_knn_ivf`` (full-dim, md5-sampled medoid Lloyd),
+    but the trained centroids AND the corpus are JL-projected to
+    RP_DIM=16 (±1 matrix, exact 1/√16 = 0.25 scaling — no new
+    rounding anywhere), so cell ASSIGNMENT and query PROBING score
+    16-dim dots instead of 64-dim: the encode pass and the per-query
+    probe ranking read/compute 4× less. The exact full-dim cosine
+    re-rank within the probed cells is unchanged, so result quality
+    degrades only through cell-boundary disagreement (JL distortion
+    is smallest for the high-cosine pairs that matter; recall ≥ 0.9
+    pytest-gated on the planted corpus).
+
+    This is the 100 TB shape ``sim_knn_rp`` (an exhaustive
+    nested-loop prefilter, labeled baseline) is not: here the
+    projection composes INTO the bucketed index, cutting quantizer
+    flops/IO ÷4 while the scan stays ~nprobe/K of the corpus.
+
+    Fully deterministic and oracle-replayed: the projection is a
+    strict left fold of the SQL-derived centroids, and assignment /
+    probe tie-breaks mirror the IVF oracle ((score, cell) DESC)."""
+    v = _vectors(spark, sf_dir).cache()
+    centroids = _ivf_centroids(v)
+    cp = [_project(c) for c in centroids]
+    vp = F.array(*[
+        (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in row]))
+         * RP_SCALE)
+        for row in _rp_matrix()
+    ])
+    base = v.withColumn("vp", vp)
+    corpus = base.withColumn(
+        "cell", F.array_max(_cell_scores_p(cp, "vp")).getField("cell")
+    )
+    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("v_q"),
+        F.col("nrm").alias("n_q"),
+        F.col("vp").alias("vp_q"),
+    )
+    probes = q.select(
+        "query_id", "v_q", "n_q",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores_p(cp, "vp_q"))),
+                1, IVF_NPROBE,
+            ).getField("cell")
+        ).alias("cell"),
+    )
+    cos = dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "cosine", "rank")
+    )
+
+
 QUERIES = {
     "emb_random_projection": emb_random_projection,
     "sim_knn_rp": sim_knn_rp,
+    "sim_knn_ivf_rp": sim_knn_ivf_rp,
     "emb_label_centroids": emb_label_centroids,
     "emb_nearest_centroid": emb_nearest_centroid,
     "sim_knn_bruteforce": sim_knn_bruteforce,
@@ -1046,26 +1143,31 @@ def _knn_lsh_oracle() -> str:
 ORACLES["sim_knn_lsh"] = _knn_lsh_oracle()
 
 
-def _knn_ivf_oracle() -> str:
-    """Replay of sim_knn_ivf: seed pick by md5 order, IVF_ITERS
-    unrolled assignment/medoid-update rounds, final cell assignment,
-    nprobe probes per query, exact cosine re-rank. Every float op is a
-    left fold / IEEE div / sqrt — bit-identical to the Spark+Python
-    pipeline (see _ivf_centroids)."""
+def _sql_fold64(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_transform(range(1, 65), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
 
-    def fold(a: str, b: str) -> str:
-        return (
-            "list_reduce(list_transform(range(1, 65), "
-            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-        )
 
-    def sq(l: str) -> str:
-        return f"list_reduce(list_transform({l}, x -> x * x), (x, y) -> x + y)"
+def _sql_sq(l: str) -> str:
+    return f"list_reduce(list_transform({l}, x -> x * x), (x, y) -> x + y)"
 
-    def unit(l: str) -> str:
-        n = f"(CASE WHEN sqrt({sq(l)}) = 0 THEN 1.0 ELSE sqrt({sq(l)}) END)"
-        return f"list_transform({l}, x -> x / {n})"
 
+def _sql_unit(l: str) -> str:
+    n = (f"(CASE WHEN sqrt({_sql_sq(l)}) = 0 THEN 1.0 "
+         f"ELSE sqrt({_sql_sq(l)}) END)")
+    return f"list_transform({l}, x -> x / {n})"
+
+
+def _ivf_training_ctes() -> tuple[list[str], str]:
+    """The shared SQL replay of _ivf_centroids (seed pick by md5
+    order + IVF_ITERS unrolled assignment/medoid-update rounds over
+    the md5 training sample): returns the CTE list and the name of
+    the final centroid table. Used verbatim by both the full-space
+    IVF oracle and the RP-probed variant — the quantizer TRAINING is
+    identical by construction."""
+    fold, sq, unit = _sql_fold64, _sql_sq, _sql_unit
     vv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     ctes = [f"""
         v AS (
@@ -1109,7 +1211,17 @@ def _knn_ivf_oracle() -> str:
             SELECT p.cell, COALESCE({unit(f'rep{r}.vv')}, p.c) AS c
             FROM {prev} p LEFT JOIN rep{r} ON rep{r}.cell = p.cell
         )""")
-    final = f"c{IVF_ITERS}"
+    return ctes, f"c{IVF_ITERS}"
+
+
+def _knn_ivf_oracle() -> str:
+    """Replay of sim_knn_ivf: seed pick by md5 order, IVF_ITERS
+    unrolled assignment/medoid-update rounds, final cell assignment,
+    nprobe probes per query, exact cosine re-rank. Every float op is a
+    left fold / IEEE div / sqrt — bit-identical to the Spark+Python
+    pipeline (see _ivf_centroids)."""
+    fold = _sql_fold64
+    ctes, final = _ivf_training_ctes()
     tail = f"""
         corpus AS (
             SELECT vec_id, vv, nrm, cell FROM (
@@ -1147,6 +1259,84 @@ def _knn_ivf_oracle() -> str:
 
 
 ORACLES["sim_knn_ivf"] = _knn_ivf_oracle()
+
+
+def _sql_rp_proj(vec: str) -> str:
+    """16-element projected list of a 64-dim SQL list expression —
+    the same fold order + exact 0.25 scale as _project / the Spark
+    ``vp`` expression."""
+    comps = []
+    for row in _rp_matrix():
+        lst = "[" + ", ".join(f"{x}.0" for x in row) + "]"
+        comps.append(
+            f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> {vec}[i] * ({lst})[i]), (x, y) -> x + y) * {RP_SCALE}"
+        )
+    return "[" + ",\n             ".join(comps) + "]"
+
+
+def _sql_fold16(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {RP_DIM + 1}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _knn_ivf_rp_oracle() -> str:
+    """Replay of sim_knn_ivf_rp: identical quantizer training CTEs
+    (shared with the IVF oracle by construction), then the trained
+    centroids and every vector are JL-projected (same ±1 matrix
+    literals as the emb_random_projection oracle), assignment and
+    probing rank 16-dim folds with the IVF (score, cell)-DESC
+    tie-break, and the re-rank is the unchanged exact full-dim
+    cosine."""
+    ctes, final = _ivf_training_ctes()
+    fold, fold16 = _sql_fold64, _sql_fold16
+    tail = f"""
+        cp AS (
+            SELECT cell, {_sql_rp_proj('c')} AS pc FROM {final}
+        ),
+        pv AS (
+            SELECT vec_id, vv, nrm, {_sql_rp_proj('vv')} AS vp FROM v
+        ),
+        corpus AS (
+            SELECT vec_id, vv, nrm, cell FROM (
+                SELECT p.vec_id, p.vv, p.nrm, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY {fold16('p.vp', 'c.pc')} DESC,
+                                    c.cell DESC
+                       ) AS rn
+                FROM pv p, cp c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cell FROM (
+                SELECT p.vec_id AS query_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY {fold16('p.vp', 'c.pc')} DESC,
+                                    c.cell DESC
+                       ) AS rn
+                FROM pv p, cp c
+                WHERE p.vec_id % {QUERY_MOD} = 0
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, t.vec_id AS neighbor_id,
+                   {fold('q.vv', 't.vv')} / (q.nrm * t.nrm) AS cosine
+            FROM probes p
+            JOIN corpus t ON t.cell = p.cell AND t.vec_id <> p.query_id
+            JOIN v q ON q.vec_id = p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}"""
+    return "WITH " + ",".join(ctes) + "," + tail
+
+
+ORACLES["sim_knn_ivf_rp"] = _knn_ivf_rp_oracle()
 
 
 def _knn_pq_oracle() -> str:
