@@ -644,7 +644,12 @@ def test_y4m_decode_hand_fixtures():
     for bad in (b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n\x01\x02",
                 b"YUV4MPEG2 W2 H2 Cmono\nFRAMX\n\x01\x02\x03\x04",
                 b"YUV4MPEG2 H2 Cmono\nFRAME\n\x01\x02\x03\x04",
-                b"YUV4MPEG2 W2 H2 Cmono"):
+                b"YUV4MPEG2 W2 H2 Cmono",
+                # r10 (ADVICE r9): a 'FRAME'-prefixed junk marker
+                # ('FRAMES…') must be rejected — the spec requires
+                # FRAME followed by '\n' or space-delimited params
+                b"YUV4MPEG2 W2 H2 Cmono\nFRAMESjunk\n\x01\x02\x03\x04",
+                b"YUV4MPEG2 W2 H2 Cmono\nFRAMEX\n\x01\x02\x03\x04"):
         with _pytest.raises(ValueError):
             decode_y4m(bad)
         assert _samples_or_null(bad, "video")["n_frames"] is None
@@ -1614,3 +1619,46 @@ def test_avi_deeply_nested_lists_no_recursion_error():
     empty = b"RIFF" + len(b"AVI " + junk).to_bytes(4, "little") \
         + b"AVI " + junk
     assert _samples_or_null(empty, "video")["features"] is None
+
+
+def test_avi_nested_walk_copies_linear_bytes():
+    """r10 (ADVICE r9): the iterative RIFF walk must descend LISTs by
+    (offset, end) index pairs — the r9 shape sliced body[4:] per
+    descent, so a maximally-nested payload cost O(N²) bytes copied.
+    Pinned with a bytes subclass whose slices propagate a shared
+    byte counter to every derived slice: the walk's total sliced
+    volume must stay within a small constant of the payload size
+    (headers + frame bodies), where per-LIST body copies would charge
+    ~depth × payload."""
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _riff_list,
+        decode_avi,
+        synth_avi_payload,
+    )
+
+    class CountingBytes(bytes):
+        counter = None
+
+        def __getitem__(self, k):
+            out = bytes.__getitem__(self, k)
+            if isinstance(k, slice):
+                self.counter[0] += len(out)
+                cb = CountingBytes(out)
+                cb.counter = self.counter
+                return cb
+            return out
+
+    base = synth_avi_payload(17)
+    inner = base[12:]
+    depth = 2000
+    for _ in range(depth):
+        inner = _riff_list(b"wrap", inner)
+    hostile = b"RIFF" + len(b"AVI " + inner).to_bytes(4, "little") \
+        + b"AVI " + inner
+    counted = CountingBytes(hostile)
+    counted.counter = [0]
+    assert decode_avi(counted) == decode_avi(base)
+    # linear budget: chunk headers (~12B x depth) + frame bodies +
+    # slack; the quadratic walk would charge ~depth/2 x len(hostile)
+    assert counted.counter[0] < 8 * len(hostile), (
+        counted.counter[0], len(hostile))

@@ -1135,34 +1135,42 @@ def _avi_stream(payload: bytes) \
     # Iterative depth-first walk (explicit continuation stack, same
     # visit order as recursion would give): a hostile file with
     # thousands of nested LIST chunks must hit the normal null-row
-    # path, never RecursionError — each stack entry is (buffer,
-    # resume offset), pushed when descending into a LIST body.
-    stack: list[tuple[bytes, int]] = [(payload[12:], 0)]
+    # path, never RecursionError. Stack entries are ABSOLUTE
+    # (resume offset, extent end) index pairs into the one payload
+    # buffer — descending into a LIST copies nothing (the r9 shape
+    # sliced body[4:] per descent, O(N²) bytes on a maximally-nested
+    # hostile payload); the only copies left are the frame bodies,
+    # which are the walk's output. Chunk bodies clamp to the
+    # enclosing extent exactly as the old per-LIST slices did.
+    stack: list[tuple[int, int]] = [(12, len(payload))]
     while stack:
-        data, pos = stack.pop()
-        while pos + 8 <= len(data):
-            cid = data[pos:pos + 4]
-            size = int.from_bytes(data[pos + 4:pos + 8], "little")
-            body = data[pos + 8:pos + 8 + size]
-            nxt = pos + 8 + size + (size & 1)
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            bs = pos + 8                      # body start
+            be = min(bs + size, end)          # body end (clamped)
+            nxt = bs + size + (size & 1)
             if cid == b"LIST":
-                stack.append((data, nxt))    # resume here afterwards
-                data, pos = body[4:], 0      # descend now (in order)
+                stack.append((nxt, end))     # resume here afterwards
+                pos, end = bs + 4, be        # descend now (in order)
                 continue
             if cid == b"avih" and size >= 40:
-                vals = struct.unpack("<10I", body[:40])
+                vals = struct.unpack("<10I", payload[bs:min(bs + 40, be)])
                 w, h = vals[8], vals[9]
             elif cid == b"strh" and size >= 4:
-                stream_type = body[:4]
+                stream_type = payload[bs:min(bs + 4, be)]
             elif cid == b"strf" and size >= 20:
                 # honor only the VIDEO stream's BITMAPINFOHEADER — a
                 # trailing audio strl's WAVEFORMATEX would otherwise
                 # overwrite biCompression with format-blob bytes and
                 # reject a decodable DIB file
                 if stream_type == b"vids":
-                    compression = int.from_bytes(body[16:20], "little")
+                    compression = int.from_bytes(
+                        payload[min(bs + 16, be):min(bs + 20, be)],
+                        "little")
             elif cid[2:] in (b"db", b"dc"):
-                frames.append((cid[2:], body))
+                frames.append((cid[2:], payload[bs:be]))
             pos = nxt
     if w is None or not frames:
         return None
@@ -1267,6 +1275,11 @@ def decode_y4m(payload: bytes) -> dict | None:
     pos = nl + 1
     while pos < len(payload):
         if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("y4m: bad FRAME marker")
+        # the spec requires FRAME followed by '\n' or space-delimited
+        # parameters — 'FRAMES…'-style junk must not be accepted with
+        # the rest of its line silently read as frame parameters
+        if payload[pos + 5:pos + 6] not in (b"\n", b" "):
             raise ValueError("y4m: bad FRAME marker")
         fnl = payload.find(b"\n", pos)
         if fnl < 0:
