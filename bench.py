@@ -84,6 +84,15 @@ HEADLINE = [
     "dedup_c4_spans",
     "multimodal_alaw",
     "multimodal_y4m",
+    # r10 (VERDICT r9 item 4): the three r9 keys that shipped
+    # unbenched — sim_knn_rp's "4x cheaper per pair" claim needs a
+    # number next to sim_knn_bruteforce — plus the two r10 keys
+    # (RP-probed IVF, MPEG-1 intra video)
+    "emb_random_projection",
+    "sim_knn_rp",
+    "dq_psi_drift",
+    "sim_knn_ivf_rp",
+    "multimodal_mpeg1",
 ]
 
 # Frozen r4 headline set: `core_total` sums exactly these 27 queries
