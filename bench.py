@@ -93,6 +93,7 @@ HEADLINE = [
     "dq_psi_drift",
     "sim_knn_ivf_rp",
     "multimodal_mpeg1",
+    "dq_ks_drift",
 ]
 
 # Frozen r4 headline set: `core_total` sums exactly these 27 queries

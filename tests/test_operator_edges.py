@@ -685,6 +685,54 @@ def test_mixture_plan_zero_token_lang(spark, tmp_path):
         assert not math.isnan(r["mixture_weight"]), r
 
 
+def test_ks_drift_hand_values(spark, tmp_path):
+    """Hand-checked two-sample KS: ref half {1,2,3,4}, current half
+    {3,4,5,6} → D = max gap 0.5 (at x=2: F_ref=0.5, F_cur=0); a
+    type whose current half shifts completely (200×0 → 200×1) flags
+    drift (D=1 > 1.358·√(400/40000) ≈ 0.1358); oracle compare on the
+    same fixture pins the cross-engine CDF arithmetic."""
+    from university_data_lakehouse_spark.operators.quality import (
+        ORACLES,
+        dq_ks_drift,
+    )
+    from tests.oracle_utils import compare
+
+    def at(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    rows = []
+    eid = 0
+    for v in [1.0, 2.0, 3.0, 4.0]:
+        eid += 1
+        rows.append((eid, at(0), 1, "small", v, "{}"))
+    for v in [3.0, 4.0, 5.0, 6.0]:
+        eid += 1
+        rows.append((eid, at(9), 1, "small", v, "{}"))
+    for i in range(200):
+        eid += 1
+        rows.append((eid, at(0), 2, "shifted", 0.0, "{}"))
+        eid += 1
+        rows.append((eid, at(9), 2, "shifted", 1.0, "{}"))
+    import pandas as pd
+
+    d = str(tmp_path / "mini")
+    os.makedirs(d, exist_ok=True)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    # single parquet FILE (not a Spark part-dir) so the oracle's
+    # read_parquet sees the same table
+    pdf.astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+        os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in dq_ks_drift(spark, d).collect()}
+    assert out["small"]["n_ref"] == 4 and out["small"]["n_cur"] == 4
+    assert out["small"]["ks_stat"] == 0.5
+    assert out["small"]["drift_flag"] == 0     # threshold ~0.96 at n=4
+    assert out["shifted"]["ks_stat"] == 1.0
+    assert out["shifted"]["drift_flag"] == 1
+    compare(dq_ks_drift(spark, d), ORACLES["dq_ks_drift"], d,
+            name="dq_ks_drift@hand")
+
+
 def test_gopher_rules_hostile_text_cross_engine(spark, tmp_path):
     """text_gopher_rules must bit-match its DuckDB oracle on the
     whitespace/regex corner cases the two engines disagree on by

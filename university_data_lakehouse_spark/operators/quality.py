@@ -426,7 +426,90 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_C_ALPHA = 1.358      # c(α) at the classic α = 0.05
+
+
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check over the events
+    VALUE distribution, per event_type — the numeric complement of
+    ``dq_psi_drift``'s categorical PSI: split the stream at the
+    midpoint of its time range (reference = first half, current =
+    second), and report D = max_x |F_ref(x) − F_cur(x)| with the
+    classic large-sample threshold c(0.05)·√((n+m)/(n·m)).
+
+    Math discipline: the empirical CDFs are EXACT integer cumulative
+    counts over the grouped (event_type, value) table; the only float
+    ops are two correctly-rounded IEEE divisions per distinct value
+    and the one √ in the threshold — both ROUND(…,6) with the flag
+    derived from the ROUNDED values (the libm discipline).
+
+    Scale shape: one tiny 1-row bounds aggregate (ts column only),
+    then ONE full scan grouping to (event_type, value) with map-side
+    combine. The per-type ordered cumulative window is the inherent
+    KS shape (a sorted CDF); at 100 TB you bin values first
+    (``F.round(value, k)`` in the groupBy) so each type's window is
+    grid-sized — unbinned here because the test corpus' value
+    cardinality is small. The bounds pass stays separate by design:
+    deriving global min/max from the grouped table via a
+    single-partition window would funnel the value-cardinality-sized
+    relation through one task."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # NULL values are excluded in BOTH engines (Spark sorts NULLS
+    # FIRST ascending, DuckDB NULLS LAST — a null group would diverge)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    is_cur = F.unix_micros("ts") * 2 >= F.col("mn") + F.col("mx")
+    per_val = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum((~is_cur).cast("long")).alias("r"),
+            F.sum(is_cur.cast("long")).alias("c"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.abs(
+        F.sum("r").over(w_cum).cast("double") / F.col("n_ref")
+        - F.sum("c").over(w_cum).cast("double") / F.col("n_cur")
+    )
+    w_type = Window.partitionBy("event_type")
+    scored = per_val.withColumn(
+        "n_ref", F.sum("r").over(w_type).cast("double")
+    ).withColumn(
+        "n_cur", F.sum("c").over(w_type).cast("double")
+    ).withColumn("gap", gap)
+    out = scored.groupBy("event_type").agg(
+        F.first("n_ref").cast("long").alias("n_ref"),
+        F.first("n_cur").cast("long").alias("n_cur"),
+        F.round(F.max("gap"), 6).alias("ks_stat"),
+    )
+    thr = F.round(
+        F.lit(KS_C_ALPHA)
+        * F.sqrt(
+            (F.col("n_ref") + F.col("n_cur")).cast("double")
+            / (F.col("n_ref").cast("double")
+               * F.col("n_cur").cast("double"))
+        ),
+        6,
+    )
+    return out.select(
+        "event_type", "n_ref", "n_cur", "ks_stat",
+        thr.alias("ks_threshold"),
+        (F.col("ks_stat") > thr).cast("int").alias("drift_flag"),
+    )
+
+
 QUERIES = {
+    "dq_ks_drift": dq_ks_drift,
     "dq_psi_drift": dq_psi_drift,
     "dq_freshness": dq_freshness,
     "dq_value_outliers": dq_value_outliers,
@@ -485,6 +568,50 @@ ORACLES = {
     "dq_referential_integrity": _oracle_referential_integrity(),
     "dq_value_range": _oracle_value_range(),
 }
+
+_KS_THR = (f"ROUND({KS_C_ALPHA} * sqrt(CAST(n_ref + n_cur AS DOUBLE)"
+           " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 6)")
+ORACLES["dq_ks_drift"] = f"""
+    WITH b AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (
+        SELECT event_type, value,
+               CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.mn + b.mx
+                             THEN 0 ELSE 1 END) AS BIGINT) AS r,
+               CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.mn + b.mx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM events CROSS JOIN b
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               SUM(r) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_r,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_c,
+               SUM(r) OVER (PARTITION BY event_type) AS nr,
+               SUM(c) OVER (PARTITION BY event_type) AS nc
+        FROM pv
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(MAX(nr) AS BIGINT) AS n_ref,
+               CAST(MAX(nc) AS BIGINT) AS n_cur,
+               ROUND(MAX(ABS(CAST(cum_r AS DOUBLE) / CAST(nr AS DOUBLE)
+                             - CAST(cum_c AS DOUBLE)
+                               / CAST(nc AS DOUBLE))), 6) AS ks_stat
+        FROM s GROUP BY 1
+    )
+    SELECT event_type, n_ref, n_cur, ks_stat,
+           {_KS_THR} AS ks_threshold,
+           CAST(ks_stat > {_KS_THR} AS INTEGER) AS drift_flag
+    FROM g
+"""
 
 ORACLES["dq_psi_drift"] = f"""
     WITH bk AS (

@@ -867,15 +867,13 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     ).select(
         "vec_id", "v", vp.alias("vp"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
     ).withColumn("nrm_p", F.sqrt(dot(F.col("vp"), F.col("vp"))))
     q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("v_q"),
         F.col("vp").alias("vp_q"),
-        F.col("nrm").alias("n_q"),
         F.col("nrm_p").alias("np_q"),
-    )
+    ).withColumn("n_q", F.sqrt(dot(F.col("v_q"), F.col("v_q"))))
     cos_p = dot(F.col("vp_q"), F.col("vp")) / (F.col("np_q") * F.col("nrm_p"))
     w_p = Window.partitionBy("query_id").orderBy(
         F.col("cos_p").desc(), F.col("vec_id")
@@ -890,8 +888,14 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
+    # exact 64-dim norms only AFTER the RP_CAND cut (r10, VERDICT r9
+    # note): the prefilter scan pays 16-dim work per pair; the ≤
+    # RP_CAND×q re-rank rows pay the full-dim folds — at 100 TB the
+    # corpus-side norm would be a precomputed column, and computing
+    # it pre-cut here was the one full-dim op left in the scan
     return (
-        cand.withColumn(
+        cand.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .withColumn(
             "cosine",
             dot(F.col("v_q"), F.col("v")) / (F.col("n_q") * F.col("nrm")),
         )
