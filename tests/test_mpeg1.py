@@ -184,6 +184,54 @@ def test_malformed_streams_go_null_row():
         encode_mpeg1_intra([_const_planes(16, 16, 1, 2, 3)], 20, 16)
 
 
+def test_zero_byte_slice_stuffing_is_tolerated():
+    """next_start_code() permits ANY number of zero stuffing bytes
+    after a slice's last macroblock — a conformant stream padded with
+    full zero bytes must decode identically, not die on an 'invalid
+    mb address increment' (r10 self-review)."""
+    base = encode_mpeg1_intra(
+        [_const_planes(16, 16, 10, 20, 30)], 16, 16)
+    slice_at = base.find(b"\x00\x00\x01\x01")
+    end_at = base.find(b"\x00\x00\x01\xb7")
+    padded = (base[:end_at] + b"\x00" * 5 + base[end_at:])
+    assert slice_at < end_at
+    assert mpeg1_frames(padded) == mpeg1_frames(base)
+
+
+def test_amplification_payloads_hit_the_size_cap(monkeypatch):
+    """A few-hundred-byte stream whose picture headers demand huge
+    decoded output must raise (→ null row), never allocate its way
+    to a MemoryError: (a) many slice-less pictures — rejected as
+    spec-invalid pictures; (b) many MINIMAL valid pictures crossing
+    the aggregate decoded-bytes cap — rejected at HEADER time,
+    before any slice decoding or plane allocation (monkeypatched cap
+    so the test stays sub-second; the production constant is 64 MB)."""
+    from university_data_lakehouse_spark.operators import mpeg1_codec
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _samples_or_null,
+    )
+
+    base = encode_mpeg1_intra(
+        [_const_planes(16, 16, 10, 20, 30)], 16, 16)
+    seq_end = base.find(b"\x00\x00\x01\xb8")   # sequence header only
+    pic = b"\x00\x00\x01\x00" + bytes([0, 8, 0xFF, 0xFF])  # I, no slice
+    hostile = base[:seq_end] + pic * 1000
+    with pytest.raises(ValueError):
+        mpeg1_frames(hostile)
+    assert _samples_or_null(hostile, "video")["n_frames"] is None
+
+    # a 16x16 frame is 384 decoded bytes; with the cap at 1000 the
+    # third picture's HEADER must raise (2*384 + 384 > 1000)
+    pic_at = base.find(b"\x00\x00\x01\x00")
+    end_at = base.find(b"\x00\x00\x01\xb7")
+    body = base[pic_at:end_at]
+    hostile2 = base[:pic_at] + body * 3 + base[end_at:]
+    assert len(mpeg1_frames(hostile2)[2]) == 3   # fine uncapped
+    monkeypatch.setattr(mpeg1_codec, "MPEG1_MAX_DECODED_BYTES", 1000)
+    with pytest.raises(ValueError):
+        mpeg1_frames(hostile2)
+
+
 def test_multimodal_mpeg1_pipeline(spark, sf_dir):
     from oracle_utils import compare
 

@@ -713,6 +713,12 @@ def test_ks_drift_hand_values(spark, tmp_path):
         rows.append((eid, at(0), 2, "shifted", 0.0, "{}"))
         eid += 1
         rows.append((eid, at(9), 2, "shifted", 1.0, "{}"))
+    # a type emitted ONLY after the midpoint: n_ref = 0 — the bare
+    # division would throw under ANSI / NULL out in DuckDB; the
+    # operator must report D = 1.0, NULL threshold, drift_flag = 1
+    for v in [2.0, 4.0, 8.0]:
+        eid += 1
+        rows.append((eid, at(9), 3, "brand_new", v, "{}"))
     import pandas as pd
 
     d = str(tmp_path / "mini")
@@ -729,6 +735,10 @@ def test_ks_drift_hand_values(spark, tmp_path):
     assert out["small"]["drift_flag"] == 0     # threshold ~0.96 at n=4
     assert out["shifted"]["ks_stat"] == 1.0
     assert out["shifted"]["drift_flag"] == 1
+    assert out["brand_new"]["n_ref"] == 0
+    assert out["brand_new"]["ks_stat"] == 1.0
+    assert out["brand_new"]["ks_threshold"] is None
+    assert out["brand_new"]["drift_flag"] == 1
     compare(dq_ks_drift(spark, d), ORACLES["dq_ks_drift"], d,
             name="dq_ks_drift@hand")
 

@@ -190,15 +190,13 @@ class _BitReader:
         self.nbits -= n
         return out
 
-    def vlc(self, table: dict, what: str, max_len: int = 11) -> int:
-        code, length = 0, 0
-        while length < max_len:
-            code = (code << 1) | self.take(1)
-            length += 1
-            sym = table.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError(f"mpeg1: invalid {what} code")
+    def rest_is_zero(self) -> bool:
+        """True when every remaining bit is 0 — the byte-aligned zero
+        stuffing next_start_code() allows after a slice (any number
+        of full zero bytes plus the sub-byte pad)."""
+        if self.nbits and (self.acc & ((1 << self.nbits) - 1)):
+            return False
+        return not any(self.data[self.pos:])
 
 
 def _dc_size_decode(br: _BitReader, table: dict) -> int:
@@ -436,29 +434,46 @@ def _decode_block(br: _BitReader, dc_table: dict, pred: int,
     return np.clip(np.round(block), 0, 255), qdc
 
 
+# Aggregate decoded-output cap: MPEG-1 picture headers cost ~12
+# payload bytes each regardless of w·h, so without a bound a
+# few-KB crafted stream could demand gigabytes of frame buffers —
+# MemoryError is deliberately NOT in the null-contract catch set
+# (same rationale as multimodal._MAX_DECODE_PIXELS). 64 MB of
+# decoded planes is far beyond any feature-pass payload; larger
+# legitimate media belongs to the decode_real codec tier.
+MPEG1_MAX_DECODED_BYTES = 1 << 26
+
+
 def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
     """Decode an MPEG-1 video elementary stream of I-pictures →
     (width, height, [per-frame planar Y+Cb+Cr bytes]). Returns None
     for streams whose pictures need inter prediction (P/B) — the
     decode_real probe tier — and raises ValueError on malformed
     intra streams (the _samples_or_null boundary converts that to
-    the null row)."""
+    the null row): slice-less pictures, oversized decoded output,
+    truncated/corrupt entropy data."""
     segs = _segments(payload)
     if not segs or segs[0][0] != SEQ_START:
         return None
     w = h = None
     qmat = list(DEFAULT_INTRA_Q)
     frames: list[bytes] = []
+    total_out = 0
     planes = None                 # (Y, Cb, Cr) arrays being filled
+    pic_mbs = 0                   # macroblocks decoded this picture
 
     def finish() -> None:
+        nonlocal total_out
         if planes is None:
             return
+        if pic_mbs == 0:          # §2.4.2.5: a picture carries >= 1
+            raise ValueError("mpeg1: picture with no slice data")
         y, cb, cr = planes
-        frames.append(
-            y[:h, :w].astype(np.uint8).tobytes()
-            + cb[:h // 2, :w // 2].astype(np.uint8).tobytes()
-            + cr[:h // 2, :w // 2].astype(np.uint8).tobytes())
+        frame = (y[:h, :w].tobytes()
+                 + cb[:h // 2, :w // 2].tobytes()
+                 + cr[:h // 2, :w // 2].tobytes())
+        total_out += len(frame)
+        frames.append(frame)
 
     for code, body in segs:
         if code == SEQ_START:
@@ -476,13 +491,21 @@ def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
             if ptype != 1:        # P/B need a real codec: probe tier
                 return None
             mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
-            planes = (np.zeros((mb_h * 16, mb_w * 16)),
-                      np.zeros((mb_h * 8, mb_w * 8)),
-                      np.zeros((mb_h * 8, mb_w * 8)))
+            # cap check at HEADER time, before any slice decoding or
+            # plane allocation — the amplification budget is bounded
+            # by the cap, not by how fast a crafted header can demand
+            fbytes = w * h + 2 * ((w // 2) * (h // 2))
+            if total_out + fbytes > MPEG1_MAX_DECODED_BYTES:
+                raise ValueError(
+                    "mpeg1: decoded stream exceeds size cap")
+            planes = (np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8),
+                      np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8),
+                      np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8))
+            pic_mbs = 0
         elif 0x01 <= code <= 0xAF:
             if planes is None or w is None:
                 raise ValueError("mpeg1: slice before picture header")
-            _decode_slice(code, body, planes, w, h, qmat)
+            pic_mbs += _decode_slice(code, body, planes, w, h, qmat)
         else:
             raise ValueError("mpeg1: unsupported start code")
     finish()
@@ -503,8 +526,12 @@ def _decode_slice(code: int, body: bytes, planes: tuple, w: int,
     mb_addr = (code - 1) * mb_w - 1
     preds = {"Y": 128, "Cb": 128, "Cr": 128}
     y, cb, cr = planes
-    while br.bits_left() >= 8 or (br.bits_left() and br.acc & (
-            (1 << br.nbits) - 1)):
+    decoded = 0
+    # next_start_code() permits ANY number of zero stuffing bytes
+    # after the last macroblock, not just the sub-byte pad — stop on
+    # all-zero remainder, never misread it as an address increment
+    # (r10 self-review).
+    while not br.rest_is_zero():
         # macroblock_address_increment (stuffing discarded, escape +33)
         inc = 0
         while True:
@@ -558,5 +585,7 @@ def _decode_slice(code: int, body: bytes, planes: tuple, w: int,
             block, preds[comp] = _decode_block(
                 br, table, preds[comp], qscale, qmat)
             plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+        decoded += 1
         if mb_addr == mb_w * mb_h - 1:
             break
+    return decoded

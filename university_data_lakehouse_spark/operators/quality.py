@@ -375,7 +375,12 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan derivation exact."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL timestamps are excluded in BOTH engines: Spark's
+    # when/otherwise would count a NULL-ts row in NEITHER half while
+    # SQL's CASE ... ELSE would count it as reference — the one row
+    # shape where the two engines disagree (r10 self-review).
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull())
     bkt = F.expr(f"unix_micros(ts) div {PSI_BUCKET_US}")
     buckets = ev.groupBy(
         F.col("event_type"), bkt.alias("bkt")
@@ -456,9 +461,11 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     # NULL values are excluded in BOTH engines (Spark sorts NULLS
-    # FIRST ascending, DuckDB NULLS LAST — a null group would diverge)
+    # FIRST ascending, DuckDB NULLS LAST — a null group would
+    # diverge), and so are NULL timestamps (Spark's when/otherwise
+    # counts them in neither half, SQL's CASE-ELSE as reference)
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull())
+        F.col("value").isNotNull() & F.col("ts").isNotNull())
     b = ev.agg(
         F.min(F.unix_micros("ts")).alias("mn"),
         F.max(F.unix_micros("ts")).alias("mx"),
@@ -477,9 +484,18 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULLIF'd denominators: an event_type present in only ONE half
+    # (the most-drifted case) has n_ref or n_cur = 0 — a bare
+    # division would THROW under Spark's default ANSI mode and yield
+    # NULL in DuckDB (r10 self-review). NULL-safe gaps make max()
+    # skip them; the degenerate type reports D = 1.0 (one CDF is a
+    # whole distribution the other never accumulates), a NULL
+    # threshold (undefined at n·m = 0) and drift_flag = 1.
     gap = F.abs(
-        F.sum("r").over(w_cum).cast("double") / F.col("n_ref")
-        - F.sum("c").over(w_cum).cast("double") / F.col("n_cur")
+        F.sum("r").over(w_cum).cast("double")
+        / F.nullif(F.col("n_ref"), F.lit(0.0))
+        - F.sum("c").over(w_cum).cast("double")
+        / F.nullif(F.col("n_cur"), F.lit(0.0))
     )
     w_type = Window.partitionBy("event_type")
     scored = per_val.withColumn(
@@ -490,21 +506,26 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scored.groupBy("event_type").agg(
         F.first("n_ref").cast("long").alias("n_ref"),
         F.first("n_cur").cast("long").alias("n_cur"),
-        F.round(F.max("gap"), 6).alias("ks_stat"),
+        F.round(F.coalesce(F.max("gap"), F.lit(1.0)), 6).alias("ks_stat"),
     )
     thr = F.round(
         F.lit(KS_C_ALPHA)
         * F.sqrt(
             (F.col("n_ref") + F.col("n_cur")).cast("double")
-            / (F.col("n_ref").cast("double")
-               * F.col("n_cur").cast("double"))
+            / F.nullif(
+                F.col("n_ref").cast("double")
+                * F.col("n_cur").cast("double"),
+                F.lit(0.0),
+            )
         ),
         6,
     )
     return out.select(
         "event_type", "n_ref", "n_cur", "ks_stat",
         thr.alias("ks_threshold"),
-        (F.col("ks_stat") > thr).cast("int").alias("drift_flag"),
+        F.when((F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(1))
+        .otherwise((F.col("ks_stat") > thr).cast("int"))
+        .alias("drift_flag"),
     )
 
 
@@ -570,11 +591,12 @@ ORACLES = {
 }
 
 _KS_THR = (f"ROUND({KS_C_ALPHA} * sqrt(CAST(n_ref + n_cur AS DOUBLE)"
-           " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 6)")
+           " / NULLIF(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE),"
+           " 0.0)), 6)")
 ORACLES["dq_ks_drift"] = f"""
     WITH b AS (
         SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     pv AS (
         SELECT event_type, value,
@@ -583,7 +605,7 @@ ORACLES["dq_ks_drift"] = f"""
                CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.mn + b.mx
                              THEN 1 ELSE 0 END) AS BIGINT) AS c
         FROM events CROSS JOIN b
-        WHERE value IS NOT NULL
+        WHERE value IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1, 2
     ),
     s AS (
@@ -602,14 +624,19 @@ ORACLES["dq_ks_drift"] = f"""
         SELECT event_type,
                CAST(MAX(nr) AS BIGINT) AS n_ref,
                CAST(MAX(nc) AS BIGINT) AS n_cur,
-               ROUND(MAX(ABS(CAST(cum_r AS DOUBLE) / CAST(nr AS DOUBLE)
-                             - CAST(cum_c AS DOUBLE)
-                               / CAST(nc AS DOUBLE))), 6) AS ks_stat
+               ROUND(COALESCE(MAX(ABS(
+                   CAST(cum_r AS DOUBLE)
+                       / NULLIF(CAST(nr AS DOUBLE), 0.0)
+                   - CAST(cum_c AS DOUBLE)
+                       / NULLIF(CAST(nc AS DOUBLE), 0.0))), 1.0), 6)
+                   AS ks_stat
         FROM s GROUP BY 1
     )
     SELECT event_type, n_ref, n_cur, ks_stat,
            {_KS_THR} AS ks_threshold,
-           CAST(ks_stat > {_KS_THR} AS INTEGER) AS drift_flag
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1
+                ELSE CAST(ks_stat > {_KS_THR} AS INTEGER)
+           END AS drift_flag
     FROM g
 """
 
@@ -619,6 +646,7 @@ ORACLES["dq_psi_drift"] = f"""
                epoch_us(ts) // {PSI_BUCKET_US} AS bkt,
                COUNT(*) AS cnt
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     ),
     sp AS (

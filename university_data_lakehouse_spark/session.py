@@ -1,9 +1,11 @@
 """Tuned SparkSession factory.
 
 Settings chosen for correctness parity with the DuckDB oracle
-(UTC session timezone, ANSI off to match Trino-ish permissiveness)
-and for scale (AQE on, skew-join handling, Arrow for any pandas
-exchange, bounded shuffle partitions on local mode).
+(UTC session timezone; Spark 4's DEFAULT ANSI mode is kept ON — all
+oracle-checked operators are green under it, and every division an
+operator can feed a zero is NULLIF-guarded, see dq_ks_drift) and for
+scale (AQE on, skew-join handling, Arrow for any pandas exchange,
+bounded shuffle partitions on local mode).
 
 On a real cluster the same builder is used; only master/memory come
 from the environment (spark-submit), never hardcoded here.
