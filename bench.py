@@ -94,6 +94,8 @@ HEADLINE = [
     "sim_knn_ivf_rp",
     "multimodal_mpeg1",
     "dq_ks_drift",
+    "text_fineweb_rules",
+    "dq_benford",
 ]
 
 # Frozen r4 headline set: `core_total` sums exactly these 27 queries

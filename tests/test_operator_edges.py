@@ -874,6 +874,103 @@ def test_c4_rules_hostile_text_cross_engine(spark, tmp_path):
             name="text_c4_rules@hostile")
 
 
+def test_benford_hand_values(spark, tmp_path):
+    """Hand-checked Benford MAD: a corpus whose first-digit counts
+    are round(expected·10000) lands in the 'close' conformity band
+    (deviations ≤ 5e-5); one value per digit (uniform 1/9) is
+    nonconforming with MAD = mean |1/9 − expected|; zero rows after
+    the positive filter still yields the 9-digit frame. Oracle
+    compare on the conforming fixture."""
+    import pandas as pd
+
+    from university_data_lakehouse_spark.operators.quality import (
+        BENFORD_EXPECTED,
+        ORACLES,
+        dq_benford,
+    )
+    from tests.oracle_utils import compare
+
+    def write(d, values):
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame({
+            "o_orderkey": range(len(values)),
+            "o_custkey": [1] * len(values),
+            "o_totalprice": values,
+            "o_orderpriority": ["1-URGENT"] * len(values),
+        }).to_parquet(os.path.join(d, "orders.parquet"))
+
+    conforming = []
+    for dd in range(1, 10):
+        conforming += [float(dd * 100)] * round(BENFORD_EXPECTED[dd] * 10000)
+    d1 = str(tmp_path / "conf")
+    write(d1, conforming)
+    out = {r["digit"]: r for r in dq_benford(spark, d1).collect()}
+    assert len(out) == 9 and out[1]["conformity"] == "close"
+    assert out[1]["n_values"] == round(BENFORD_EXPECTED[1] * 10000)
+    compare(dq_benford(spark, d1), ORACLES["dq_benford"], d1,
+            name="dq_benford@conforming")
+
+    d2 = str(tmp_path / "unif")
+    write(d2, [float(dd) for dd in range(1, 10)])
+    out2 = {r["digit"]: r for r in dq_benford(spark, d2).collect()}
+    exp_mad = sum(abs(1 / 9 - BENFORD_EXPECTED[dd])
+                  for dd in range(1, 10)) / 9
+    assert abs(out2[1]["mad"] - exp_mad) < 1e-5
+    assert out2[1]["conformity"] == "nonconforming"
+
+    d3 = str(tmp_path / "empty")
+    write(d3, [-5.0, 0.0])              # nothing survives the filter
+    out3 = dq_benford(spark, d3).collect()
+    assert len(out3) == 9
+    assert all(r["n_values"] == 0 for r in out3)
+
+
+def test_fineweb_rules_hand_values(spark, tmp_path):
+    """Hand-checked FineWeb gate arithmetic: a clean page passes; a
+    boilerplate page trips the duplicated-line-chars rule (sorted
+    adjacency must count EVERY occurrence of a repeated line, incl.
+    3+ repeats); a listicle of short lines trips the short-line rule;
+    a page of unterminated lines trips the punctuation floor; empty
+    page drops with keep=0 (NULL dup ratio coalesced). Oracle compare
+    pins the cross-engine arithmetic on the same fixture."""
+    import pandas as pd
+
+    from university_data_lakehouse_spark.operators.text import (
+        ORACLES,
+        text_fineweb_rules,
+    )
+    from tests.oracle_utils import compare
+
+    clean = "\n".join(
+        f"This is a long enough sentence number {i} to pass checks."
+        for i in range(10))
+    boiler = "\n".join(
+        ["Subscribe to our newsletter now!"] * 3
+        + [f"Some unique editorial sentence number {i} right here."
+           for i in range(3)])
+    shorts = "\n".join(["ok."] * 8 + ["A single longer closing line here."])
+    nopunct = "\n".join(
+        f"line {i} trails off without any terminal punctuation at all"
+        for i in range(10))
+    rows = [(1, clean), (2, boiler), (3, shorts), (4, nopunct), (5, "")]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_fineweb_rules(spark, d).collect()}
+    assert out[1]["keep"] == 1 and out[1]["dup_line_chars"] == 0
+    # all 3 occurrences of the 32-char line count: 96 dup chars
+    assert out[2]["dup_line_chars"] == 96
+    assert out[2]["dup_char_ratio"] > 0.1 and out[2]["keep"] == 0
+    assert out[3]["short_line_ratio"] == 8 / 9 and out[3]["keep"] == 0
+    assert out[4]["punct_line_ratio"] == 0.0 and out[4]["keep"] == 0
+    assert out[5]["keep"] == 0 and out[5]["dup_char_ratio"] is None
+    compare(text_fineweb_rules(spark, d), ORACLES["text_fineweb_rules"],
+            d, name="text_fineweb_rules@hand")
+
+
 def test_c4_spans_planted_duplicates(spark, tmp_path):
     """Cross-doc and within-doc 3-sentence span dups, short docs,
     case normalization — hand-checked, plus the bit-exact oracle

@@ -17,6 +17,7 @@ aggregation (counts only, never a collect of violating rows).
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -529,7 +530,83 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# First-digit expected proportions ROUND(log10(1 + 1/d), 6), baked as
+# LITERALS into both engines (no runtime libm at all); Nigrini's MAD
+# conformity bands.
+BENFORD_EXPECTED = {d: round(math.log10(1 + 1 / d), 6)
+                    for d in range(1, 10)}
+BENFORD_Q = 1_000_000_000       # fixed-point quantum for the MAD sum
+BENFORD_MAD_BANDS = (           # (upper bound on MAD, label)
+    (0.006, "close"),
+    (0.012, "acceptable"),
+    (0.015, "marginal"),
+)
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformity check over order
+    totals — the classic anomaly/fraud DQ signal for naturally-grown
+    monetary data (Nigrini's MAD test): observed first-digit
+    proportions vs log10(1 + 1/d), mean absolute deviation across
+    the nine digits, conformity band.
+
+    Math discipline: the first digit comes from the DECIMAL STRING
+    of the integer cents (BIGINT→VARCHAR is pure integer repr,
+    engine-identical — never from float formatting); expected
+    proportions are Python-computed literals shared with the SQL
+    text, so no runtime libm anywhere; the 9 absolute deviations are
+    summed as fixed-point BIGINTs (order-independent) and divided
+    once.
+
+    Scale shape: one scan with map-side combine to a 9-row digit
+    table; everything downstream is constant-sized."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    counts = (
+        orders.where(F.col("o_totalprice").isNotNull()
+                     & (F.col("o_totalprice") > 0))
+        .select(F.substring(cents.cast("string"), 1, 1)
+                .cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int")
+                                       .alias("digit"))
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n_values", F.lit(0)).alias("n_values"))
+    w = Window.partitionBy()
+    expected = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    obs = F.col("n_values").cast("double") / F.nullif(
+        F.sum("n_values").over(w).cast("double"), F.lit(0.0))
+    scored = full.select(
+        "digit", "n_values",
+        obs.alias("observed_prop"),
+        expected.alias("expected_prop"),
+    ).withColumn(
+        "abs_dev", F.abs(F.col("observed_prop") - F.col("expected_prop"))
+    )
+    mad = F.round(
+        F.sum(F.floor(F.col("abs_dev") * BENFORD_Q).cast("long")).over(w)
+        .cast("double") / F.lit(float(BENFORD_Q) * 9.0),
+        6,
+    )
+    conformity = F.when(mad <= BENFORD_MAD_BANDS[0][0],
+                        F.lit(BENFORD_MAD_BANDS[0][1]))
+    for bound, label in BENFORD_MAD_BANDS[1:]:
+        conformity = conformity.when(mad <= bound, F.lit(label))
+    conformity = conformity.otherwise(F.lit("nonconforming"))
+    return scored.select(
+        "*", mad.alias("mad"), conformity.alias("conformity"),
+    )
+
+
 QUERIES = {
+    "dq_benford": dq_benford,
     "dq_ks_drift": dq_ks_drift,
     "dq_psi_drift": dq_psi_drift,
     "dq_freshness": dq_freshness,
@@ -589,6 +666,52 @@ ORACLES = {
     "dq_referential_integrity": _oracle_referential_integrity(),
     "dq_value_range": _oracle_value_range(),
 }
+
+_BENFORD_ARR = "[" + ", ".join(
+    str(BENFORD_EXPECTED[d]) for d in range(1, 10)) + "]"
+ORACLES["dq_benford"] = f"""
+    WITH src AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS nv FROM src GROUP BY 1),
+    d AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+    f AS (
+        SELECT d.digit, CAST(COALESCE(c.nv, 0) AS BIGINT) AS n_values
+        FROM d LEFT JOIN c ON c.digit = d.digit
+    ),
+    s AS (
+        SELECT digit, n_values,
+               CAST(n_values AS DOUBLE)
+                   / NULLIF(CAST(SUM(n_values) OVER () AS DOUBLE), 0.0)
+                   AS observed_prop,
+               ({_BENFORD_ARR})[digit] AS expected_prop
+        FROM f
+    ),
+    s2 AS (
+        SELECT *, ABS(observed_prop - expected_prop) AS abs_dev FROM s
+    ),
+    m AS (
+        SELECT *,
+               ROUND(CAST(SUM(CAST(FLOOR(abs_dev * {BENFORD_Q})
+                                   AS BIGINT)) OVER () AS DOUBLE)
+                     / {BENFORD_Q * 9}.0, 6) AS mad
+        FROM s2
+    )
+    SELECT digit, n_values, observed_prop, expected_prop, abs_dev, mad,
+           CASE WHEN mad <= {BENFORD_MAD_BANDS[0][0]}
+                    THEN '{BENFORD_MAD_BANDS[0][1]}'
+                WHEN mad <= {BENFORD_MAD_BANDS[1][0]}
+                    THEN '{BENFORD_MAD_BANDS[1][1]}'
+                WHEN mad <= {BENFORD_MAD_BANDS[2][0]}
+                    THEN '{BENFORD_MAD_BANDS[2][1]}'
+                ELSE 'nonconforming'
+           END AS conformity
+    FROM m
+"""
 
 _KS_THR = (f"ROUND({KS_C_ALPHA} * sqrt(CAST(n_ref + n_cur AS DOUBLE)"
            " / NULLIF(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE),"

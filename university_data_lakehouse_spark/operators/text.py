@@ -574,6 +574,76 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FineWeb quality filters (Penedo et al. 2024, "The FineWeb Datasets"
+# §3.1 — the three C4-inspired custom filters; values are the
+# paper's). Like the Gopher/C4 gates: a pure pipeline extension (the
+# reference has no document-quality stage).
+FINEWEB_MIN_PUNCT_RATIO = 0.12    # lines ending in terminal punct
+FINEWEB_SHORT_LINE_CHARS = 30
+FINEWEB_MAX_SHORT_RATIO = 0.67    # lines shorter than 30 chars
+FINEWEB_MAX_DUP_CHAR_RATIO = 0.1  # chars inside duplicated lines
+
+
+def text_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb's three added quality filters per document (the third
+    member of the public pretraining-gate trilogy next to
+    ``text_gopher_rules`` and ``text_c4_rules``): drop a page when
+    the fraction of lines ending in terminal punctuation is ≤ 0.12,
+    when the fraction of lines shorter than 30 chars is ≥ 0.67, or
+    when the fraction of characters inside DUPLICATED lines is
+    ≥ 0.1.
+
+    Duplicate-line detection is SORTED-ADJACENCY, not the naive
+    O(L²) per-line recount: sort the line array once and a line is
+    duplicated iff it equals a sorted neighbor — O(L log L) per doc,
+    and collation doesn't matter because only EQUALITY adjacency is
+    read, so any total order groups equal lines identically in both
+    engines. Same execution shape as the other two gates: one narrow
+    JVM map stage, zero shuffle, int-ratio divisions only (no libm),
+    bit-identical DuckDB oracle."""
+    doc = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_punct = F.size(F.filter(lines, lambda l: l.rlike(C4_TERMINAL_RE)))
+    n_short = F.size(
+        F.filter(lines,
+                 lambda l: F.length(l) < FINEWEB_SHORT_LINE_CHARS))
+    s = F.array_sort(lines)
+    dup_chars = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.when(
+                ((i > 1) & (F.element_at(s, i) == F.element_at(s, i - 1)))
+                | ((i < n_lines)
+                   & (F.element_at(s, i) == F.element_at(s, i + 1))),
+                F.length(F.element_at(s, i)),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0), lambda a, x: a + x,
+    )
+    line_chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0), lambda a, x: a + x
+    )
+    punct_ratio = n_punct.cast("double") / n_lines.cast("double")
+    short_ratio = n_short.cast("double") / n_lines.cast("double")
+    dup_ratio = dup_chars.cast("double") / F.nullif(
+        line_chars.cast("double"), F.lit(0.0))
+    keep = (
+        (punct_ratio > FINEWEB_MIN_PUNCT_RATIO)
+        & (short_ratio < FINEWEB_MAX_SHORT_RATIO)
+        & (dup_ratio < FINEWEB_MAX_DUP_CHAR_RATIO)
+    )
+    return doc.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        punct_ratio.alias("punct_line_ratio"),
+        short_ratio.alias("short_line_ratio"),
+        dup_chars.alias("dup_line_chars"),
+        dup_ratio.alias("dup_char_ratio"),
+        F.coalesce(keep.cast("int"), F.lit(0)).alias("keep"),
+    )
+
+
 def _sql_count_in(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
@@ -588,6 +658,7 @@ _SHINGLES = (
 QUERIES = {
     "text_gopher_rules": text_gopher_rules,
     "text_c4_rules": text_c4_rules,
+    "text_fineweb_rules": text_fineweb_rules,
     "text_entropy": text_entropy,
     "text_tfidf_topk": text_tfidf_topk,
     "text_vocab_topk": text_vocab_topk,
@@ -659,6 +730,52 @@ ORACLES = {
                        AS rules_passed
             FROM m
         )
+    """,
+    "text_fineweb_rules": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS lines,
+                   list_sort(string_split(text, chr(10))) AS s
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '{C4_TERMINAL_RE}')))
+                       AS n_punct,
+                   len(list_filter(lines,
+                       l -> LENGTH(l) < {FINEWEB_SHORT_LINE_CHARS}))
+                       AS n_short,
+                   list_sum(list_transform(range(1, len(s) + 1),
+                       i -> CASE WHEN (i > 1 AND s[i] = s[i-1])
+                                 OR (i < len(s) AND s[i] = s[i+1])
+                            THEN LENGTH(s[i]) ELSE 0 END))
+                       AS dup_chars,
+                   list_sum(list_transform(lines, l -> LENGTH(l)))
+                       AS line_chars
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, n_lines,
+                   CAST(n_punct AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                       AS punct_line_ratio,
+                   CAST(n_short AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                       AS short_line_ratio,
+                   CAST(dup_chars AS INTEGER) AS dup_line_chars,
+                   CAST(dup_chars AS DOUBLE)
+                       / NULLIF(CAST(line_chars AS DOUBLE), 0.0)
+                       AS dup_char_ratio
+            FROM m
+        )
+        SELECT doc_id, n_lines, punct_line_ratio, short_line_ratio,
+               dup_line_chars, dup_char_ratio,
+               CAST(COALESCE(
+                   punct_line_ratio > {FINEWEB_MIN_PUNCT_RATIO}
+                   AND short_line_ratio < {FINEWEB_MAX_SHORT_RATIO}
+                   AND dup_char_ratio < {FINEWEB_MAX_DUP_CHAR_RATIO},
+                   FALSE) AS INTEGER) AS keep
+        FROM r
     """,
     "text_c4_rules": rf"""
         WITH t AS (
