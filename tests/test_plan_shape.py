@@ -586,18 +586,20 @@ def test_dv_read_broadcasts_vector_anti_join(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "key",
-    ["text_gopher_rules", "text_c4_rules", "emb_random_projection"],
+    ["text_gopher_rules", "text_c4_rules", "text_fineweb_rules",
+     "emb_random_projection"],
 )
 def test_map_only_keys_have_zero_exchanges(spark, sf_dir, key):
-    """r10 (VERDICT r9 item 9): the docstrings of the Gopher/C4 gates
-    and the JL projection claim zero shuffle — pin it: scan → project,
-    no Exchange, no Join, and (for the text gates) the parquet scan
-    pruned to (doc_id, text)."""
+    """r10 (VERDICT r9 item 9): the docstrings of the Gopher/C4/
+    FineWeb gates and the JL projection claim zero shuffle — pin it:
+    scan → project, no Exchange, no Join, and (for the text gates)
+    the parquet scan pruned to (doc_id, text)."""
     from university_data_lakehouse_spark.operators import similarity, text
 
     fn = {
         "text_gopher_rules": text.text_gopher_rules,
         "text_c4_rules": text.text_c4_rules,
+        "text_fineweb_rules": text.text_fineweb_rules,
         "emb_random_projection": similarity.emb_random_projection,
     }[key]
     plan = _plan(fn(spark, sf_dir))
@@ -624,6 +626,36 @@ def test_psi_drift_single_events_scan(spark, sf_dir):
     tree = _tree(_plan(quality.dq_psi_drift(spark, sf_dir)))
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("HashAggregate") >= 2, tree
+
+
+def test_ivf_rp_probe_join_stays_broadcast_hash(spark, sf_dir):
+    """r10: sim_knn_ivf_rp's probe join must stay a broadcast HASH
+    join on the cell key (the tiny probes side broadcasts into the
+    partitioned corpus) — never a cartesian/nested-loop product, and
+    the re-rank must not resort to a sort-merge of the corpus."""
+    from university_data_lakehouse_spark.operators.similarity import (
+        sim_knn_ivf_rp,
+    )
+
+    try:
+        tree = _tree(_plan(sim_knn_ivf_rp(spark, sf_dir)))
+        assert "CartesianProduct" not in tree, tree
+        assert "BroadcastNestedLoopJoin" not in tree, tree
+        assert "BroadcastHashJoin" in tree, tree
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_benford_single_scan_digit_table(spark, sf_dir):
+    """r10: dq_benford is one orders scan with map-side combine to a
+    9-row digit table; the dim join against the generated digit range
+    must broadcast (never shuffle the Range side as sort-merge)."""
+    from university_data_lakehouse_spark.operators.quality import dq_benford
+
+    tree = _tree(_plan(dq_benford(spark, sf_dir)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("HashAggregate") >= 2, tree
+    assert "SortMergeJoin" not in tree, tree
 
 
 def test_basket_affinity_topk_is_take_ordered(spark, sf_dir):
