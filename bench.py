@@ -165,6 +165,12 @@ SF10_QUERIES = [
     # r9: the new corpus-wide shuffle op and one of the map-only rule
     # gates get three-point slopes from day one
     "dedup_c4_spans", "text_gopher_rules",
+    # r10: the one-scan PSI rewrite's slope is the point of the
+    # rewrite; the KS/Benford/FineWeb family are one-scan aggregates
+    # whose sf10 numbers prove the constant-sized downstream claim
+    # (note: replica-synthesized sf10 keeps DISTINCT values at the
+    # sf0.1 count, so grouped-table stages stay small by design)
+    "dq_psi_drift", "dq_ks_drift", "dq_benford", "text_fineweb_rules",
 ]
 
 
