@@ -60,10 +60,10 @@ _PRIORITY_KEYS = (
     # re-runs them bit-exact this round.
     "sim_knn_ivf_rp", "multimodal_mpeg1",
     "dq_psi_drift", "text_gopher_rules",
-    # r11 MUST lead with dq_ks_drift, dq_benford and
-    # text_fineweb_rules (r10-new, pytest-oracle-gated this round but
-    # no driver row yet — the 4 changed-key slots were taken) plus
-    # the 44 keys whose last driver row is
+    # r11 MUST lead with dq_ks_drift, dq_benford, text_fineweb_rules
+    # and dq_embedding_health (r10-new, pytest-oracle-gated this
+    # round but no driver row yet — the 4 changed-key slots were
+    # taken) plus the 44 keys whose last driver row is
     # CORRECTNESS_r08 (silver_*, gold_*, dq_not_null_pk/no_duplicates/
     # row_count/referential_integrity/value_range, olap_cube_revenue/
     # inactive_customers/prospect_customers/returned_items/

@@ -96,6 +96,7 @@ HEADLINE = [
     "dq_ks_drift",
     "text_fineweb_rules",
     "dq_benford",
+    "dq_embedding_health",
 ]
 
 # Frozen r4 headline set: `core_total` sums exactly these 27 queries

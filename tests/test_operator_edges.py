@@ -874,6 +874,55 @@ def test_c4_rules_hostile_text_cross_engine(spark, tmp_path):
             name="text_c4_rules@hostile")
 
 
+def test_embedding_health_hostile_vectors(spark, tmp_path):
+    """Hand-checked embedding DQ on a hostile fixture: NULL vectors,
+    wrong dimensions, NaN / ±Inf components, the zero vector, and
+    known norms — classified in priority order (null → bad_dim →
+    non_finite → norm), with the fixed-point mean over only the
+    healthy vectors; oracle compare pins the cross-engine branches."""
+    import numpy as np
+    import pandas as pd
+
+    from university_data_lakehouse_spark.operators.quality import (
+        ORACLES,
+        dq_embedding_health,
+    )
+    from tests.oracle_utils import compare
+
+    def vec(fill):
+        return np.full(64, fill, dtype=np.float32).tolist()
+
+    rows = [
+        (1, vec(0.125), 0),            # norm = 1.0 (8*0.125)
+        (2, vec(0.25), 0),             # norm = 2.0
+        (3, vec(0.0), 0),              # zero vector
+        (4, None, 0),                  # NULL embedding
+        (5, [1.0, 2.0, 3.0], 0),       # wrong dimension
+        # the pandas/arrow writer sanitizes NaN inside list columns
+        # to NULL — the operator counts BOTH spellings as non-finite
+        (6, vec(1.0)[:63] + [float("nan")], 0),   # NaN -> NULL component
+        (7, vec(1.0)[:63] + [float("inf")], 0),   # +Inf component
+        (8, vec(1.0)[:63] + [float("-inf")], 0),  # -Inf component
+        (9, vec(0.375), 1),            # other label, norm = 3.0
+    ]
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r["label"]: r for r in dq_embedding_health(spark, d).collect()}
+    l0 = out[0]
+    assert l0["n_vectors"] == 8 and l0["n_null"] == 1
+    assert l0["n_bad_dim"] == 1 and l0["n_non_finite"] == 3
+    assert l0["n_zero_norm"] == 1
+    assert l0["min_norm"] == 0.0 and l0["max_norm"] == 2.0
+    assert l0["mean_norm"] == 1.0        # (1.0 + 2.0 + 0.0) / 3
+    assert out[1]["mean_norm"] == 3.0
+    compare(dq_embedding_health(spark, d),
+            ORACLES["dq_embedding_health"], d,
+            name="dq_embedding_health@hostile")
+
+
 def test_benford_hand_values(spark, tmp_path):
     """Hand-checked Benford MAD: a corpus whose first-digit counts
     are round(expected·10000) lands in the 'close' conformity band

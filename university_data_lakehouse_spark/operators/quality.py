@@ -605,7 +605,74 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_NORM_Q = 1_000_000_000      # fixed-point quantum for norm means
+EMB_DIM_EXPECTED = 64           # the corpus contract (similarity.EMB_DIM)
+
+
+def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health check per label — the DQ gate an
+    ANN/dedup pipeline runs before indexing 100 TB of vectors:
+    vector count, NULL-embedding count, wrong-dimension count,
+    non-finite component count (NaN/±Inf), zero-norm count (vectors
+    cosine can't score), and the norm's min/max/mean.
+
+    Math discipline: counts are exact integer folds; the norm is the
+    usual strict-left-fold sqrt (ROUND-6 in both engines); the MEAN
+    norm is quantized floor(x·1e9) and summed as BIGINTs, so it is
+    order-independent and bit-identical across engines (the
+    emb_label_centroids trick). An invalid COMPONENT is NULL, NaN or
+    ±Inf (arrow/pandas writers routinely sanitize NaN to null inside
+    list columns, so both spellings of a bad float must count); the
+    oracle uses IS NULL / isnan() / isinf() with the identical
+    branch shape.
+
+    Scale shape: one scan, one narrow fold per row, map-side-combined
+    groupBy(label) → |labels|-sized output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dim_ok = F.size(v) == EMB_DIM_EXPECTED
+    n_bad = F.aggregate(
+        F.transform(
+            v, lambda x: F.when(
+                x.isNull()
+                | F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == float("inf")),
+                F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0), lambda a, x: a + x)
+    nrm = F.round(
+        F.sqrt(F.aggregate(
+            F.transform(v, lambda x: x.cast("double")
+                        * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x)), 6)
+    rows = emb.select(
+        "label",
+        v.isNull().cast("long").alias("is_null"),
+        F.when(v.isNull(), F.lit(0))
+        .otherwise((~dim_ok).cast("int")).cast("long").alias("bad_dim"),
+        F.when(v.isNull() | ~dim_ok, F.lit(0))
+        .otherwise((n_bad > 0).cast("int")).cast("long")
+        .alias("non_finite"),
+        F.when(v.isNull() | ~dim_ok | (n_bad > 0), F.lit(None))
+        .otherwise(nrm).alias("nrm"),
+    )
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("is_null").alias("n_null"),
+        F.sum("bad_dim").alias("n_bad_dim"),
+        F.sum("non_finite").alias("n_non_finite"),
+        F.sum(F.when(F.col("nrm") == 0.0, F.lit(1))
+              .otherwise(F.lit(0)).cast("long")).alias("n_zero_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        (F.sum(F.floor(F.col("nrm") * EMB_NORM_Q).cast("long"))
+         .cast("double") / F.lit(float(EMB_NORM_Q))
+         / F.nullif(F.count("nrm").cast("double"), F.lit(0.0)))
+        .alias("mean_norm"),
+    )
+
+
 QUERIES = {
+    "dq_embedding_health": dq_embedding_health,
     "dq_benford": dq_benford,
     "dq_ks_drift": dq_ks_drift,
     "dq_psi_drift": dq_psi_drift,
@@ -666,6 +733,52 @@ ORACLES = {
     "dq_referential_integrity": _oracle_referential_integrity(),
     "dq_value_range": _oracle_value_range(),
 }
+
+ORACLES["dq_embedding_health"] = f"""
+    WITH e AS (
+        SELECT label, embedding,
+               embedding IS NULL AS isnull_v,
+               CASE WHEN embedding IS NULL THEN FALSE
+                    ELSE len(embedding) <> {EMB_DIM_EXPECTED}
+               END AS bad_dim,
+               CASE WHEN embedding IS NULL
+                         OR len(embedding) <> {EMB_DIM_EXPECTED}
+                    THEN FALSE
+                    ELSE len(list_filter(embedding, x ->
+                         x IS NULL
+                         OR isnan(CAST(x AS DOUBLE))
+                         OR isinf(CAST(x AS DOUBLE)))) > 0
+               END AS non_finite
+        FROM embeddings
+    ),
+    r AS (
+        SELECT label, isnull_v, bad_dim, non_finite,
+               CASE WHEN isnull_v OR bad_dim OR non_finite THEN NULL
+                    ELSE ROUND(sqrt(list_reduce(
+                         list_prepend(0.0, list_transform(embedding,
+                             x -> CAST(x AS DOUBLE)
+                                  * CAST(x AS DOUBLE))),
+                         (a, b) -> a + b)), 6)
+               END AS nrm
+        FROM e
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN isnull_v THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(SUM(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_dim,
+           CAST(SUM(CASE WHEN non_finite THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_non_finite,
+           CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm,
+           (CAST(SUM(CAST(FLOOR(nrm * {EMB_NORM_Q}) AS BIGINT))
+                 AS DOUBLE) / {EMB_NORM_Q}.0)
+               / NULLIF(CAST(COUNT(nrm) AS DOUBLE), 0.0) AS mean_norm
+    FROM r GROUP BY 1
+"""
 
 _BENFORD_ARR = "[" + ", ".join(
     str(BENFORD_EXPECTED[d]) for d in range(1, 10)) + "]"
