@@ -34,7 +34,11 @@ DATA_BOUND_FACTOR = 0.6    # ratio >= step*this: tracks data size
 # scale sibling dedup_embedding_lsh_auto re-bands above 10k vectors
 # (the side-by-side slope in the same bench is the evidence).
 KNOWN_QUADRATIC = {"sim_knn_bruteforce", "dedup_embedding_cosine",
-                   "dedup_ngram_jaccard", "dedup_embedding_lsh"}
+                   "dedup_ngram_jaccard", "dedup_embedding_lsh",
+                   # r10: the RP prefilter scans all n·q pairs by
+                   # construction (labeled baseline; the scale
+                   # composition is sim_knn_ivf_rp)
+                   "sim_knn_rp"}
 
 
 def classify(ratio: float, key: str, step: float = 10.0) -> str:
