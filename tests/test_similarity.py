@@ -352,6 +352,32 @@ def test_rp_knn_recall_at_k(spark, planted_dir):
     assert recall >= 0.9, f"rp recall@{TOP_K} = {recall:.3f}"
 
 
+def test_rp_kernel_matches_expression(spark, sf_dir):
+    """r10: the Arrow/numpy JL-projection kernel (the ANN hot path —
+    the definitional JVM fold measured interpreter-bound in the r10
+    bench) must be BIT-identical to rp_project_expr on real data,
+    the same pin the LSH signature and PQ kernels carry."""
+    from university_data_lakehouse_spark.functions.vector import (
+        as_double_vec,
+    )
+    from university_data_lakehouse_spark.operators.similarity import (
+        rp_project_expr,
+        rp_project_kernel,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    v = emb.select("vec_id", as_double_vec(
+        similarity.F.col("embedding")).alias("v"))
+    both = v.select(
+        "vec_id",
+        rp_project_expr(similarity.F.col("v")).alias("e"),
+        rp_project_kernel(similarity.F.col("v")).alias("k"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert list(r["e"]) == list(r["k"]), r["vec_id"]
+
+
 def test_ivf_rp_recall_at_k(spark, planted_dir):
     """r10: IVF with 16-dim projected cell assignment + probing must
     keep recall — a planted near-dup (cos ~0.93) stays close to its

@@ -261,18 +261,22 @@ def _train_sample(v: DataFrame) -> DataFrame:
         F.md5(F.col("vec_id").cast("string")) < TRAIN_SAMPLE_HEX)
 
 
-def _centroid_scores(centroids: list[list[float]]) -> F.Column:
-    """Array of (score-to-centroid, cell-idx) structs for column v.
-    Centroids are pre-normalized driver-side, so the score is one dot
-    per cell.
+def _centroid_scores(centroids: list[list[float]],
+                     col: str = "v") -> F.Column:
+    """Array of (score-to-centroid, cell-idx) structs for a vector
+    column. Centroids are pre-normalized driver-side, so the score is
+    one dot per cell.
 
     The K dense dots ride the same Arrow/numpy left-fold kernel as
     lsh_signature (sequential accumulation over k — bit-identical to
     F.aggregate and to the oracle's SQL folds); the struct array is
     then assembled JVM-side from the materialized score array so the
     existing array_max / array_sort tie-break semantics (max score,
-    ties → max cell) are untouched."""
+    ties → max cell) are untouched. The fold length follows the
+    centroid dimensionality, so the same kernel serves the 64-dim
+    full-space quantizer and the 16-dim RP-probed variant."""
     mat = np.array(centroids, dtype=np.float64)
+    dim = mat.shape[1]
 
     @pandas_udf(ArrayType(DoubleType()))
     def scores_np(v: pd.Series) -> pd.Series:
@@ -280,11 +284,11 @@ def _centroid_scores(centroids: list[list[float]]) -> F.Column:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         acc = np.zeros((len(vecs), mat.shape[0]))
-        for k in range(EMB_DIM):                          # left fold over k
+        for k in range(dim):                              # left fold over k
             acc += vecs[:, k:k + 1] * mat[:, k][None, :]
         return pd.Series([row.tolist() for row in acc])
 
-    scores = scores_np(F.col("v"))
+    scores = scores_np(F.col(col))
     return F.array(
         *[
             F.struct(scores[i].alias("score"), F.lit(i).alias("cell"))
@@ -835,6 +839,40 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("vec_id", *cols)
 
 
+def rp_project_expr(vec_col: F.Column) -> F.Column:
+    """Definitional JVM-expression JL projection (16 strict left-fold
+    dots over 64 dims). Interpreter-bound like lsh_signature_expr —
+    Spark higher-order functions don't codegen, and 1024 multiplies
+    per row at interpreter speed measured 6.5× slower than the IVF
+    Arrow path in the r10 bench — so the ANN hot paths use the
+    numpy twin ``rp_project_kernel``; a test pins the two
+    bit-identical (test_similarity)."""
+    return F.array(*[
+        (dot(vec_col, F.array(*[F.lit(float(x)) for x in row]))
+         * RP_SCALE)
+        for row in _rp_matrix()
+    ])
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def rp_project_kernel(v: pd.Series) -> pd.Series:
+    """Arrow/numpy twin of rp_project_expr: vectorized across rows,
+    SEQUENTIAL over the dimension axis — acc starts at 0.0 and gains
+    v[k]·P[j][k] one k at a time, the same IEEE operation order as
+    F.aggregate and the oracle's list_reduce, then one exact ×0.25 —
+    so the projected vectors are bit-identical (pytest-pinned, the
+    lsh_signature/_centroid_scores argument)."""
+    mat = np.array(_rp_matrix(), dtype=np.float64)      # (16, 64)
+    if len(v) == 0:
+        return pd.Series([], dtype=object)
+    vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
+    acc = np.zeros((len(vecs), mat.shape[0]))
+    for k in range(EMB_DIM):                            # left fold
+        acc += vecs[:, k:k + 1] * mat[:, k][None, :]
+    acc *= RP_SCALE                                     # exact 2^-2
+    return pd.Series([row.tolist() for row in acc])
+
+
 RP_CAND = 5 * TOP_K          # projected-space candidates per query
 
 
@@ -846,7 +884,13 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     only those candidates to TOP_K. Complements the LSH/IVF/PQ
     family: RP keeps the scan exhaustive (no bucketing recall cliff)
     while shrinking the per-vector work — the right trade when
-    near-dup recall matters but vectors dominate IO. JL distortion is
+    near-dup recall matters but vectors dominate IO. MEASURED (r10
+    bench, Arrow-kernel projection, synth-sf1): ~0.55× of
+    sim_knn_bruteforce end-to-end — the 4× applies to the pair-scan
+    flops/bytes; the per-query rank windows and exact re-rank are
+    shared with brute force and cap the total win. Still O(n·q)
+    pairs by construction (labeled baseline; the bucketed scale
+    composition is ``sim_knn_ivf_rp``). JL distortion is
     smallest for HIGH-cosine pairs, so planted near-dups (cos ≳ 0.9)
     survive the prefilter (recall ≥ 0.9 pytest-gated); on pure random
     noise the top-k is arbitrary and the prefilter agrees with the
@@ -858,15 +902,10 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     new rounding anywhere — and the md5-frozen matrix makes the whole
     pipeline replay bit-identically in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vp = F.array(*[
-        dot(F.col("v"), F.array(*[F.lit(float(x)) for x in row]))
-        * RP_SCALE
-        for row in _rp_matrix()
-    ])
     base = emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     ).select(
-        "vec_id", "v", vp.alias("vp"),
+        "vec_id", "v", rp_project_kernel(F.col("v")).alias("vp"),
     ).withColumn("nrm_p", F.sqrt(dot(F.col("vp"), F.col("vp"))))
     q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -923,18 +962,12 @@ def _project(vec: list[float]) -> list[float]:
 
 def _cell_scores_p(cp: list[list[float]], col: str) -> F.Column:
     """(score, cell) structs of a projected vector column against the
-    projected centroids. 16 cells × 16-dim folds = 256 multiplies per
-    row — cheap enough for the definitional JVM expression (the
-    64-dim full-space twin ``_centroid_scores`` needs the Arrow
-    kernel); same (score, cell) lexicographic tie-break as IVF."""
-    return F.array(*[
-        F.struct(
-            dot(F.col(col),
-                F.array(*[F.lit(float(x)) for x in c])).alias("score"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(cp)
-    ])
+    projected centroids — the 16-dim instantiation of the shared
+    ``_centroid_scores`` Arrow kernel (the r10 bench measured the
+    definitional JVM-fold version interpreter-bound, like
+    lsh_signature_expr); same (score, cell) lexicographic tie-break
+    as IVF."""
+    return _centroid_scores(cp, col=col)
 
 
 def sim_knn_ivf_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,12 +995,7 @@ def sim_knn_ivf_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).cache()
     centroids = _ivf_centroids(v)
     cp = [_project(c) for c in centroids]
-    vp = F.array(*[
-        (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in row]))
-         * RP_SCALE)
-        for row in _rp_matrix()
-    ])
-    base = v.withColumn("vp", vp)
+    base = v.withColumn("vp", rp_project_kernel(F.col("v")))
     corpus = base.withColumn(
         "cell", F.array_max(_cell_scores_p(cp, "vp")).getField("cell")
     )
