@@ -184,6 +184,23 @@ def test_malformed_streams_go_null_row():
         encode_mpeg1_intra([_const_planes(16, 16, 1, 2, 3)], 20, 16)
 
 
+def test_partial_macroblock_cover_rejected():
+    """r10 review: a picture whose slices cover a strict SUBSET of
+    the frame must raise (→ null row) — zero-filled pels would
+    otherwise flow downstream as plausible feature data. Built by
+    pairing a 32x32 sequence header with a 16x16 picture's slice
+    (1 of 4 macroblocks)."""
+    small = encode_mpeg1_intra(
+        [_const_planes(16, 16, 10, 20, 30)], 16, 16)
+    big = encode_mpeg1_intra(
+        [_const_planes(32, 32, 10, 20, 30)], 32, 32)
+    seq_end = big.find(b"\x00\x00\x01\xb8")
+    pic_at = small.find(b"\x00\x00\x01\x00")
+    hostile = big[:seq_end] + small[pic_at:]
+    with pytest.raises(ValueError):
+        mpeg1_frames(hostile)
+
+
 def test_zero_byte_slice_stuffing_is_tolerated():
     """next_start_code() permits ANY number of zero stuffing bytes
     after a slice's last macroblock — a conformant stream padded with

@@ -378,6 +378,48 @@ def test_rp_kernel_matches_expression(spark, sf_dir):
         assert list(r["e"]) == list(r["k"]), r["vec_id"]
 
 
+def test_kernels_null_rows_propagate_not_crash(spark, tmp_path):
+    """r10 review: a NULL or wrong-dimension embedding must project/
+    score/sign to NULL outputs — the JVM zip_with semantics — never
+    ValueError the whole Arrow task (the rows dq_embedding_health is
+    built to count must not kill the ANN queries)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from university_data_lakehouse_spark.functions.vector import (
+        as_double_vec,
+    )
+    from university_data_lakehouse_spark.operators.similarity import (
+        lsh_signature,
+        rp_project_kernel,
+    )
+
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (0, np.full(64, 0.125, dtype=np.float32).tolist(), 0),
+        (1, None, 0),
+        (2, [1.0, 2.0, 3.0], 0),
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(os.path.join(d, "embeddings.parquet"))
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    v = emb.select("vec_id", as_double_vec(
+        similarity.F.col("embedding")).alias("v"))
+    got = {r["vec_id"]: r for r in v.select(
+        "vec_id",
+        rp_project_kernel(similarity.F.col("v")).alias("vp"),
+        lsh_signature(similarity.F.col("v")).alias("sig"),
+    ).collect()}
+    assert got[0]["vp"][0] is not None and got[0]["sig"][0] is not None
+    for bad in (1, 2):
+        assert all(x is None for x in got[bad]["vp"])
+        assert all(x is None for x in got[bad]["sig"])
+
+
 def test_ivf_rp_recall_at_k(spark, planted_dir):
     """r10: IVF with 16-dim projected cell assignment + probing must
     keep recall — a planted near-dup (cos ~0.93) stays close to its

@@ -175,9 +175,11 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
-
-    def bits_left(self) -> int:
-        return self.nbits + 8 * (len(self.data) - self.pos)
+        # end of meaningful data: everything at/after this offset is
+        # zero stuffing (computed ONCE so rest_is_zero is O(1) per
+        # call — a bytes-slice scan per macroblock would be quadratic
+        # in slice size on the decode hot path)
+        self._nz_end = len(data.rstrip(b"\x00"))
 
     def take(self, n: int) -> int:
         while self.nbits < n:
@@ -193,10 +195,11 @@ class _BitReader:
     def rest_is_zero(self) -> bool:
         """True when every remaining bit is 0 — the byte-aligned zero
         stuffing next_start_code() allows after a slice (any number
-        of full zero bytes plus the sub-byte pad)."""
+        of full zero bytes plus the sub-byte pad). O(1): the last
+        nonzero byte offset is precomputed in __init__."""
         if self.nbits and (self.acc & ((1 << self.nbits) - 1)):
             return False
-        return not any(self.data[self.pos:])
+        return self.pos >= self._nz_end
 
 
 def _dc_size_decode(br: _BitReader, table: dict) -> int:
@@ -461,13 +464,18 @@ def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
     total_out = 0
     planes = None                 # (Y, Cb, Cr) arrays being filled
     pic_mbs = 0                   # macroblocks decoded this picture
+    pic_total = 0                 # macroblocks the picture must carry
 
     def finish() -> None:
         nonlocal total_out
         if planes is None:
             return
-        if pic_mbs == 0:          # §2.4.2.5: a picture carries >= 1
-            raise ValueError("mpeg1: picture with no slice data")
+        # §2.4.2.7: EVERY macroblock of an I-picture is intra coded —
+        # a partial cover (slices for a strict subset of the frame)
+        # would silently emit zero-filled pels as plausible data, so
+        # the count must be exact, not merely nonzero (r10 review #2)
+        if pic_mbs != pic_total:
+            raise ValueError("mpeg1: picture missing macroblocks")
         y, cb, cr = planes
         frame = (y[:h, :w].tobytes()
                  + cb[:h // 2, :w // 2].tobytes()
@@ -502,6 +510,7 @@ def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
                       np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8),
                       np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8))
             pic_mbs = 0
+            pic_total = mb_w * mb_h
         elif 0x01 <= code <= 0xAF:
             if planes is None or w is None:
                 raise ValueError("mpeg1: slice before picture header")
@@ -515,7 +524,10 @@ def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
 
 
 def _decode_slice(code: int, body: bytes, planes: tuple, w: int,
-                  h: int, qmat: list[int]) -> None:
+                  h: int, qmat: list[int]) -> int:
+    """Decode one slice into ``planes``; returns the number of
+    macroblocks decoded (mpeg1_frames sums these against the
+    picture's exact macroblock count)."""
     br = _BitReader(body)
     qscale = br.take(5)
     if qscale == 0:

@@ -128,22 +128,23 @@ def lsh_signature(v: pd.Series) -> pd.Series:
     order as F.aggregate and as the oracle's 0.0 + vv[1] - vv[2] ...
     chains; products by ±1.0 are exact sign flips). Signs, hence
     band values, are therefore identical to lsh_signature_expr and
-    to DuckDB (pytest-pinned + oracle-checked)."""
+    to DuckDB (pytest-pinned + oracle-checked). NULL / wrong-dim rows
+    get NULL band arrays (the expression's zip_with semantics), never
+    a task-killing ValueError."""
     mat = np.array(_hyperplanes(), dtype=np.float64)      # (P, 64) of ±1
     weights = 1 << np.arange(LSH_BAND_ROWS)
-    out = []
-    vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
-    if len(vecs) == 0:
-        return pd.Series([], dtype=object)
-    acc = np.zeros((len(vecs), LSH_PLANES))
-    for k in range(EMB_DIM):                              # left fold over k
-        acc += vecs[:, k:k + 1] * mat[:, k][None, :]
-    bits = (acc > 0).astype(np.int64)                     # (N, P)
-    bands = (bits.reshape(len(vecs), LSH_BANDS, LSH_BAND_ROWS)
-             * weights).sum(axis=2)
-    for row in bands:
-        out.append(row.astype("int32").tolist())
-    return pd.Series(out)
+    out = [[None] * LSH_BANDS] * len(v)
+    idxs, vecs = _clean_rows(v, EMB_DIM)
+    if len(vecs):
+        acc = np.zeros((len(vecs), LSH_PLANES))
+        for k in range(EMB_DIM):                          # left fold over k
+            acc += vecs[:, k:k + 1] * mat[:, k][None, :]
+        bits = (acc > 0).astype(np.int64)                 # (N, P)
+        bands = (bits.reshape(len(vecs), LSH_BANDS, LSH_BAND_ROWS)
+                 * weights).sum(axis=2)
+        for j, i in enumerate(idxs):
+            out[i] = bands[j].astype("int32").tolist()
+    return pd.Series(out, dtype=object)
 
 
 def lsh_band_sql_cols(vec_expr: str = "vv") -> str:
@@ -261,6 +262,31 @@ def _train_sample(v: DataFrame) -> DataFrame:
         F.md5(F.col("vec_id").cast("string")) < TRAIN_SAMPLE_HEX)
 
 
+def _clean_rows(v: pd.Series, dim: int):
+    """Split an Arrow batch of vectors into (indices, dense matrix)
+    of the rows that are non-NULL, exactly ``dim``-long and free of
+    NULL components — the rows the JVM fold expressions would score
+    normally. Everything else gets NULL outputs from the caller,
+    matching the expression semantics (zip_with pads/propagates
+    NULL), instead of ValueError-ing the whole Arrow task on one bad
+    row (r10 review #2)."""
+    idxs, rows = [], []
+    for i, x in enumerate(v):
+        if x is None:
+            continue
+        try:
+            a = np.asarray(x, dtype=np.float64)
+        except (TypeError, ValueError):
+            continue
+        if a.shape != (dim,):
+            continue
+        idxs.append(i)
+        rows.append(a)
+    mat = (np.vstack(rows) if rows
+           else np.zeros((0, dim), dtype=np.float64))
+    return idxs, mat
+
+
 def _centroid_scores(centroids: list[list[float]],
                      col: str = "v") -> F.Column:
     """Array of (score-to-centroid, cell-idx) structs for a vector
@@ -280,13 +306,15 @@ def _centroid_scores(centroids: list[list[float]],
 
     @pandas_udf(ArrayType(DoubleType()))
     def scores_np(v: pd.Series) -> pd.Series:
-        vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        acc = np.zeros((len(vecs), mat.shape[0]))
-        for k in range(dim):                              # left fold over k
-            acc += vecs[:, k:k + 1] * mat[:, k][None, :]
-        return pd.Series([row.tolist() for row in acc])
+        out = [[None] * mat.shape[0]] * len(v)
+        idxs, vecs = _clean_rows(v, dim)
+        if len(vecs):
+            acc = np.zeros((len(vecs), mat.shape[0]))
+            for k in range(dim):                          # left fold over k
+                acc += vecs[:, k:k + 1] * mat[:, k][None, :]
+            for j, i in enumerate(idxs):
+                out[i] = acc[j].tolist()
+        return pd.Series(out, dtype=object)
 
     scores = scores_np(F.col(col))
     return F.array(
@@ -461,18 +489,20 @@ def pq_assign_kernel(cb: list[list[list[float]]]):
 
     @pandas_udf(ArrayType(DoubleType()))
     def assign(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        sub = vecs.reshape(len(vecs), PQ_M, PQ_SUB)
-        acc = np.zeros((len(vecs), PQ_M, PQ_K))
-        for i in range(PQ_SUB):                   # strict left fold
-            diff = sub[:, :, None, i] - C[None, :, :, i]
-            acc += diff * diff
-        codes = np.argmin(acc, axis=2).astype(np.float64)
-        dmin = np.min(acc, axis=2)
-        out = np.concatenate([codes, dmin], axis=1)
-        return pd.Series([row.tolist() for row in out])
+        res = [[None] * (2 * PQ_M)] * len(v)
+        idxs, vecs = _clean_rows(v, EMB_DIM)
+        if len(vecs):
+            sub = vecs.reshape(len(vecs), PQ_M, PQ_SUB)
+            acc = np.zeros((len(vecs), PQ_M, PQ_K))
+            for i in range(PQ_SUB):               # strict left fold
+                diff = sub[:, :, None, i] - C[None, :, :, i]
+                acc += diff * diff
+            codes = np.argmin(acc, axis=2).astype(np.float64)
+            dmin = np.min(acc, axis=2)
+            out = np.concatenate([codes, dmin], axis=1)
+            for j, i in enumerate(idxs):
+                res[i] = out[j].tolist()
+        return pd.Series(res, dtype=object)
 
     return assign
 
@@ -861,16 +891,20 @@ def rp_project_kernel(v: pd.Series) -> pd.Series:
     v[k]·P[j][k] one k at a time, the same IEEE operation order as
     F.aggregate and the oracle's list_reduce, then one exact ×0.25 —
     so the projected vectors are bit-identical (pytest-pinned, the
-    lsh_signature/_centroid_scores argument)."""
+    lsh_signature/_centroid_scores argument). NULL / wrong-dim rows
+    project to NULL components (what the zip_with expression
+    produces), never a task-killing ValueError."""
     mat = np.array(_rp_matrix(), dtype=np.float64)      # (16, 64)
-    if len(v) == 0:
-        return pd.Series([], dtype=object)
-    vecs = np.array([np.asarray(x, dtype=np.float64) for x in v])
-    acc = np.zeros((len(vecs), mat.shape[0]))
-    for k in range(EMB_DIM):                            # left fold
-        acc += vecs[:, k:k + 1] * mat[:, k][None, :]
-    acc *= RP_SCALE                                     # exact 2^-2
-    return pd.Series([row.tolist() for row in acc])
+    out = [[None] * RP_DIM] * len(v)
+    idxs, vecs = _clean_rows(v, EMB_DIM)
+    if len(vecs):
+        acc = np.zeros((len(vecs), mat.shape[0]))
+        for k in range(EMB_DIM):                        # left fold
+            acc += vecs[:, k:k + 1] * mat[:, k][None, :]
+        acc *= RP_SCALE                                 # exact 2^-2
+        for j, i in enumerate(idxs):
+            out[i] = acc[j].tolist()
+    return pd.Series(out, dtype=object)
 
 
 RP_CAND = 5 * TOP_K          # projected-space candidates per query
