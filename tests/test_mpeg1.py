@@ -249,6 +249,74 @@ def test_amplification_payloads_hit_the_size_cap(monkeypatch):
         mpeg1_frames(hostile2)
 
 
+def test_constant_block_roundtrip_property():
+    """Hypothesis property: ANY geometry (16..64 square-ish frames),
+    ANY number of I-pictures and ANY block values round-trip EXACTLY
+    through the real entropy coder + IDCT — the fixed-DC-step-8
+    exactness is a theorem about the codec, not a fixture accident."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        mw=st.integers(1, 3), mh=st.integers(1, 2),
+        nf=st.integers(1, 3), seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(mw, mh, nf, seed):
+        import random
+
+        rng = random.Random(seed)
+        w, h = 16 * mw, 16 * mh
+        frames = [{
+            "Y": [[rng.randrange(256) for _ in range(w // 8)]
+                  for _ in range(h // 8)],
+            "Cb": [[rng.randrange(256) for _ in range(w // 16)]
+                   for _ in range(h // 16)],
+            "Cr": [[rng.randrange(256) for _ in range(w // 16)]
+                   for _ in range(h // 16)],
+        } for _ in range(nf)]
+        got = mpeg1_frames(encode_mpeg1_intra(frames, w, h))
+        assert got is not None and (got[0], got[1]) == (w, h)
+        ysz, csz = w * h, (w // 2) * (h // 2)
+        for f, fr in enumerate(got[2]):
+            y = np.frombuffer(fr[:ysz], np.uint8).reshape(h, w)
+            cb = np.frombuffer(fr[ysz:ysz + csz], np.uint8).reshape(
+                h // 2, w // 2)
+            cr = np.frombuffer(fr[ysz + csz:], np.uint8).reshape(
+                h // 2, w // 2)
+            for ry in range(h // 8):
+                for rx in range(w // 8):
+                    assert (y[ry * 8:(ry + 1) * 8, rx * 8:(rx + 1) * 8]
+                            == frames[f]["Y"][ry][rx]).all()
+            for ry in range(h // 16):
+                for rx in range(w // 16):
+                    assert (cb[ry * 8:(ry + 1) * 8, rx * 8:(rx + 1) * 8]
+                            == frames[f]["Cb"][ry][rx]).all()
+                    assert (cr[ry * 8:(ry + 1) * 8, rx * 8:(rx + 1) * 8]
+                            == frames[f]["Cr"][ry][rx]).all()
+
+    check()
+
+
+def test_decoder_never_crashes_on_junk_property():
+    """Hypothesis property: arbitrary bytes after a valid start-code
+    prefix either decode, return None (probe tier) or raise
+    ValueError — never any other exception out of the null-row
+    boundary's catch set."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(junk=st.binary(max_size=256))
+    @settings(max_examples=150, deadline=None)
+    def check(junk):
+        try:
+            mpeg1_frames(b"\x00\x00\x01\xb3" + junk)
+        except ValueError:
+            pass
+
+    check()
+
+
 def test_multimodal_mpeg1_pipeline(spark, sf_dir):
     from oracle_utils import compare
 
