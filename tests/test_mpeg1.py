@@ -201,6 +201,26 @@ def test_partial_macroblock_cover_rejected():
         mpeg1_frames(hostile)
 
 
+def test_duplicate_slice_cover_rejected():
+    """r10 review #2 follow-up: two copies of the same slice must not
+    satisfy the macroblock-count gate by decoding the same addresses
+    twice (pic_mbs would sum to the total while half the frame stays
+    zero-filled) — per-address coverage raises on the re-decode."""
+    base = encode_mpeg1_intra(
+        [_const_planes(16, 32, 10, 20, 30)], 16, 32)   # 2 MBs
+    pic_at = base.find(b"\x00\x00\x01\x00")
+    sl_at = base.find(b"\x00\x00\x01\x01")
+    end_at = base.find(b"\x00\x00\x01\xb7")
+    # replace the slice with a truncated-to-one-MB duplicate pair:
+    # simplest construction — duplicate the FULL slice; the second
+    # copy re-decodes address 0 and must raise
+    hostile = (base[:end_at] + base[sl_at:end_at] + base[end_at:])
+    with pytest.raises(ValueError):
+        mpeg1_frames(hostile)
+    assert mpeg1_frames(base) is not None      # original still fine
+    assert pic_at < sl_at < end_at
+
+
 def test_zero_byte_slice_stuffing_is_tolerated():
     """next_start_code() permits ANY number of zero stuffing bytes
     after a slice's last macroblock — a conformant stream padded with

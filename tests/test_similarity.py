@@ -378,6 +378,61 @@ def test_rp_kernel_matches_expression(spark, sf_dir):
         assert list(r["e"]) == list(r["k"]), r["vec_id"]
 
 
+def test_dirty_corpus_filtered_and_oracle_parity(spark, tmp_path):
+    """r10: invalid vectors (NULL, ragged, NaN-component) are
+    FILTERED at every similarity pipeline's entry — the production
+    contract (dq_embedding_health counts them; the index skips them)
+    — with the identical predicate in the DuckDB oracle, so a dirty
+    corpus keeps bit-exact parity and never emits NULL-scored rows."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_utils import compare
+    from university_data_lakehouse_spark.operators.similarity import (
+        ORACLES,
+        emb_random_projection,
+        sim_knn_bruteforce,
+        sim_knn_ivf_rp,
+        sim_knn_rp,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def unit():
+        x = rng.standard_normal(64)
+        return (x / np.linalg.norm(x)).astype(np.float32).tolist()
+
+    # vec_ids 0..119: ids 0 and 100 are query vectors (% 100 == 0)
+    rows = [(i, unit(), 0) for i in range(120)]
+    rows[5] = (5, None, 0)                     # NULL vector
+    rows[6] = (6, [1.0, 2.0], 0)               # ragged
+    bad_nan = unit()
+    bad_nan[3] = float("nan")                  # pandas/arrow writes
+    rows[7] = (7, bad_nan, 0)                  # this as NULL component
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(os.path.join(d, "embeddings.parquet"))
+    for key, fn in [
+        ("sim_knn_bruteforce", sim_knn_bruteforce),
+        ("sim_knn_rp", sim_knn_rp),
+        ("sim_knn_ivf_rp", sim_knn_ivf_rp),
+        ("emb_random_projection", emb_random_projection),
+    ]:
+        out = fn(spark, d)
+        pdf = out.toPandas()
+        bad = {5, 6, 7}
+        for col in ("neighbor_id", "vec_id"):
+            if col in pdf.columns:
+                assert not (set(pdf[col]) & bad), (key, col)
+        assert not pdf.isna().any().any(), key
+        compare(fn(spark, d), ORACLES[key], d, name=f"{key}@dirty")
+    spark.catalog.clearCache()
+
+
 def test_kernels_null_rows_propagate_not_crash(spark, tmp_path):
     """r10 review: a NULL or wrong-dimension embedding must project/
     score/sign to NULL outputs — the JVM zip_with semantics — never

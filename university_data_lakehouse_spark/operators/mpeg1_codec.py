@@ -465,6 +465,7 @@ def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
     planes = None                 # (Y, Cb, Cr) arrays being filled
     pic_mbs = 0                   # macroblocks decoded this picture
     pic_total = 0                 # macroblocks the picture must carry
+    seen = bytearray(0)           # per-address coverage bitmap
 
     def finish() -> None:
         nonlocal total_out
@@ -511,10 +512,12 @@ def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
                       np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8))
             pic_mbs = 0
             pic_total = mb_w * mb_h
+            seen = bytearray(pic_total)
         elif 0x01 <= code <= 0xAF:
             if planes is None or w is None:
                 raise ValueError("mpeg1: slice before picture header")
-            pic_mbs += _decode_slice(code, body, planes, w, h, qmat)
+            pic_mbs += _decode_slice(code, body, planes, w, h, qmat,
+                                     seen)
         else:
             raise ValueError("mpeg1: unsupported start code")
     finish()
@@ -524,10 +527,13 @@ def mpeg1_frames(payload: bytes) -> tuple[int, int, list[bytes]] | None:
 
 
 def _decode_slice(code: int, body: bytes, planes: tuple, w: int,
-                  h: int, qmat: list[int]) -> int:
+                  h: int, qmat: list[int],
+                  seen: bytearray) -> int:
     """Decode one slice into ``planes``; returns the number of
-    macroblocks decoded (mpeg1_frames sums these against the
-    picture's exact macroblock count)."""
+    macroblocks decoded. ``seen`` marks per-address coverage —
+    re-decoding an address raises, so the caller's exact-count gate
+    (pic_mbs == pic_total) truly means every address was covered
+    once (duplicate slices can't cancel missing ones, r10 review)."""
     br = _BitReader(body)
     qscale = br.take(5)
     if qscale == 0:
@@ -578,6 +584,9 @@ def _decode_slice(code: int, body: bytes, planes: tuple, w: int,
             raise ValueError("mpeg1: skipped macroblock in I-picture")
         if mb_addr >= mb_w * mb_h:
             raise ValueError("mpeg1: macroblock address past picture")
+        if seen[mb_addr]:
+            raise ValueError("mpeg1: macroblock address decoded twice")
+        seen[mb_addr] = 1
         if br.take(1) != 1:       # macroblock_type (Table B.2a)
             if br.take(1) != 1:
                 raise ValueError("mpeg1: invalid intra macroblock type")

@@ -46,8 +46,33 @@ LSH_BANDS = LSH_PLANES // LSH_BAND_ROWS  # OR-amplification across bands
 EMB_DIM = 64
 
 
+def _valid_vec(col: F.Column) -> F.Column:
+    """A vector an ANN index can score: non-NULL, exactly EMB_DIM
+    long, no NULL/NaN/±Inf components. Every similarity pipeline
+    filters on this BEFORE any kernel or fold — invalid vectors are
+    a DQ finding (dq_embedding_health counts them), not index
+    members — and the oracles apply the identical SQL predicate
+    (_SQL_VALID_VEC), so dirty corpora keep bit-exact parity."""
+    bad = F.exists(
+        col,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == float("inf")),
+    )
+    return col.isNotNull() & (F.size(col) == EMB_DIM) & ~bad
+
+
+# the oracle-side twin of _valid_vec (DuckDB)
+_SQL_VALID_VEC = (
+    "embedding IS NOT NULL AND len(embedding) = 64 "
+    "AND len(list_filter(embedding, x -> x IS NULL "
+    "OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0"
+)
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        _valid_vec(F.col("embedding")))
     return emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -128,12 +153,12 @@ def lsh_signature(v: pd.Series) -> pd.Series:
     order as F.aggregate and as the oracle's 0.0 + vv[1] - vv[2] ...
     chains; products by ±1.0 are exact sign flips). Signs, hence
     band values, are therefore identical to lsh_signature_expr and
-    to DuckDB (pytest-pinned + oracle-checked). NULL / wrong-dim rows
-    get NULL band arrays (the expression's zip_with semantics), never
-    a task-killing ValueError."""
+    to DuckDB (pytest-pinned + oracle-checked) on the _valid_vec rows
+    every pipeline pre-filters to; invalid rows get NULL band arrays
+    as a never-ValueError backstop (they never arrive in-pipeline)."""
     mat = np.array(_hyperplanes(), dtype=np.float64)      # (P, 64) of ±1
     weights = 1 << np.arange(LSH_BAND_ROWS)
-    out = [[None] * LSH_BANDS] * len(v)
+    out = [[None] * LSH_BANDS for _ in range(len(v))]
     idxs, vecs = _clean_rows(v, EMB_DIM)
     if len(vecs):
         acc = np.zeros((len(vecs), LSH_PLANES))
@@ -264,12 +289,15 @@ def _train_sample(v: DataFrame) -> DataFrame:
 
 def _clean_rows(v: pd.Series, dim: int):
     """Split an Arrow batch of vectors into (indices, dense matrix)
-    of the rows that are non-NULL, exactly ``dim``-long and free of
-    NULL components — the rows the JVM fold expressions would score
-    normally. Everything else gets NULL outputs from the caller,
-    matching the expression semantics (zip_with pads/propagates
-    NULL), instead of ValueError-ing the whole Arrow task on one bad
-    row (r10 review #2)."""
+    of the rows satisfying the ``_valid_vec`` contract: non-NULL,
+    exactly ``dim``-long, all components finite (Arrow delivers a
+    NULL list element to pandas as NaN inside a well-shaped float
+    array, so the finite check covers the NULL-component spelling
+    too). Everything else gets NULL outputs from the caller — a
+    BACKSTOP only: every similarity pipeline filters on _valid_vec
+    before the kernels, so in-pipeline these rows never arrive; the
+    guard exists so one bad row can never ValueError a whole Arrow
+    task (r10 review)."""
     idxs, rows = [], []
     for i, x in enumerate(v):
         if x is None:
@@ -278,7 +306,7 @@ def _clean_rows(v: pd.Series, dim: int):
             a = np.asarray(x, dtype=np.float64)
         except (TypeError, ValueError):
             continue
-        if a.shape != (dim,):
+        if a.shape != (dim,) or not np.isfinite(a).all():
             continue
         idxs.append(i)
         rows.append(a)
@@ -306,7 +334,7 @@ def _centroid_scores(centroids: list[list[float]],
 
     @pandas_udf(ArrayType(DoubleType()))
     def scores_np(v: pd.Series) -> pd.Series:
-        out = [[None] * mat.shape[0]] * len(v)
+        out = [[None] * mat.shape[0] for _ in range(len(v))]
         idxs, vecs = _clean_rows(v, dim)
         if len(vecs):
             acc = np.zeros((len(vecs), mat.shape[0]))
@@ -489,7 +517,7 @@ def pq_assign_kernel(cb: list[list[list[float]]]):
 
     @pandas_udf(ArrayType(DoubleType()))
     def assign(v: pd.Series) -> pd.Series:
-        res = [[None] * (2 * PQ_M)] * len(v)
+        res = [[None] * (2 * PQ_M) for _ in range(len(v))]
         idxs, vecs = _clean_rows(v, EMB_DIM)
         if len(vecs):
             sub = vecs.reshape(len(vecs), PQ_M, PQ_SUB)
@@ -859,7 +887,9 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is already cheap). The md5-derived matrix is shared
     verbatim with the DuckDB oracle, so the projection is
     bit-reproducible across engines and runs."""
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_table(spark, sf_dir, "embeddings").where(
+        _valid_vec(F.col("embedding"))
+    ).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
     cols = []
@@ -891,11 +921,11 @@ def rp_project_kernel(v: pd.Series) -> pd.Series:
     v[k]·P[j][k] one k at a time, the same IEEE operation order as
     F.aggregate and the oracle's list_reduce, then one exact ×0.25 —
     so the projected vectors are bit-identical (pytest-pinned, the
-    lsh_signature/_centroid_scores argument). NULL / wrong-dim rows
-    project to NULL components (what the zip_with expression
-    produces), never a task-killing ValueError."""
+    lsh_signature/_centroid_scores argument) on the _valid_vec rows
+    every pipeline pre-filters to; invalid rows project to NULL
+    components as a never-ValueError backstop."""
     mat = np.array(_rp_matrix(), dtype=np.float64)      # (16, 64)
-    out = [[None] * RP_DIM] * len(v)
+    out = [[None] * RP_DIM for _ in range(len(v))]
     idxs, vecs = _clean_rows(v, EMB_DIM)
     if len(vecs):
         acc = np.zeros((len(vecs), mat.shape[0]))
@@ -935,7 +965,8 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot/norm/cosine are EXACT scalings of their unscaled forms — no
     new rounding anywhere — and the md5-frozen matrix makes the whole
     pipeline replay bit-identically in DuckDB."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        _valid_vec(F.col("embedding")))
     base = emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     ).select(
@@ -1149,7 +1180,8 @@ ORACLES = {
     """,
     "sim_knn_bruteforce": f"""
         WITH vecs AS (
-            SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm FROM embeddings
+            SELECT vec_id, embedding, sqrt({_SELF_DOT}) AS nrm
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         scored AS (
             SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -1177,7 +1209,7 @@ def _knn_lsh_oracle() -> str:
             SELECT vec_id, embedding,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
                    sqrt({_SELF_DOT}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
         melted AS (
@@ -1238,7 +1270,7 @@ def _ivf_training_ctes() -> tuple[list[str], str]:
     ctes = [f"""
         v AS (
             SELECT vec_id, {vv} AS vv, sqrt({sq(vv)}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         vt AS (
             SELECT * FROM v
@@ -1427,7 +1459,7 @@ def _knn_pq_oracle() -> str:
     ctes = [f"""
         v AS (
             SELECT vec_id, {vv} AS vv, sqrt({_SELF_DOT}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         sub AS (
             SELECT vec_id, m,
@@ -1564,7 +1596,7 @@ def _knn_ivfpq_oracle() -> str:
     ctes = [f"""
         v AS (
             SELECT vec_id, {vv} AS vv, sqrt({sq(vv)}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         vt AS (
             SELECT * FROM v
@@ -1740,7 +1772,7 @@ def _rp_oracle() -> str:
         )
     return ("SELECT vec_id,\n       "
             + ",\n       ".join(terms)
-            + "\nFROM embeddings")
+            + "\nFROM embeddings WHERE " + _SQL_VALID_VEC)
 
 
 ORACLES["emb_random_projection"] = _rp_oracle()
@@ -1764,7 +1796,7 @@ def _knn_rp_oracle() -> str:
         WITH pv AS (
             SELECT vec_id, embedding,
                    {vp} AS vp
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         n AS (
             SELECT vec_id, embedding, vp,
