@@ -54,12 +54,14 @@ _PRIORITY_KEYS = (
     # sim_knn_ivf_rp (new: RP-prefiltered IVF), multimodal_mpeg1 (new:
     # MPEG-1 intra video), dq_psi_drift (one-scan rewrite),
     # text_gopher_rules (CRLF-tolerant ellipsis regex, both engines).
-    # The r10 y4m FRAME-marker / AVI index-walk hardening and the
+    # The r10 y4m FRAME-marker / AVI index-walk hardening, the
     # NULL-row guards added to the shared Arrow kernels (lsh/pq/
-    # centroid/rp) only change hostile-input paths unreachable from
-    # the driver fixtures; the affected keys' rows are r8/r9-fresh
-    # and the full pytest oracle gate re-runs them bit-exact this
-    # round (sim_knn_lsh/pq/ivfpq re-verified by hand too).
+    # centroid/rp) and the _valid_vec entry filter on the similarity
+    # pipelines only change invalid-input paths — result-identical on
+    # the driver's clean fixtures (dirty-corpus parity is its own
+    # test); the affected keys' rows are r8/r9-fresh and the full
+    # pytest oracle gate re-runs every one bit-exact this round
+    # (sim_knn_lsh/pq/ivfpq/bruteforce re-verified by hand too).
     "sim_knn_ivf_rp", "multimodal_mpeg1",
     "dq_psi_drift", "text_gopher_rules",
     # r11 MUST lead with dq_ks_drift, dq_benford, text_fineweb_rules
