@@ -27,55 +27,62 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r10 rotation. Lead: the 46 keys whose last driver row is
-    # CORRECTNESS_r07 (2 rounds old — the standing invariant's limit),
-    # exactly as earmarked by the r9 fill comment and VERDICT item 1.
-    "chunk_documents", "corpus_build", "corpus_manifest",
-    "corpus_mixture_plan", "corpus_stats",
-    "dedup_boilerplate", "dedup_cluster_canonical",
-    "dedup_cluster_canonical_fast", "dedup_cluster_sizes",
-    "dedup_embedding_lsh_auto", "dedup_name_fuzzy",
-    "dq_value_outliers",
-    "emb_label_centroids", "emb_nearest_centroid",
-    "events_active_users", "events_anomaly", "events_cohort_retention",
-    "events_error_attribution", "events_first_last_touch",
-    "events_funnel_windowed", "events_inter_event_gap",
-    "events_json_props", "events_moving_avg", "events_resample_1h",
-    "events_rfm", "events_top_paths", "events_transition_matrix",
-    "events_value_histogram", "events_value_percentiles",
-    "events_value_quartiles",
-    "multimodal_decoded", "multimodal_features", "multimodal_gif",
-    "olap_avg_yearly", "olap_big_orders", "olap_customer_distribution",
-    "olap_disjunctive_revenue", "olap_excess_suppliers",
-    "olap_grouping_sets", "olap_important_parts", "olap_nation_trade",
-    "olap_repeat_customers", "olap_revenue_mom",
-    "text_entropy", "text_tfidf_topk", "text_vocab_topk",
-    # The 4 remaining slots: keys materially changed or new in r10 —
-    # sim_knn_ivf_rp (new: RP-prefiltered IVF), multimodal_mpeg1 (new:
-    # MPEG-1 intra video), dq_psi_drift (one-scan rewrite),
-    # text_gopher_rules (CRLF-tolerant ellipsis regex, both engines).
-    # The r10 y4m FRAME-marker / AVI index-walk hardening, the
-    # NULL-row guards added to the shared Arrow kernels (lsh/pq/
-    # centroid/rp) and the _valid_vec entry filter on the similarity
-    # pipelines only change invalid-input paths — result-identical on
-    # the driver's clean fixtures (dirty-corpus parity is its own
-    # test); the affected keys' rows are r8/r9-fresh and the full
-    # pytest oracle gate re-runs every one bit-exact this round
-    # (sim_knn_lsh/pq/ivfpq/bruteforce re-verified by hand too).
-    "sim_knn_ivf_rp", "multimodal_mpeg1",
-    "dq_psi_drift", "text_gopher_rules",
-    # r11 MUST lead with dq_ks_drift, dq_benford, text_fineweb_rules
-    # and dq_embedding_health (r10-new, pytest-oracle-gated this
-    # round but no driver row yet — the 4 changed-key slots were
-    # taken) plus the 44 keys whose last driver row is
-    # CORRECTNESS_r08 (silver_*, gold_*, dq_not_null_pk/no_duplicates/
-    # row_count/referential_integrity/value_range, olap_cube_revenue/
-    # inactive_customers/prospect_customers/returned_items/
-    # promo_revenue/profit_by_nation/priority_shipmode/top_supplier/
-    # supplier_part_counts/waiting_suppliers/customer_abc[_banded]/
-    # basket_affinity, sim_knn_lsh, text_lm_quality/repetition/
-    # pii_redact/contamination[_semantic], sample_*, pack_token_bins,
-    # forget_documents, multimodal_jpeg*/adpcm/mulaw/mixed/resize).
+    # r11 rotation. Lead: the 4 r10-new keys that have never had a
+    # driver row (pytest-oracle-green in r10 but outside the window),
+    # exactly as earmarked by the r10 fill comment and VERDICT item 1.
+    "dq_ks_drift", "dq_benford", "text_fineweb_rules",
+    "dq_embedding_health",
+    # Then the 44 keys whose last driver row is CORRECTNESS_r08
+    # (2 rounds old — the standing invariant's limit). This list is
+    # mechanically derived: r08 keys minus r09 minus r10 (see
+    # tools/window_check.py, which enforces it).
+    "dq_no_duplicates", "dq_not_null_pk", "dq_referential_integrity",
+    "dq_row_count", "dq_value_range",
+    "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
+    "multimodal_adpcm", "multimodal_jpeg", "multimodal_jpeg_420",
+    "multimodal_jpeg_color", "multimodal_jpeg_progressive",
+    "multimodal_mixed", "multimodal_mulaw",
+    "olap_basket_affinity", "olap_cube_revenue", "olap_customer_abc",
+    "olap_customer_abc_banded", "olap_inactive_customers",
+    "olap_priority_shipmode", "olap_profit_by_nation",
+    "olap_promo_revenue", "olap_prospect_customers",
+    "olap_returned_items", "olap_supplier_part_counts",
+    "olap_top_supplier", "olap_waiting_suppliers",
+    "pack_token_bins", "sample_split", "sample_stratified",
+    "sample_weighted",
+    "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
+    "silver_fact_contacts", "silver_fact_lineitems",
+    "silver_fact_orders",
+    "sim_knn_lsh",
+    "text_contamination", "text_contamination_semantic",
+    "text_lm_quality", "text_pii_redact", "text_repetition",
+    # The 2 remaining slots: keys materially changed in r11 —
+    # dq_psi_drift (floor-division bucketing so pre-1970 timestamps
+    # agree across engines) and dedup_embedding_lsh_auto (_valid_vec
+    # entry filter + _SQL_VALID_VEC in the oracle, ADVICE item 1).
+    # dedup_embedding_lsh carries the identical r11 change but its
+    # driver row is r9-aged, so it rotates in next round regardless;
+    # until then the bit-exact pytest oracle gate covers it.
+    "dq_psi_drift", "dedup_embedding_lsh_auto",
+    # r12 MUST lead with the 48 keys whose last driver row is
+    # CORRECTNESS_r09 (mechanically: r09 keys minus r10 minus r11 —
+    # dedup_c4_spans, dedup_embedding_cosine, dedup_embedding_lsh,
+    # dedup_exact, dedup_minhash_lsh, dedup_ngram_jaccard,
+    # dedup_simhash, dq_freshness, dq_profile, emb_random_projection,
+    # events_asof_join, events_funnel, events_retention,
+    # events_sessionize, events_user_stats, events_windowed_agg,
+    # multimodal_alaw, multimodal_audio_stats, multimodal_avi,
+    # multimodal_flac, multimodal_frame_sample, multimodal_meta,
+    # multimodal_mjpeg, multimodal_normalize, multimodal_png,
+    # multimodal_y4m, olap_late_orders, olap_local_supplier_volume,
+    # olap_market_pivot, olap_market_share, olap_min_cost_supplier,
+    # olap_price_percentiles, olap_pricing_summary,
+    # olap_revenue_forecast, olap_rollup_revenue, olap_running_revenue,
+    # olap_shipping_priority, olap_top_k_per_group, sim_knn_bruteforce,
+    # sim_knn_ivf, sim_knn_ivfpq, sim_knn_pq, sim_knn_rp, text_c4_rules,
+    # text_fingerprint, text_langid, text_quality_score,
+    # text_token_stats) + 2 slots for r12-changed keys.
+    # tools/window_check.py verifies this earmark mechanically.
 )
 
 

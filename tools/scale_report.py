@@ -42,9 +42,13 @@ KNOWN_QUADRATIC = {"sim_knn_bruteforce", "dedup_embedding_cosine",
 
 
 def classify(ratio: float, key: str, step: float = 10.0) -> str:
+    # a documented baseline is labeled as such at ANY ratio — an
+    # O(n·q) scan that happens to time near-linear on one step is
+    # still the labeled baseline, never "healthy linear" (r10 nit).
+    if key in KNOWN_QUADRATIC:
+        return "quadratic-baseline (by construction)"
     if ratio > SUPERLINEAR_FACTOR * step:
-        return ("quadratic-baseline (by construction)"
-                if key in KNOWN_QUADRATIC else "SUPERLINEAR — investigate")
+        return "SUPERLINEAR — investigate"
     if ratio >= DATA_BOUND_FACTOR * step:
         return "data-bound (healthy linear)"
     return "overhead-bound at this scale"
