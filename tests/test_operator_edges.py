@@ -1118,3 +1118,114 @@ def test_psi_drift_planted_shift(spark, tmp_path):
     out2 = dq_psi_drift(spark, d2).collect()
     assert all(r["drift_flag"] == 0 for r in out2)
     assert all(abs(r["psi_contribution"]) < 1e-4 for r in out2)
+
+
+def test_psi_drift_pre_epoch_floor_bucketing(spark, tmp_path):
+    """Pre-1970 timestamps exercise negative epoch-micros: the bucket
+    index must be a FLOOR division in both engines (r11 ADVICE).  The
+    'view' events sit at half past hours -10..-1 relative to the epoch
+    — under floor division 1969-12-31 23:30 is bucket -1, under a
+    truncating division it would collapse into bucket 0 and leak into
+    the current half.  The count assertions distinguish the two; the
+    compare() call pins cross-engine parity on negative epochs."""
+    import pandas as pd
+
+    from university_data_lakehouse_spark.operators.quality import (
+        ORACLES,
+        dq_psi_drift,
+    )
+    from tests.oracle_utils import compare
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows, eid = [], 0
+    for h in range(-10, 10):
+        etype = "view" if h < 0 else "click"
+        for _ in range(10):
+            ts = epoch + dt.timedelta(hours=h, minutes=30)
+            rows.append((eid, ts, 1, etype, 1.0, "{}"))
+            eid += 1
+    d = str(tmp_path / "preepoch")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]).to_parquet(os.path.join(d, "events.parquet"))
+
+    out = {r["event_type"]: r for r in dq_psi_drift(spark, d).collect()}
+    # floor buckets: view -10..-1, click 0..9; midpoint split at b>=0.
+    assert out["view"]["n_ref"] == 100 and out["view"]["n_cur"] == 0
+    assert out["click"]["n_ref"] == 0 and out["click"]["n_cur"] == 100
+    assert out["view"]["drift_flag"] == 1
+    compare(dq_psi_drift(spark, d), ORACLES["dq_psi_drift"], d,
+            name="dq_psi_drift@pre_epoch")
+
+
+def test_dedup_lsh_dirty_corpus_filtered_and_oracle_parity(spark, tmp_path):
+    """r11 ADVICE: the dedup embedding-LSH family (narrow, wide, auto)
+    and the semantic-contamination pipeline filter invalid vectors at
+    entry with _valid_vec AND carry _SQL_VALID_VEC in their oracles —
+    the same contract the similarity pipelines got in r10.  Planted
+    exact duplicates guarantee non-empty pair output; the invalid rows
+    (NULL / ragged / NaN-component) must never surface as pair ids,
+    and parity must be bit-exact, not incidental."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_utils import compare
+    from university_data_lakehouse_spark.operators.dedup import (
+        ORACLES as DEDUP_ORACLES,
+        _emb_lsh_wide_oracle,
+        dedup_embedding_lsh,
+        dedup_embedding_lsh_auto,
+        dedup_embedding_lsh_wide,
+    )
+    from university_data_lakehouse_spark.operators.pipeline import (
+        ORACLES as PIPE_ORACLES,
+        text_contamination_semantic,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def unit():
+        x = rng.standard_normal(64)
+        return (x / np.linalg.norm(x)).astype(np.float32).tolist()
+
+    rows = [(i, unit(), 0) for i in range(120)]
+    # planted exact duplicates -> guaranteed candidate pairs
+    rows[11] = (11, rows[10][1], 0)
+    rows[21] = (21, rows[20][1], 0)
+    # a benchmark/train duplicate pair for the contamination check
+    rows[30] = (30, rows[33][1], 0)   # 30 is bench (%10), 33 is train
+    rows[5] = (5, None, 0)            # NULL vector
+    rows[6] = (6, [1.0, 2.0], 0)      # ragged
+    bad_nan = unit()
+    bad_nan[3] = float("nan")
+    rows[7] = (7, bad_nan, 0)         # NaN -> NULL component on write
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(os.path.join(d, "embeddings.parquet"))
+
+    bad = {5, 6, 7}
+    for key, fn, sql in [
+        ("dedup_embedding_lsh", dedup_embedding_lsh,
+         DEDUP_ORACLES["dedup_embedding_lsh"]),
+        ("dedup_embedding_lsh_wide", dedup_embedding_lsh_wide,
+         _emb_lsh_wide_oracle()),
+        ("dedup_embedding_lsh_auto", dedup_embedding_lsh_auto,
+         DEDUP_ORACLES["dedup_embedding_lsh_auto"]),
+        ("text_contamination_semantic", text_contamination_semantic,
+         PIPE_ORACLES["text_contamination_semantic"]),
+    ]:
+        pdf = fn(spark, d).toPandas()
+        for col in ("id_a", "id_b", "doc_id"):
+            if col in pdf.columns:
+                assert not (set(pdf[col]) & bad), (key, col)
+        if key.startswith("dedup"):
+            pairs = set(zip(pdf["id_a"], pdf["id_b"]))
+            assert {(10, 11), (20, 21)} <= pairs, key
+        else:
+            hit = pdf[pdf["doc_id"] == 33]
+            assert int(hit["n_semantic_hits"].iloc[0]) >= 1
+        compare(fn(spark, d), sql, d, name=f"{key}@dirty")
+    spark.catalog.clearCache()

@@ -355,10 +355,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes are deterministic (md5-seeded ±1), the full pipeline
     is reproducible in SQL, so this operator is ORACLE-CHECKED even
     though it is approximate relative to the exact baseline.
-    """
-    from .similarity import lsh_signature  # noqa: PLC0415
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    Entry contract (r11): like every lsh_signature consumer, the
+    input is filtered on ``_valid_vec`` — invalid vectors are a DQ
+    finding (``dq_embedding_health``), not index members — and the
+    oracle applies the identical ``_SQL_VALID_VEC`` predicate, so the
+    drop is explicit and parity-checked, not incidental.
+    """
+    from .similarity import _valid_vec, lsh_signature  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        _valid_vec(F.col("embedding")))
     # cache: vectors feed both verify sides, signatures feed both
     # band sides — materialize each once (table writes at 100 TB)
     v = emb.select(
@@ -413,11 +420,14 @@ def dedup_embedding_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-p^16)^8, ≈0.97 at cos 0.98 (duplicate-grade, the dedup
     contract) but lower for mid-similarity pairs — the narrow-band
     operator remains the high-recall geometry for small corpora.
-    Deterministic planes ⇒ same oracle-replay guarantee."""
+    Deterministic planes ⇒ same oracle-replay guarantee.  Same
+    ``_valid_vec`` entry filter + ``_SQL_VALID_VEC`` oracle predicate
+    as the narrow geometry (r11)."""
     from .similarity import LSH_BANDS as EMB_BANDS  # noqa: PLC0415
-    from .similarity import lsh_signature  # noqa: PLC0415
+    from .similarity import _valid_vec, lsh_signature  # noqa: PLC0415
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        _valid_vec(F.col("embedding")))
     v = emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).cache()
@@ -475,7 +485,10 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision reads ONE metadata-cheap count (the same discipline as
     the convergence probes); the oracle replays the identical
     branch from its own COUNT(*), so the adaptive operator stays
-    fully SQL-checkable at every corpus size."""
+    fully SQL-checkable at every corpus size.  The branch counts the
+    RAW table (corpus size including invalid rows — cheap, and the
+    oracle's COUNT(*) must see the same number); the chosen geometry
+    then applies its own ``_valid_vec`` entry filter."""
     emb = load_table(spark, sf_dir, "embeddings")
     if emb.count() >= WIDE_MIN_VECTORS:
         return dedup_embedding_lsh_wide(spark, sf_dir)
@@ -1082,6 +1095,7 @@ ORACLES = {
 
 def _emb_lsh_oracle() -> str:
     from .similarity import (  # noqa: PLC0415
+        _SQL_VALID_VEC,
         BAND_SQL,
         LSH_BANDS as EMB_BANDS,
         lsh_band_sql_cols,
@@ -1092,7 +1106,7 @@ def _emb_lsh_oracle() -> str:
             SELECT vec_id, embedding,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
                    sqrt({_SELF_DOT}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
         melted AS (
@@ -1119,6 +1133,7 @@ ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
 def _emb_lsh_wide_oracle() -> str:
     """Replay of the 16-bit re-banding: wide_j = b{2j}*256 + b{2j+1}
     over the same plane-fold band columns."""
+    from .similarity import _SQL_VALID_VEC  # noqa: PLC0415
     from .similarity import LSH_BANDS as EMB_BANDS  # noqa: PLC0415
     from .similarity import lsh_band_sql_cols  # noqa: PLC0415
 
@@ -1135,7 +1150,7 @@ def _emb_lsh_wide_oracle() -> str:
             SELECT vec_id, embedding,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
                    sqrt({_SELF_DOT}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
         melted AS (

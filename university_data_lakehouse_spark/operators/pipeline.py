@@ -579,9 +579,13 @@ def _sem_contam_oracle() -> str:
     """Full SQL replay of the semantic decontamination pipeline:
     band-packed signatures (embedded ±1 plane chains), band melt,
     bench×train bucket candidates, exact-cosine verify, per-doc hit
-    aggregate — the same replay technique as the sim_knn_lsh oracle."""
+    aggregate — the same replay technique as the sim_knn_lsh oracle.
+    The ``v`` CTE applies ``_SQL_VALID_VEC``, twinning the Spark
+    side's ``_vectors`` entry filter (r11 — previously parity on
+    dirty corpora held only incidentally)."""
     from .similarity import (  # noqa: PLC0415
         _SELF_DOT,
+        _SQL_VALID_VEC,
         BAND_SQL,
         LSH_BANDS,
         lsh_band_sql_cols,
@@ -594,7 +598,7 @@ def _sem_contam_oracle() -> str:
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
                    sqrt({_SELF_DOT}) AS nrm
-            FROM embeddings
+            FROM embeddings WHERE {_SQL_VALID_VEC}
         ),
         sig AS (SELECT vec_id, {lsh_band_sql_cols()} FROM v),
         melted AS (

@@ -356,14 +356,20 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Math discipline: Laplace smoothing ((n+1)/(N+k)) keeps absent
     categories finite with pure integer ratios; the midpoint test is
-    ``2·bucket ≥ min+max`` over 1-hour bucket indices (integer epoch
-    division — no float division, no rounding ambiguity; ``div``
-    truncates and ``//`` floors, identical for the non-negative
-    epochs events carry); the one libm call (ln of a probability
-    ratio) is ROUND(…,6) in both engines; and the total sums the
-    rounded contributions as fixed-point BIGINTs (PSI contributions
-    are provably ≥ 0, so floor(x·1e6) is safe) — order-independent,
-    so the window sum is bit-stable.
+    ``2·bucket ≥ min+max`` over 1-hour bucket indices computed with an
+    EXPLICIT floor division — ``x div B - (x % B < 0)`` on the Spark
+    side and the same CASE form over ``//`` in the oracle.  That form
+    yields floor(x/B) under BOTH quotient conventions (truncating
+    ``div``/``%`` pairs with a dividend-sign remainder; flooring pairs
+    subtract 0), so pre-1970 timestamps bucket identically across
+    engines regardless of either engine's native ``div`` semantics —
+    tested with a pre-epoch fixture (r11 ADVICE; empirically DuckDB
+    1.0 ``//`` truncates like Spark ``div``, but nothing should hinge
+    on that).  The one libm call (ln of a probability ratio) is
+    ROUND(…,6) in both engines; and the total sums the rounded
+    contributions as fixed-point BIGINTs (PSI contributions are
+    provably ≥ 0, so floor(x·1e6) is safe) — order-independent, so
+    the window sum is bit-stable.
 
     Scale shape (r10, one-scan): a SINGLE full scan pre-aggregates to
     (event_type, hour_bucket, cnt) with map-side combine; the
@@ -382,7 +388,13 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape where the two engines disagree (r10 self-review).
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull())
-    bkt = F.expr(f"unix_micros(ts) div {PSI_BUCKET_US}")
+    # explicit floor division (see docstring): correct for negative
+    # epochs under either engine's native quotient convention.
+    bkt = F.expr(
+        f"unix_micros(ts) div {PSI_BUCKET_US}"
+        f" - (CASE WHEN unix_micros(ts) % {PSI_BUCKET_US} < 0"
+        f"      THEN 1 ELSE 0 END)"
+    )
     buckets = ev.groupBy(
         F.col("event_type"), bkt.alias("bkt")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -879,7 +891,9 @@ ORACLES["dq_ks_drift"] = f"""
 ORACLES["dq_psi_drift"] = f"""
     WITH bk AS (
         SELECT event_type,
-               epoch_us(ts) // {PSI_BUCKET_US} AS bkt,
+               epoch_us(ts) // {PSI_BUCKET_US}
+                 - (CASE WHEN epoch_us(ts) % {PSI_BUCKET_US} < 0
+                         THEN 1 ELSE 0 END) AS bkt,
                COUNT(*) AS cnt
         FROM events
         WHERE ts IS NOT NULL
