@@ -347,3 +347,44 @@ def test_multimodal_mpeg1_pipeline(spark, sf_dir):
 
     compare(multimodal_mpeg1(spark, sf_dir), ORACLES["multimodal_mpeg1"],
             sf_dir, "multimodal_mpeg1")
+
+
+def test_spec_invalid_escape_levels_rejected(monkeypatch):
+    """r11 ADVICE: the double-byte escape forms have closed ranges —
+    0x00 prefix must carry 128..255 and 0x80 prefix 1..128 (levels
+    -255..-128); a second byte outside them previously decoded to a
+    silently-wrong small/+256-shifted level.  Both malformed shapes
+    must now raise into the null-row boundary like every other
+    corrupt-stream case.  Streams are built by monkeypatching the
+    encoder's coefficient writer with sentinel (run, level) pairs."""
+    import university_data_lakehouse_spark.operators.mpeg1_codec as mc
+
+    orig = mc._put_coeff
+
+    def evil(bw, run, level):
+        if (run, level) == (0, 777):      # 0x00 prefix, byte < 128
+            bw.put(*mc._ESCAPE)
+            bw.put(0, 6)
+            bw.put(0x00, 8)
+            bw.put(40, 8)
+        elif (run, level) == (0, -777):   # 0x80 prefix, byte == 0
+            bw.put(*mc._ESCAPE)
+            bw.put(0, 6)
+            bw.put(0x80, 8)
+            bw.put(0, 8)
+        else:
+            orig(bw, run, level)
+
+    monkeypatch.setattr(mc, "_put_coeff", evil)
+    for sentinel in (777, -777):
+        spec = {"Y": [[(50, [(0, sentinel)]), 60], [70, 80]],
+                "Cb": [[128]], "Cr": [[128]]}
+        payload = mc.encode_mpeg1_intra([spec], 16, 16, qscale=2)
+        with pytest.raises(ValueError, match="invalid escape level"):
+            mc.mpeg1_frames(payload)
+    # the boundary-valid second bytes still decode: 128 after 0x00
+    # (level 128) and 1 after 0x80 (level -255)
+    spec = {"Y": [[(50, [(0, 128), (1, -255)]), 60], [70, 80]],
+            "Cb": [[128]], "Cr": [[128]]}
+    assert mc.mpeg1_frames(
+        mc.encode_mpeg1_intra([spec], 16, 16, qscale=2)) is not None

@@ -1662,3 +1662,42 @@ def test_avi_nested_walk_copies_linear_bytes():
     # slack; the quadratic walk would charge ~depth/2 x len(hostile)
     assert counted.counter[0] < 8 * len(hostile), (
         counted.counter[0], len(hostile))
+
+
+def test_avi_truncated_strf_is_malformed_not_dib():
+    """r11 ADVICE: a strf CLAIMING >= 20 bytes whose body is cut short
+    by the enclosing extent must raise into the null-row boundary —
+    the short slice previously int.from_bytes'd to a bogus
+    biCompression (0 selects the uncompressed-DIB path), decoding
+    garbage as plausible frames."""
+    import struct
+
+    import pytest
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _avi_stream,
+        _samples_or_null,
+    )
+
+    def ch(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    avih = ch(b"avih", struct.pack("<10I", *([0] * 8 + [2, 2])))
+    frame = ch(b"00db", bytes(12))          # 2x2 BI_RGB frame
+    strh = ch(b"strh", b"vids")
+    # claims 20 body bytes, payload ends after 4 — be - bs == 4
+    strf_trunc = b"strf" + (20).to_bytes(4, "little") + b"\x00" * 4
+    body = avih + frame + strh + strf_trunc
+    payload = (b"RIFF" + (len(body) + 4).to_bytes(4, "little")
+               + b"AVI " + body)
+    with pytest.raises(ValueError, match="truncated strf"):
+        _avi_stream(payload)
+    assert _samples_or_null(payload, "video")["n_frames"] is None
+    # control: the same file with the full 20-byte strf decodes as DIB
+    strf_ok = ch(b"strf", b"\x00" * 20)
+    body_ok = avih + frame + strh + strf_ok
+    ok = (b"RIFF" + (len(body_ok) + 4).to_bytes(4, "little")
+          + b"AVI " + body_ok)
+    got = _avi_stream(ok)
+    assert got is not None and got[2] == 0 and len(got[3]) == 1

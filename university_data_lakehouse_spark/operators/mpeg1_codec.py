@@ -416,8 +416,18 @@ def _decode_block(br: _BitReader, dc_table: dict, pred: int,
             level = br.take(8)
             if level == 0:
                 level = br.take(8)           # 128..255
+                # ISO 11172-2 B.5f: the double-byte +ve form encodes
+                # ONLY 128..255 — a second byte < 128 belongs in the
+                # single-byte form and is a malformed stream.
+                if level < 128:
+                    raise ValueError("mpeg1: invalid escape level")
             elif level == 128:
-                level = br.take(8) - 256     # -256..-129
+                level = br.take(8) - 256     # -255..-128
+                # valid second bytes are 1..128: 0 would decode to
+                # -256 (outside the spec's -255..-128) and >128 to
+                # levels the single-byte form must carry.
+                if not -255 <= level <= -128:
+                    raise ValueError("mpeg1: invalid escape level")
             elif level > 128:
                 level -= 256                 # -127..-1
         else:

@@ -1169,9 +1169,15 @@ def _avi_stream(payload: bytes) \
                 # overwrite biCompression with format-blob bytes and
                 # reject a decodable DIB file
                 if stream_type == b"vids":
+                    # a strf CLAIMING >= 20 bytes but truncated by the
+                    # enclosing extent must read as malformed — a
+                    # short slice would int.from_bytes to a bogus
+                    # biCompression (0 selects the uncompressed-DIB
+                    # path) instead of the null row (r11 ADVICE)
+                    if be - bs < 20:
+                        raise ValueError("avi: truncated strf header")
                     compression = int.from_bytes(
-                        payload[min(bs + 16, be):min(bs + 20, be)],
-                        "little")
+                        payload[bs + 16:bs + 20], "little")
             elif cid[2:] in (b"db", b"dc"):
                 frames.append((cid[2:], payload[bs:be]))
             pos = nxt
