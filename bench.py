@@ -126,7 +126,12 @@ SF10_REPEATS = 2      # fewer for the secondary scaling sections —
 # in the suite (hash-bucket join sizes are sensitive to partition
 # placement). Time them with 5 repeats in the synth sections so the
 # median actually rejects the outliers.
-HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh"}
+# r10 added the codec heavyweights: multimodal_jpeg timed 14.0s
+# (driver run) vs 10.1s (builder run) at the same HEAD and sf1 —
+# in-run variance of the LSH kind, which would masquerade as a
+# regression without the median-of-5.
+HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh",
+                 "multimodal_jpeg", "multimodal_mpeg1"}
 HIGH_VARIANCE_REPEATS = 5
 
 # skew section (VERDICT r6 #8): the skew-sensitive operators timed on
