@@ -447,7 +447,8 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_C_ALPHA = 1.358      # c(α) at the classic α = 0.05
 
 
-def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_ks_drift(spark: SparkSession, sf_dir: str,
+                binned: int | None = None) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift check over the events
     VALUE distribution, per event_type — the numeric complement of
     ``dq_psi_drift``'s categorical PSI: split the stream at the
@@ -464,13 +465,19 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one tiny 1-row bounds aggregate (ts column only),
     then ONE full scan grouping to (event_type, value) with map-side
     combine. The per-type ordered cumulative window is the inherent
-    KS shape (a sorted CDF); at 100 TB you bin values first
-    (``F.round(value, k)`` in the groupBy) so each type's window is
-    grid-sized — unbinned here because the test corpus' value
-    cardinality is small. The bounds pass stays separate by design:
-    deriving global min/max from the grouped table via a
-    single-partition window would funnel the value-cardinality-sized
-    relation through one task."""
+    KS shape (a sorted CDF); ``binned=k`` is the 100 TB switch —
+    ``F.round(value, k)`` in the groupBy caps each type's grouped
+    relation (and therefore its cumulative window) at grid size
+    regardless of raw value cardinality. Rounding is monotone
+    non-decreasing, so the binned statistic evaluates the exact CDF
+    gap on a SUBSET of evaluation points: D_binned ≤ D_exact always,
+    with error bounded by the largest single-bin probability mass —
+    test_approx_switches pins both properties against the exact form
+    (the dq_value_outliers approx=True discipline). Registry/oracle
+    use the exact form; the driver key is unchanged. The bounds pass
+    stays separate by design: deriving global min/max from the
+    grouped table via a single-partition window would funnel the
+    value-cardinality-sized relation through one task."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     # NULL values are excluded in BOTH engines (Spark sorts NULLS
@@ -484,9 +491,11 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros("ts")).alias("mx"),
     )
     is_cur = F.unix_micros("ts") * 2 >= F.col("mn") + F.col("mx")
+    val = (F.round(F.col("value"), binned) if binned is not None
+           else F.col("value"))
     per_val = (
         ev.crossJoin(F.broadcast(b))
-        .groupBy("event_type", "value")
+        .groupBy("event_type", val.alias("value"))
         .agg(
             F.sum((~is_cur).cast("long")).alias("r"),
             F.sum(is_cur.cast("long")).alias("c"),
