@@ -511,3 +511,45 @@ def test_vacuumed_change_feed_fails_clearly_then_recovers(spark, tmp_path):
     df, target = feed.poll(spark)
     assert target == 4
     assert {(r.id, r.val) for r in df.collect()} == {(4, "d")}
+
+
+def test_text_gates_compose_on_streams(spark, sf_dir, tmp_path):
+    """r11 (VERDICT item 3a): the pretraining-gate trilogy — Gopher,
+    C4, FineWeb — is stateless narrow maps, so the SAME DataFrame-
+    level functions run unchanged on a readStream of the documents
+    table and produce exactly the batch results (the sample_gate /
+    pii_scrub unification discipline; zero new registry keys)."""
+    import os as _os
+
+    from university_data_lakehouse_spark.operators.text import (
+        c4_rules,
+        fineweb_rules,
+        gopher_rules,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    _os.symlink(_os.path.join(sf_dir, "documents.parquet"),
+                stream_dir / "part-0.parquet")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(str(stream_dir))
+    )
+
+    for name, fn in (("gopher", gopher_rules), ("c4", c4_rules),
+                     ("fineweb", fineweb_rules)):
+        q = (
+            fn(stream_docs).writeStream.format("memory")
+            .queryName(f"gate_{name}")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {tuple(r) for r in
+                    spark.sql(f"SELECT * FROM gate_{name}").collect()}
+        batch = {tuple(r) for r in fn(batch_docs).collect()}
+        assert streamed == batch, name
+        assert len(streamed) > 0, name

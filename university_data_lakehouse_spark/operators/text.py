@@ -433,7 +433,7 @@ GOPHER_N_RULES = 7
 WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
 
 
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gopher_rules(doc: DataFrame) -> DataFrame:
     r"""Gopher repetition-free quality rules per document: word-count
     bounds, mean word length, symbol-to-word ratio ('#' and '...'),
     bullet-start / ellipsis-end line fractions, alphabetic-word ratio
@@ -448,8 +448,12 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rules_passed`` counts the 7 rule booleans; ``keep`` is their
     conjunction.  The whitespace split uses an explicit char class —
     Java's \s includes \x0B where RE2's does not, and the oracle must
-    split identically."""
-    doc = load_table(spark, sf_dir, "documents")
+    split identically.
+
+    DataFrame-level (r11): a stateless narrow map over ``doc``, so
+    the SAME function runs unchanged on batch and streaming frames —
+    tests/test_streaming.py pins stream == batch, the pii_scrub/
+    sample_gate unification discipline."""
     words = F.filter(F.split(F.col("text"), WS_RE), lambda w: w != "")
     n_words = F.size(words)
     word_chars = F.aggregate(
@@ -509,6 +513,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``gopher_rules`` over the documents table."""
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
 # C4 page/line filters (Raffel et al. 2020, "Exploring the Limits of
 # Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
 # the public clean-crawl rule set; values are the paper's).  Sentence
@@ -522,7 +531,7 @@ C4_MIN_SENTENCES = 3
 C4_TERMINAL_RE = "[.!?\"][ \\t\\r]*\\z"
 
 
-def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c4_rules(doc: DataFrame) -> DataFrame:
     """C4 cleaning heuristics per document: lines kept iff they end in
     terminal punctuation AND carry >= 5 words; page dropped on 'lorem
     ipsum', a curly brace, < 3 sentences, or zero kept lines; the
@@ -531,8 +540,8 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same execution shape as ``text_gopher_rules``: one narrow JVM map
     stage of split + higher-order folds, zero shuffle, embarrassingly
     parallel at 100 TB.  All metrics are int counts or int-ratio
-    divisions — no libm — so the DuckDB oracle is bit-identical."""
-    doc = load_table(spark, sf_dir, "documents")
+    divisions — no libm — so the DuckDB oracle is bit-identical.
+    DataFrame-level and streaming-safe like ``gopher_rules``."""
     lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
 
@@ -574,6 +583,11 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``c4_rules`` over the documents table."""
+    return c4_rules(load_table(spark, sf_dir, "documents"))
+
+
 # FineWeb quality filters (Penedo et al. 2024, "The FineWeb Datasets"
 # §3.1 — the three C4-inspired custom filters; values are the
 # paper's). Like the Gopher/C4 gates: a pure pipeline extension (the
@@ -584,7 +598,7 @@ FINEWEB_MAX_SHORT_RATIO = 0.67    # lines shorter than 30 chars
 FINEWEB_MAX_DUP_CHAR_RATIO = 0.1  # chars inside duplicated lines
 
 
-def text_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fineweb_rules(doc: DataFrame) -> DataFrame:
     """FineWeb's three added quality filters per document (the third
     member of the public pretraining-gate trilogy next to
     ``text_gopher_rules`` and ``text_c4_rules``): drop a page when
@@ -600,8 +614,8 @@ def text_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     read, so any total order groups equal lines identically in both
     engines. Same execution shape as the other two gates: one narrow
     JVM map stage, zero shuffle, int-ratio divisions only (no libm),
-    bit-identical DuckDB oracle."""
-    doc = load_table(spark, sf_dir, "documents")
+    bit-identical DuckDB oracle. DataFrame-level and streaming-safe
+    like ``gopher_rules``."""
     lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
     n_punct = F.size(F.filter(lines, lambda l: l.rlike(C4_TERMINAL_RE)))
@@ -642,6 +656,11 @@ def text_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_ratio.alias("dup_char_ratio"),
         F.coalesce(keep.cast("int"), F.lit(0)).alias("keep"),
     )
+
+
+def text_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``fineweb_rules`` over the documents table."""
+    return fineweb_rules(load_table(spark, sf_dir, "documents"))
 
 
 def _sql_count_in(words: tuple[str, ...]) -> str:
