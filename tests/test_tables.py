@@ -1134,3 +1134,100 @@ def test_merge_partition_prune_collect_capped(spark, catalog, monkeypatch):
     t2.write(spark.createDataFrame(rows, schema), partition_by=["day"])
     t2.merge(spark.createDataFrame(src_rows, schema), keys=["id", "day"])
     assert {(r.id, r.val) for r in t2.read(spark).collect()} == expect
+
+
+def test_compaction_under_concurrent_change_feed(spark, catalog,
+                                                 tmp_path, monkeypatch):
+    """r11 (VERDICT item 3b): the OCC surface crossed with the change
+    feed. A CDF consumer ticks across interleaved appends and
+    compactions:
+
+      - a compact-only range is LAYOUT-ONLY to CDF — the keyed diff
+        yields zero row changes, never phantom inserts/deletes for
+        the rewritten rows;
+      - a range mixing an append with a compaction delivers exactly
+        the appended rows;
+      - a compaction LOSING the OCC race to a concurrent append
+        (maybe_compact -> None) leaves the feed consistent: the
+        racing append is delivered exactly once;
+      - a poll-process-crash-replay around a compaction re-delivers
+        idempotently (keyed MERGE absorbs it).
+
+    End state: the downstream mirror equals the source exactly."""
+    from university_data_lakehouse_spark.streaming.source import (
+        TableChangeFeed,
+    )
+
+    src, dst = catalog.table("cdc_src"), catalog.table("cdc_dst")
+    feed = TableChangeFeed(src, str(tmp_path / "chk"), keys=["id"])
+    content = lambda t: {(r.id, r.val) for r in t.read(spark).collect()}
+
+    def tick(expect_types=None, expect_ids=None):
+        df, target = feed.poll(spark)
+        if df is None:
+            return None, target
+        rows = df.collect()
+        if expect_types is not None:
+            assert {r["_change_type"] for r in rows} <= expect_types
+        if expect_ids is not None:
+            assert {r["id"] for r in rows} == expect_ids
+        ups = df.where("_change_type <> 'delete'").drop(
+            "_change_type", "_commit_version")
+        if not dst.exists():
+            dst.write(ups)
+        elif not ups.isEmpty():
+            dst.merge(ups, keys=["id"])
+        feed.commit(target)
+        return rows, target
+
+    # v1: seed in several files so compaction has work to do
+    src.write(_df(spark, [(i, f"r{i}") for i in range(10)]).repartition(4))
+    _, t1 = tick(expect_ids=set(range(10)))
+    assert t1 == 1 and content(dst) == content(src)
+
+    # v2 append + v3 compact in ONE tick: keyed diff must surface
+    # exactly the appended rows, nothing from the rewrite
+    src.write(_df(spark, [(i, f"r{i}") for i in range(10, 15)])
+              .repartition(2), mode="append")
+    n_files_before = len(src.manifest()["files"])
+    assert src.compact(spark) == 3
+    assert len(src.manifest()["files"]) < n_files_before
+    rows, t3 = tick(expect_types={"insert", "update_postimage"},
+                    expect_ids=set(range(10, 15)))
+    assert t3 == 3 and content(dst) == content(src)
+
+    # v4: compact-only range -> zero row changes, cursor still moves
+    assert src.compact(spark, target_files=2) == 4
+    rows, t4 = tick()
+    assert t4 == 4 and rows == []
+    assert feed.cursor() == 4
+
+    # v5: compaction loses the OCC race to a concurrent append —
+    # maintenance skips (None), the append is delivered exactly once
+    orig_stage = src._stage
+
+    def racing_stage(df, partition_by=None, **kw):
+        staged = orig_stage(df, partition_by=partition_by, **kw)
+        ManagedTable(src.path).write(
+            _df(spark, [(15, "race")]).coalesce(1), mode="append")
+        return staged
+
+    monkeypatch.setattr(src, "_stage", racing_stage)
+    assert src.maybe_compact(spark, max_files=0) is None
+    monkeypatch.setattr(src, "_stage", orig_stage)
+    assert src.latest_version() == 5          # only the racer landed
+    rows, t5 = tick(expect_types={"insert"}, expect_ids={15})
+    assert t5 == 5 and content(dst) == content(src)
+
+    # v6 compact + crash-replay: poll twice without committing the
+    # cursor in between — the keyed MERGE absorbs the re-delivery
+    assert src.compact(spark) == 6
+    df_a, target_a = feed.poll(spark)          # "crash" after this
+    df_b, target_b = feed.poll(spark)          # replayed range
+    assert target_a == target_b == 6
+    assert df_a.count() == df_b.count() == 0
+    feed.commit(target_b)
+
+    assert content(dst) == content(src) == (
+        {(i, f"r{i}") for i in range(15)} | {(15, "race")})
+    assert dst.read(spark).count() == 16       # no duplicate deliveries
