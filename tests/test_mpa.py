@@ -242,3 +242,56 @@ def test_decoder_never_crashes_on_junk_property():
                 pass
 
     check()
+
+
+def test_multimodal_mpa_subbands_pipeline(spark, sf_dir):
+    """The Spark plumbing: synthetic Layer I payloads decode to exact
+    fixed-point subband features in one Arrow pass. Expectations are
+    recomputed INDEPENDENTLY from the synth construction's closed
+    form — sf(idx) · (2(C+1) − 2^nb)/(2^nb − 1) — not by calling the
+    decoder again."""
+    import math
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        multimodal_mpa_subbands,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    out = {r["doc_id"]: r
+           for r in multimodal_mpa_subbands(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs               # every payload decodes
+
+    def expected(doc_id):
+        energy = 0
+        band = [0] * 32
+        n_active = 0
+        for f in range(1 + doc_id % 3):
+            spec = {}
+            for j in range(2):
+                sb = (doc_id * 5 + f * 11 + j * 17) % 32
+                alloc = 1 + (doc_id + sb + f) % 14
+                spec[sb] = (alloc, 3 * ((doc_id + 3 * sb + f) % 21))
+            n_active += 12 * len(spec)
+            for sb, (alloc, scf) in spec.items():
+                nb = alloc + 1
+                sf = 2.0 ** (1 - scf // 3)
+                for s in range(12):
+                    c = (doc_id * 7 + s * 3 + sb + f) % ((1 << nb) - 1)
+                    v = sf * (float(2 * (c + 1) - (1 << nb))
+                              / float((1 << nb) - 1))
+                    t = math.floor(v * v * 1e9)
+                    energy += t
+                    band[sb] += t
+        return energy, max(range(32), key=lambda i: (band[i], -i)), n_active
+
+    for d in list(out)[:12]:
+        r = out[d]
+        e_energy, e_peak, e_active = expected(d)
+        assert r["energy_fp"] == e_energy, d
+        assert r["peak_sb"] == e_peak, d
+        assert r["n_active_samples"] == e_active, d
+        assert r["n_frames"] == 1 + d % 3, d
+        assert (r["sample_rate"], r["bitrate"]) == (32000, 64000)
+        exp_rms = round(math.sqrt(e_energy / 1e9 / e_active), 6)
+        assert r["subband_rms"] == exp_rms, d

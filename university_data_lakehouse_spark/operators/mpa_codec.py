@@ -184,7 +184,9 @@ def decode_mpa_l1(payload: bytes) -> dict | None:
     subsequent frame must parse too (header parameters may not change
     mid-stream except the padding bit) — a malformed tail raises.
 
-    Output: dict with sample_rate, nch, bitrate, n_frames and
+    Output: dict with sample_rate, nch, bitrate, n_frames,
+    ``n_active_samples`` (total sample codes carried by nonzero
+    allocations — the count downstream statistics normalize by) and
     ``subbands`` — float64 array [nch, n_frames*12, 32] of the spec's
     s' values (requantized × scalefactor)."""
     hdr0 = parse_mpa_header(payload, 0)
@@ -194,6 +196,7 @@ def decode_mpa_l1(payload: bytes) -> dict | None:
     off = 0
     hdr = hdr0
     nch = hdr0["nch"]
+    n_active = 0
     while True:
         if off + hdr["frame_bytes"] > len(payload):
             raise ValueError("mpa: frame extends past payload")
@@ -230,6 +233,7 @@ def decode_mpa_l1(payload: bytes) -> dict | None:
                         scalefactor(int(scf[ch, sb]))
                         * requantize_l1(code, nb))
         frames.append(block)
+        n_active += 12 * int((alloc > 0).sum())
         off += hdr["frame_bytes"]
         if off >= len(payload):
             break
@@ -247,6 +251,7 @@ def decode_mpa_l1(payload: bytes) -> dict | None:
         "nch": nch,
         "bitrate": hdr0["bitrate"],
         "n_frames": len(frames),
+        "n_active_samples": n_active,
         "subbands": sub,
     }
 

@@ -1052,6 +1052,35 @@ def _riff_list(ltype: bytes, payload: bytes) -> bytes:
     return _riff_chunk(b"LIST", ltype + payload)
 
 
+def synth_mpa_payload(doc_id: int) -> bytes:
+    """Deterministic VALID MPEG-1 Audio Layer I stream (see
+    mpa_codec.encode_mpa_l1; mono, 32 kHz, 64 kbit/s → exact 96-byte
+    frames): 1 + doc_id % 3 frames, each activating up to two
+    subbands with allocation 1 + (doc_id+sb+f) % 14, a power-of-two
+    scalefactor (index 3·((doc_id+3·sb+f) % 21) — exact by
+    construction, see the mpa_codec design note) and sample codes
+    (doc_id·7 + s·3 + sb + f) % (2^nb − 1), which lands every code in
+    the legal 0..2^nb−2 range. Each decoded subband sample is
+    therefore the CLOSED FORM sf · (2(C+1) − 2^nb)/(2^nb − 1) of
+    (doc_id, f, sb, s) — the construction an r12 DuckDB oracle can
+    replay."""
+    from .mpa_codec import encode_mpa_l1  # noqa: PLC0415
+
+    frames = []
+    for f in range(1 + doc_id % 3):
+        spec: dict[int, tuple] = {}
+        for j in range(2):
+            sb = (doc_id * 5 + f * 11 + j * 17) % 32
+            alloc = 1 + (doc_id + sb + f) % 14          # nb = 2..15
+            nb = alloc + 1
+            scf = 3 * ((doc_id + 3 * sb + f) % 21)      # 0,3,..,60
+            codes = [(doc_id * 7 + s * 3 + sb + f) % ((1 << nb) - 1)
+                     for s in range(12)]
+            spec[sb] = (alloc, scf, codes)
+        frames.append([spec])
+    return encode_mpa_l1(frames)
+
+
 def synth_avi_payload(doc_id: int) -> bytes:
     """Deterministic VALID AVI container with UNCOMPRESSED 24-bit DIB
     frames (the video analog of BMP/WAV: the one public video format
@@ -2059,7 +2088,10 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         except ImportError as e:
             raise NotImplementedError(
                 "compressed audio decode needs soundfile (absent here); "
-                "PCM WAV decodes without it via decode_samples"
+                "PCM WAV, G.711, IMA-ADPCM and FLAC decode without it "
+                "via decode_samples, and MPEG-1 Layer I decodes to the "
+                "subband domain via operators/mpa_codec.py (time-domain "
+                "synthesis stays probed: Table B.3)"
             ) from e
         import io  # noqa: PLC0415
         data, _rate = soundfile.read(io.BytesIO(payload), dtype="int16")
@@ -2644,6 +2676,75 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double")
                    / F.col("n_samples").cast("double")), 6,
         ).alias("rms"),
+    )
+
+
+MPA_SUBBAND_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bitrate", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("n_active_samples", IntegerType()),
+    StructField("energy_fp", LongType()),
+    StructField("peak_sb", IntegerType()),
+])
+
+
+def multimodal_mpa_subbands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-envelope features from REAL MPEG-1 Audio Layer I
+    decode (operators/mpa_codec.py, ISO/IEC 11172-3): per document a
+    synthetic Layer I stream (synth_mpa_payload) is entropy-decoded
+    to the subband domain inside one Arrow mapInPandas batch —
+    per-batch numpy, never per-row UDF rows — and reduced to exact
+    integer accumulators: total frame/sample counts, the fixed-point
+    energy Σ floor(v²·10⁹) (order-free int64 sum, the
+    emb_label_centroids discipline) and the peak subband (argmax of
+    the per-band fixed-point energies, lowest band on ties). The one
+    libm value (subband RMS) is computed JVM-side as
+    ROUND(sqrt(...), 6) so a future oracle runs the identical
+    expression.
+
+    NOT a registry key in r11 — the 50-slot driver window is full and
+    window_check.py now enforces that new keys take window slots in
+    their first round; the key + DuckDB oracle (the closed form in
+    the synth/codec docstrings) is earmarked for an r12 spare slot.
+    Pytest-gated meanwhile (tests/test_mpa.py)."""
+    from .mpa_codec import decode_mpa_l1  # noqa: PLC0415
+
+    media = _synth_media_df(spark, sf_dir, synth_mpa_payload, "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in MPA_SUBBAND_SCHEMA.fields}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    out = decode_mpa_l1(bytes(p))
+                except _DECODE_ERRORS:
+                    out = None
+                if out is None:
+                    continue
+                fp = np.floor(
+                    np.square(out["subbands"]) * 1e9).astype(np.int64)
+                band = fp.sum(axis=(0, 1))
+                rows["doc_id"].append(int(d))
+                rows["sample_rate"].append(out["sample_rate"])
+                rows["bitrate"].append(out["bitrate"])
+                rows["n_frames"].append(out["n_frames"])
+                rows["n_active_samples"].append(out["n_active_samples"])
+                rows["energy_fp"].append(int(fp.sum()))
+                rows["peak_sb"].append(int(band.argmax()))
+            yield pd.DataFrame(rows)
+
+    stats = media.mapInPandas(run, schema=MPA_SUBBAND_SCHEMA)
+    return stats.select(
+        "*",
+        F.round(
+            F.sqrt(
+                F.col("energy_fp").cast("double") / F.lit(1e9)
+                / F.nullif(F.col("n_active_samples").cast("double"),
+                           F.lit(0.0))
+            ), 6,
+        ).alias("subband_rms"),
     )
 
 
