@@ -1701,3 +1701,46 @@ def test_avi_truncated_strf_is_malformed_not_dib():
           + b"AVI " + body_ok)
     got = _avi_stream(ok)
     assert got is not None and got[2] == 0 and len(got[3]) == 1
+
+
+def test_avi_short_or_truncated_header_chunks_raise():
+    """r11 review: the truncation rule is uniform across header
+    chunks — a vids strf whose OWN size field claims < 20 bytes must
+    raise (compression would stay None, which _avi_frames accepts as
+    BI_RGB — the same DIB masquerade as the extent-truncated case),
+    and truncated avih/strh bodies raise explicitly rather than
+    best-effort-parsing short slices."""
+    import struct
+
+    import pytest
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _avi_stream,
+        _samples_or_null,
+    )
+
+    def ch(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def riff(body):
+        return (b"RIFF" + (len(body) + 4).to_bytes(4, "little")
+                + b"AVI " + body)
+
+    avih = ch(b"avih", struct.pack("<10I", *([0] * 8 + [2, 2])))
+    frame = ch(b"00db", bytes(12))
+    strh = ch(b"strh", b"vids")
+    # strf declaring only 16 bytes — too short for biCompression
+    short_strf = ch(b"strf", b"\x00" * 16)
+    p = riff(avih + frame + strh + short_strf)
+    with pytest.raises(ValueError, match="truncated strf"):
+        _avi_stream(p)
+    assert _samples_or_null(p, "video")["n_frames"] is None
+    # avih claiming 40 bytes but cut off by the payload end
+    trunc_avih = b"avih" + (40).to_bytes(4, "little") + b"\x00" * 8
+    with pytest.raises(ValueError, match="truncated avih"):
+        _avi_stream(riff(trunc_avih))
+    # strh claiming 4 bytes but cut off by the payload end
+    trunc_strh = b"strh" + (4).to_bytes(4, "little") + b"v"
+    with pytest.raises(ValueError, match="truncated strh"):
+        _avi_stream(riff(avih + frame + trunc_strh))

@@ -15,11 +15,13 @@ tool makes both impossible to miss:
   R2. SCALE_REPORT_r{N}.txt exists and is non-trivial;
   R3. the bench artifacts are FRESH relative to the engine: no bench
       input (bench.py, __spark_entry__.py, the engine package, tools/)
-      has a commit NEWER than the artifact's last commit, and none has
-      uncommitted modifications.  An artifact that is itself untracked
-      or modified in the working tree is accepted — that is exactly
-      the just-ran-about-to-commit state — provided the engine inputs
-      are clean;
+      has a commit NEWER than the artifact's last commit, the artifact
+      does not SHARE a commit with an engine change (freshness would
+      be unprovable — commit artifacts separately, after the final
+      code commit), and no input has uncommitted modifications.  An
+      artifact that is itself untracked or modified in the working
+      tree is accepted — that is exactly the just-ran-about-to-commit
+      state — provided the engine inputs are clean;
   R4. tools/window_check.py passes (the rotation invariant, checked
       one last time at the shipped ordering).
 
@@ -90,10 +92,21 @@ def check_round(n: int) -> list[str]:
             art_commit = _git("log", "-1", "--format=%H", "--", bench_name)
             code_commit = _git("log", "-1", "--format=%H", "--",
                                *BENCH_INPUTS)
-            if art_commit and code_commit and art_commit != code_commit:
-                # fresh iff the code commit is an ancestor of (or equal
-                # to) the artifact commit — i.e. nothing changed after
-                # the timings were taken
+            if art_commit and code_commit and art_commit == code_commit:
+                # a single commit carrying BOTH the artifact and an
+                # engine change cannot prove the timings were taken at
+                # that code state (the artifact may predate the edit)
+                # — commit bench artifacts on their own, after the
+                # final code commit (r11 review)
+                errs.append(
+                    f"R3 {bench_name} and bench inputs share commit "
+                    f"{art_commit[:9]} — freshness is unprovable; "
+                    "commit the artifact separately after the final "
+                    "code commit")
+            elif art_commit and code_commit:
+                # fresh iff the code commit is an ancestor of the
+                # artifact commit — i.e. nothing changed after the
+                # timings were taken
                 anc = subprocess.run(
                     ["git", "-C", REPO, "merge-base", "--is-ancestor",
                      code_commit, art_commit]).returncode

@@ -357,20 +357,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     though it is approximate relative to the exact baseline.
 
     Entry contract (r11): like every lsh_signature consumer, the
-    input is filtered on ``_valid_vec`` — invalid vectors are a DQ
-    finding (``dq_embedding_health``), not index members — and the
-    oracle applies the identical ``_SQL_VALID_VEC`` predicate, so the
-    drop is explicit and parity-checked, not incidental.
+    input goes through ``similarity._vectors`` — ONE source of truth
+    for the ``_valid_vec`` filter + double cast + norm (invalid
+    vectors are a DQ finding, ``dq_embedding_health``, not index
+    members) — and the oracle applies the identical
+    ``_SQL_VALID_VEC`` predicate, so the drop is explicit and
+    parity-checked, not incidental.
     """
-    from .similarity import _valid_vec, lsh_signature  # noqa: PLC0415
+    from .similarity import _vectors, lsh_signature  # noqa: PLC0415
 
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        _valid_vec(F.col("embedding")))
     # cache: vectors feed both verify sides, signatures feed both
     # band sides — materialize each once (table writes at 100 TB)
-    v = emb.select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("v")
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).cache()
+    v = _vectors(spark, sf_dir).cache()
     sig = v.select("vec_id", lsh_signature(F.col("v")).alias("sig")).cache()
     bands = sig.select(
         "vec_id", F.posexplode(F.col("sig")).alias("band", "bsig")
@@ -421,16 +419,13 @@ def dedup_embedding_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract) but lower for mid-similarity pairs — the narrow-band
     operator remains the high-recall geometry for small corpora.
     Deterministic planes ⇒ same oracle-replay guarantee.  Same
-    ``_valid_vec`` entry filter + ``_SQL_VALID_VEC`` oracle predicate
-    as the narrow geometry (r11)."""
+    ``similarity._vectors`` entry (valid-vec filter + cast + norm in
+    one place) + ``_SQL_VALID_VEC`` oracle predicate as the narrow
+    geometry (r11)."""
     from .similarity import LSH_BANDS as EMB_BANDS  # noqa: PLC0415
-    from .similarity import _valid_vec, lsh_signature  # noqa: PLC0415
+    from .similarity import _vectors, lsh_signature  # noqa: PLC0415
 
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        _valid_vec(F.col("embedding")))
-    v = emb.select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("v")
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))).cache()
+    v = _vectors(spark, sf_dir).cache()
     sig = v.select("vec_id", lsh_signature(F.col("v")).alias("sig"))
     wide = sig.select(
         "vec_id",

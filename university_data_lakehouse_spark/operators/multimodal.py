@@ -1188,22 +1188,33 @@ def _avi_stream(payload: bytes) \
                 pos, end = bs + 4, be        # descend now (in order)
                 continue
             if cid == b"avih" and size >= 40:
-                vals = struct.unpack("<10I", payload[bs:min(bs + 40, be)])
+                # uniform truncation rule for header chunks (r11
+                # review): a chunk whose READABLE body is shorter than
+                # its semantics need is malformed, never best-effort —
+                # an explicit raise, not an incidental struct.error
+                if be - bs < 40:
+                    raise ValueError("avi: truncated avih header")
+                vals = struct.unpack("<10I", payload[bs:bs + 40])
                 w, h = vals[8], vals[9]
             elif cid == b"strh" and size >= 4:
-                stream_type = payload[bs:min(bs + 4, be)]
-            elif cid == b"strf" and size >= 20:
+                if be - bs < 4:
+                    raise ValueError("avi: truncated strh header")
+                stream_type = payload[bs:bs + 4]
+            elif cid == b"strf":
                 # honor only the VIDEO stream's BITMAPINFOHEADER — a
                 # trailing audio strl's WAVEFORMATEX would otherwise
                 # overwrite biCompression with format-blob bytes and
                 # reject a decodable DIB file
                 if stream_type == b"vids":
-                    # a strf CLAIMING >= 20 bytes but truncated by the
-                    # enclosing extent must read as malformed — a
-                    # short slice would int.from_bytes to a bogus
-                    # biCompression (0 selects the uncompressed-DIB
-                    # path) instead of the null row (r11 ADVICE)
-                    if be - bs < 20:
+                    # a video strf needs the 20 bytes through
+                    # biCompression, whether the shortfall comes from
+                    # its own size field (< 20 would leave compression
+                    # None, which _avi_frames accepts as BI_RGB) or
+                    # from the enclosing extent truncating the body
+                    # (a short slice would int.from_bytes to a bogus
+                    # value) — both masquerades raise (r11 ADVICE +
+                    # review)
+                    if size < 20 or be - bs < 20:
                         raise ValueError("avi: truncated strf header")
                     compression = int.from_bytes(
                         payload[bs + 16:bs + 20], "little")
@@ -2684,7 +2695,9 @@ MPA_SUBBAND_SCHEMA = StructType([
     StructField("sample_rate", IntegerType()),
     StructField("bitrate", IntegerType()),
     StructField("n_frames", IntegerType()),
-    StructField("n_active_samples", IntegerType()),
+    # LongType: a fully-allocated stream carries 768 active samples
+    # per frame, so int32 would overflow near 2.8M frames (~9 hours)
+    StructField("n_active_samples", LongType()),
     StructField("energy_fp", LongType()),
     StructField("peak_sb", IntegerType()),
 ])
