@@ -81,7 +81,10 @@ _PRIORITY_KEYS = (
     # olap_shipping_priority, olap_top_k_per_group, sim_knn_bruteforce,
     # sim_knn_ivf, sim_knn_ivfpq, sim_knn_pq, sim_knn_rp, text_c4_rules,
     # text_fingerprint, text_langid, text_quality_score,
-    # text_token_stats) + 2 slots for r12-changed keys.
+    # text_token_stats) + 2 slots for r12-changed/new keys — the
+    # r11-built multimodal_mpa_subbands (operators/multimodal.py,
+    # pytest-gated, oracle design in the mpa_codec docstring) is the
+    # earmarked candidate for one of them (147/150 capacity).
     # tools/window_check.py verifies this earmark mechanically.
 )
 
