@@ -295,3 +295,18 @@ def test_multimodal_mpa_subbands_pipeline(spark, sf_dir):
         assert (r["sample_rate"], r["bitrate"]) == (32000, 64000)
         exp_rms = round(math.sqrt(e_energy / 1e9 / e_active), 6)
         assert r["subband_rms"] == exp_rms, d
+
+
+def test_multimodal_mpa_subbands_duckdb_oracle_parity(spark, sf_dir):
+    """Full bit-exact DuckDB replay of the Layer I subband pipeline
+    (MPA_SUBBANDS_ORACLE) — the oracle the r12 registry key will
+    register, verified through the same compare() machinery as the
+    registry gate so minting the key is a one-line change."""
+    from tests.oracle_utils import compare
+    from university_data_lakehouse_spark.operators.multimodal import (
+        MPA_SUBBANDS_ORACLE,
+        multimodal_mpa_subbands,
+    )
+
+    compare(multimodal_mpa_subbands(spark, sf_dir), MPA_SUBBANDS_ORACLE,
+            sf_dir, name="multimodal_mpa_subbands@oracle")

@@ -2761,6 +2761,85 @@ def multimodal_mpa_subbands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replay of multimodal_mpa_subbands — the full oracle for the
+# r12 registry key, pytest-compared bit-exact already (tests/
+# test_mpa.py): the synth construction is j-idempotent (alloc/scf/
+# codes depend only on (doc_id, f, sb)), so DISTINCT (doc_id, f, sb)
+# replays the encoder's dict overwrite; the value is the closed form
+# sf · (2(C+1) − 2^nb)/(2^nb − 1) with sf = POWER(2, 1 − scf//3) an
+# exact power of two; multiplication order matches the Python kernel
+# (sf * (num/den)); energy terms are FLOOR(v*v*1e9) BIGINTs (order-
+# free sum); the peak band is max energy with lowest-band tie-break;
+# the one libm value is the identical ROUND(SQRT(...), 6) expression.
+MPA_SUBBANDS_ORACLE = """
+    WITH fr AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f
+        FROM documents
+    ),
+    js AS (SELECT doc_id, f, unnest([0, 1]) AS j FROM fr),
+    sbs AS (
+        SELECT DISTINCT doc_id, f,
+               (doc_id * 5 + f * 11 + j * 17) % 32 AS sb
+        FROM js
+    ),
+    p AS (
+        SELECT doc_id, f, sb,
+               1 + (doc_id + sb + f) % 14 AS alloc,
+               3 * ((doc_id + 3 * sb + f) % 21) AS scf
+        FROM sbs
+    ),
+    smp AS (
+        SELECT doc_id, f, sb, alloc, scf, unnest(range(0, 12)) AS s
+        FROM p
+    ),
+    vals AS (
+        SELECT doc_id, sb,
+               POWER(2.0, 1 - scf // 3) * (
+                   CAST(2 * (((doc_id * 7 + s * 3 + sb + f)
+                              % ((1 << (alloc + 1)) - 1)) + 1)
+                        - (1 << (alloc + 1)) AS DOUBLE)
+                   / CAST((1 << (alloc + 1)) - 1 AS DOUBLE)
+               ) AS v
+        FROM smp
+    ),
+    band AS (
+        SELECT doc_id, sb,
+               SUM(CAST(FLOOR(v * v * 1e9) AS BIGINT)) AS bt
+        FROM vals GROUP BY 1, 2
+    ),
+    -- peak ranks the FULL 32-band spectrum (inactive bands carry 0),
+    -- matching the kernel's argmax over the dense band array: a doc
+    -- whose tiny scalefactors floor every term to 0 ties ALL bands
+    -- and must resolve to band 0, not the lowest ACTIVE band
+    allb AS (
+        SELECT doc_id, unnest(range(0, 32)) AS sb FROM documents
+    ),
+    dense AS (
+        SELECT a.doc_id, a.sb, COALESCE(b.bt, 0) AS bt
+        FROM allb a LEFT JOIN band b USING (doc_id, sb)
+    ),
+    pk AS (
+        SELECT doc_id, sb AS peak_sb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY bt DESC, sb ASC) AS rn
+        FROM dense
+    ),
+    agg AS (SELECT doc_id, SUM(bt) AS energy FROM band GROUP BY 1),
+    act AS (SELECT doc_id, 12 * COUNT(*) AS n_active FROM p GROUP BY 1)
+    SELECT a.doc_id,
+           32000 AS sample_rate,
+           64000 AS bitrate,
+           CAST(1 + a.doc_id % 3 AS INTEGER) AS n_frames,
+           CAST(c.n_active AS BIGINT) AS n_active_samples,
+           a.energy AS energy_fp,
+           CAST(pk.peak_sb AS INTEGER) AS peak_sb,
+           ROUND(SQRT(a.energy / 1e9 / c.n_active), 6) AS subband_rms
+    FROM agg a
+    JOIN act c USING (doc_id)
+    JOIN pk ON pk.doc_id = a.doc_id AND pk.rn = 1
+"""
+
+
 def _decode_image_pixels(payload: bytes
                          ) -> tuple[int, int, int, bytes] | None:
     """Unified RAW-pixel accessor for every stdlib-decodable image
