@@ -1744,3 +1744,30 @@ def test_avi_short_or_truncated_header_chunks_raise():
     trunc_strh = b"strh" + (4).to_bytes(4, "little") + b"v"
     with pytest.raises(ValueError, match="truncated strh"):
         _avi_stream(riff(avih + frame + trunc_strh))
+
+
+def test_avi_strf_binds_only_to_its_own_strh():
+    """r11 review: each strf consumes its stream type — a second strf
+    with no strh of its own (or one following a corrupt strh) must
+    never rebind to the previous stream's fccType. Here a stray
+    trailing strf would overwrite biCompression with garbage and
+    reject the decodable DIB if the stale 'vids' type leaked."""
+    import struct
+
+    from university_data_lakehouse_spark.operators.multimodal import (
+        _avi_stream,
+    )
+
+    def ch(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    avih = ch(b"avih", struct.pack("<10I", *([0] * 8 + [2, 2])))
+    frame = ch(b"00db", bytes(12))
+    vids = ch(b"strh", b"vids") + ch(b"strf", b"\x00" * 20)
+    # orphan strf carrying a nonzero fourcc at offset 16
+    orphan = ch(b"strf", b"\x00" * 16 + b"MJPG")
+    body = avih + vids + orphan + frame
+    p = (b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body)
+    got = _avi_stream(p)
+    assert got is not None and got[2] == 0     # biCompression intact

@@ -30,32 +30,37 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-HOSTILE = {
-    "spark.sql.shuffle.partitions": "7",
-    "spark.sql.files.maxPartitionBytes": "65536",
-    "spark.sql.files.openCostInBytes": "0",
-}
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--tz", default=None,
                     help="also set a non-UTC session timezone")
-    ap.add_argument("--keys", nargs="*", default=None)
+    ap.add_argument("--keys", nargs="+", default=None)
     args = ap.parse_args()
 
     import __spark_entry__ as entry  # noqa: PLC0415
     from tests.oracle_utils import compare  # noqa: PLC0415
+    # ONE definition of the hostile layout — the pytest gate and this
+    # audit must stress the identical configuration or the SURVEY
+    # "same hostile layout" claim silently weakens (r11 review)
+    from tests.test_partition_invariance import HOSTILE  # noqa: PLC0415
     from university_data_lakehouse_spark.session import get_spark  # noqa: PLC0415
+
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    if args.keys:
+        unknown = [k for k in args.keys
+                   if k not in queries or k not in oracles]
+        if unknown:
+            # argument error, NOT a parity failure — a typo must never
+            # be recordable as a broken invariance claim (r11 review)
+            ap.error(f"unknown/oracle-less keys: {', '.join(unknown)}")
+    keys = args.keys or [k for k in queries if k in oracles]
 
     spark = get_spark()
     for k, v in HOSTILE.items():
         spark.conf.set(k, v)
     if args.tz:
         spark.conf.set("spark.sql.session.timeZone", args.tz)
-    queries, oracles = entry.queries(), entry.oracle_sql()
-    keys = args.keys or [k for k in queries if k in oracles]
     t0 = time.time()
     failed: list[str] = []
     for i, key in enumerate(keys, 1):

@@ -1196,8 +1196,12 @@ def _avi_stream(payload: bytes) \
                     raise ValueError("avi: truncated avih header")
                 vals = struct.unpack("<10I", payload[bs:bs + 40])
                 w, h = vals[8], vals[9]
-            elif cid == b"strh" and size >= 4:
-                if be - bs < 4:
+            elif cid == b"strh":
+                # the size-field variant is malformed too: a strh
+                # claiming < 4 bytes cannot carry fccType, and
+                # skipping it would leave a STALE stream_type that
+                # misroutes the NEXT strf (r11 review)
+                if size < 4 or be - bs < 4:
                     raise ValueError("avi: truncated strh header")
                 stream_type = payload[bs:bs + 4]
             elif cid == b"strf":
@@ -1218,6 +1222,12 @@ def _avi_stream(payload: bytes) \
                         raise ValueError("avi: truncated strf header")
                     compression = int.from_bytes(
                         payload[bs + 16:bs + 20], "little")
+                # each strf binds to the strh immediately before it
+                # (one strh + one strf per strl LIST): consume the
+                # type so a stream's SECOND strf — or a later strf
+                # whose own strh was dropped — can never rebind to a
+                # stale fccType (r11 review)
+                stream_type = None
             elif cid[2:] in (b"db", b"dc"):
                 frames.append((cid[2:], payload[bs:be]))
             pos = nxt
