@@ -2834,7 +2834,11 @@ MPA_SUBBANDS_ORACLE = """
                                   ORDER BY bt DESC, sb ASC) AS rn
         FROM dense
     ),
-    agg AS (SELECT doc_id, SUM(bt) AS energy FROM band GROUP BY 1),
+    -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which pandas holds
+    -- as float64 — the driver's dtype-sensitive hash would mismatch
+    -- Spark's int64 even though every value is identical
+    agg AS (SELECT doc_id, CAST(SUM(bt) AS BIGINT) AS energy
+            FROM band GROUP BY 1),
     act AS (SELECT doc_id, 12 * COUNT(*) AS n_active FROM p GROUP BY 1)
     SELECT a.doc_id,
            32000 AS sample_rate,
