@@ -183,6 +183,10 @@ SF10_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The sf1 multimodal section allocates ~64MB Arrow batches; at the
+    # default 8g heap the JVM hit GCLocker retry warnings (r11). Give
+    # the bench JVM headroom unless the caller pinned it.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("udl-bench")
     spark.sparkContext.setLogLevel("WARN")
     queries = entry_mod.queries()

@@ -40,6 +40,15 @@ def get_spark(
         # loader converts to microsecond timestamps (DuckDB-equivalent)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JVM unified logging (-Xlog) writes [warning][gc,alloc] lines to
+        # the JVM's STDOUT, which in client mode is the same stream a
+        # caller capturing `python bench.py > BENCH.json` records — one
+        # GCLocker warning corrupts the JSON artifact (observed r11).
+        # Disable UL entirely; log4j application logging is unaffected.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xlog:disable"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
