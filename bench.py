@@ -1,6 +1,9 @@
 """Headline benchmark: runs the flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line (compact — sized to
+survive the driver's 2000-char output tail; the byte-complete result
+is written to bench_full.json, which is what the builder commits as
+BENCH_r{N}_local.json).
 
 Timing is end-to-end per query (plan + execute + count-style action),
 after a warmup query amortizes JVM/session startup. Each query runs
@@ -317,7 +320,43 @@ def main() -> None:
             "queries": huge,
             "total": round(sum(huge.values()), 3),
         }
-    print(json.dumps(out))
+    emit(out)
+
+
+def emit(out: dict) -> None:
+    """Write the full result to bench_full.json and print a compact
+    JSON line bounded to fit the caller's capture window.
+
+    The round driver keeps only the LAST ~2000 chars of output and
+    parses the JSON line out of that tail. The full result outgrew
+    that window at r6 (when the sf1_synth/skew/sf10 sections landed)
+    — every driver-recorded BENCH_r{6..10}.json has parsed:null, with
+    the tail starting mid-JSON. So: stdout gets ONE compact line
+    (2-decimal medians; top queries by cost if even that overflows),
+    always parseable; the byte-complete artifact the builder commits
+    as BENCH_r{N}_local.json comes from the sidecar file."""
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+
+    budget = 1800  # driver tail is 2000; leave interleaving headroom
+    q = {k: round(v, 2) for k, v in out["queries"].items()}
+    compact = {
+        "metric": out["metric"], "value": out["value"], "unit": "sec",
+        "core_total": out["core_total"], "n_queries": len(q),
+        "queries": q, "sf": out["sf"], "full": "bench_full.json",
+    }
+    if "sf1_synth" in out:
+        compact["sf1_core_total"] = out["sf1_synth"]["core_total"]
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > budget and compact["queries"]:
+        keep = sorted(q, key=q.get, reverse=True)[:max(len(q) - 8, 0)]
+        q = {k: q[k] for k in keep}
+        compact["queries"] = q
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

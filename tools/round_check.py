@@ -59,8 +59,8 @@ def check_round(n: int) -> list[str]:
     report = os.path.join(REPO, f"SCALE_REPORT_r{n:02d}.txt")
 
     if not os.path.exists(bench):
-        errs.append(f"R1 {bench_name} missing — run bench.py and save "
-                    "its JSON line before ending the round")
+        errs.append(f"R1 {bench_name} missing — run bench.py and copy "
+                    "bench_full.json there before ending the round")
     else:
         try:
             with open(bench) as fh:
