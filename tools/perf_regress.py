@@ -15,11 +15,12 @@ in both rounds is compared:
   HIGH_VARIANCE keys (bench.py's median-of-5 set) are reported but
   never fail the gate — their documented in-run spread is the reason
   they are in that set at all. The sf10_synth section is likewise
-  informational-only: its medians are SF10_REPEATS=2 and the replica
-  data under .synthdata is REGENERATED every round (file count/layout
-  shifts move scan-bound keys 1.5-2.3x with no code change — observed
-  on silver_fact_lineitems r10->r11 and text_vocab_topk r8->r10,
-  neither touched in those rounds).
+  informational-only: its medians are SF10_REPEATS=2, too few to
+  reject machine-load/page-cache outliers at that data size —
+  observed 1.5-2.3x swings on keys untouched in the interval
+  (silver_fact_lineitems r10->r11, text_vocab_topk r8->r10; the
+  synth_scale layout itself is deterministic, so these are runtime
+  variance, not data drift).
 
 Exit 1 iff a non-high-variance key is flagged in any section, so the
 builder's end-of-round chain (pytest && bench && perf_regress &&
