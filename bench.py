@@ -121,8 +121,13 @@ CORE_QUERIES = frozenset([
 
 REPEATS = 4           # this VM shows 3-5x first-run jitter; the
 SCALING_REPEATS = 3   # medians need >3 samples for headline queries,
-SF10_REPEATS = 2      # fewer for the secondary scaling sections —
-#                       keeps the whole bench bounded
+SF10_REPEATS = 3      # fewer for the secondary scaling sections —
+#                       keeps the whole bench bounded. sf10 was 2
+#                       through r11: a 2-sample "median" is a mean
+#                       that rejects nothing, and produced 1.5-2.3x
+#                       no-code-change swings (perf_regress had to
+#                       make the section non-gating); 3 samples buy
+#                       one-outlier rejection for ~75s more bench.
 
 # The LSH family showed r6->r7 swings of ~1.5x at sf1 with NO code
 # change (VERDICT r7 item 7) — they are the highest-variance operators
