@@ -328,7 +328,7 @@ def main() -> None:
     emit(out)
 
 
-def emit(out: dict) -> None:
+def emit(out: dict, full_path: str | None = None) -> None:
     """Write the full result to bench_full.json and print a compact
     JSON line bounded to fit the caller's capture window.
 
@@ -340,7 +340,7 @@ def emit(out: dict) -> None:
     (2-decimal medians; top queries by cost if even that overflows),
     always parseable; the byte-complete artifact the builder commits
     as BENCH_r{N}_local.json comes from the sidecar file."""
-    full_path = os.path.join(
+    full_path = full_path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as fh:
         json.dump(out, fh)
