@@ -19,7 +19,9 @@ decode stays inside the null-row boundary contract:
   2. it terminates promptly — a mutated length field must not make the
      decoder loop or allocate proportionally to the CLAIMED size (the
      r10 MPEG-1 header-amplification fix is the precedent); a 5 s
-     wall cap per decode backstops that class.
+     wall cap catches slow-but-finite decodes, and a SIGALRM guard
+     converts an actual infinite loop into a test failure (a post-hoc
+     clock check alone would hang pytest silently).
 
 Each format's generator here is the same one its oracle pipeline uses,
 so a contract violation found by this fuzz is a real operator bug.
@@ -27,6 +29,8 @@ so a contract violation found by this fuzz is a real operator bug.
 
 from __future__ import annotations
 
+import contextlib
+import signal
 import time
 
 import pytest
@@ -70,6 +74,26 @@ _mutation = st.tuples(
 )
 
 
+@contextlib.contextmanager
+def _hang_guard(seconds: int = 10):
+    """Convert a NON-terminating decode into a test failure: the
+    post-hoc wall-clock assert can only catch slow decodes that
+    return; an actual infinite loop would hang pytest silently.
+    SIGALRM fires inside the loop and raises out as an error the
+    decode contract does not allow."""
+
+    def _fire(signum, frame):
+        raise AssertionError(f"decode did not terminate in {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def _apply(payload: bytes, mutations) -> bytes:
     buf = bytearray(payload)
     for op, frac, val in mutations:
@@ -111,10 +135,11 @@ def test_mutated_valid_payloads_stay_inside_decode_contract():
     def check(fmt, doc_id, mutations):
         payload = _apply(_GENERATORS[fmt](doc_id), mutations)
         t0 = time.monotonic()
-        try:
-            out = mm.decode_samples(payload)
-        except mm._DECODE_ERRORS:
-            out = None
+        with _hang_guard():
+            try:
+                out = mm.decode_samples(payload)
+            except mm._DECODE_ERRORS:
+                out = None
         assert time.monotonic() - t0 < 5.0, (
             f"{fmt}: decode of a {len(payload)}-byte mutated payload "
             "took >5s — a claimed-size amplification escape")
@@ -139,11 +164,12 @@ def test_mutated_mpa_frames_stay_inside_decode_contract():
     def check(doc_id, mutations):
         payload = _apply(mm.synth_mpa_payload(doc_id), mutations)
         t0 = time.monotonic()
-        try:
-            out = decode_mpa_l1(payload)
-            assert out is None or out["n_frames"] >= 1
-        except ValueError:
-            pass
+        with _hang_guard():
+            try:
+                out = decode_mpa_l1(payload)
+                assert out is None or out["n_frames"] >= 1
+            except ValueError:
+                pass
         assert time.monotonic() - t0 < 5.0
 
     check()
@@ -158,8 +184,20 @@ def test_truncation_sweep_every_format():
         payload = gen(7)
         step = max(1, len(payload) // 64)  # ~64 cut points per format
         for cut in range(0, len(payload), step):
-            try:
-                out = mm.decode_samples(payload[:cut])
-            except mm._DECODE_ERRORS:
-                out = None
+            with _hang_guard():
+                try:
+                    out = mm.decode_samples(payload[:cut])
+                except mm._DECODE_ERRORS:
+                    out = None
             _assert_well_formed(out)
+    # mpa dispatches through its own pipeline (no magic branch in
+    # decode_samples) — its frame walk is BUILT from extent checks, so
+    # the truncation sweep matters most there; cut at EVERY byte
+    payload = mm.synth_mpa_payload(7)
+    for cut in range(len(payload)):
+        with _hang_guard():
+            try:
+                out = decode_mpa_l1(payload[:cut])
+                assert out is None or out["n_frames"] >= 1
+            except ValueError:
+                pass

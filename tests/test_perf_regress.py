@@ -65,3 +65,14 @@ def test_improvements_are_never_flagged():
     rows = compare(_art({"q": 2.0}), _art({"q": 1.0}), 1.4)
     r = _by_key(rows, "sf0.1", "q")
     assert not r["flagged"] and r["ratio"] == 0.5
+
+
+def test_high_variance_copy_matches_bench():
+    # perf_regress duplicates bench.HIGH_VARIANCE so it never imports
+    # the full engine (an import failure would silently empty the
+    # exemption set and flip the gating policy) — this pin is what
+    # keeps the copy honest
+    import bench
+    import tools.perf_regress as pr
+
+    assert pr.HIGH_VARIANCE == bench.HIGH_VARIANCE

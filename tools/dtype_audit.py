@@ -98,7 +98,12 @@ def main() -> int:
     if args.keys:
         keys = args.keys.split(",")
     elif args.window:
-        keys = list(entry_mod._PRIORITY_KEYS)[:50]
+        # the driver's window is the first WINDOW keys of queries()
+        # itself — NOT _PRIORITY_KEYS, which may carry a stale
+        # non-registry name that queries() drops (the r10 ghost-key
+        # class); slicing the registry matches what the driver runs
+        from tools.window_check import WINDOW  # noqa: PLC0415
+        keys = list(entry_mod.queries())[:WINDOW]
     else:
         keys = list(entry_mod.queries())
 

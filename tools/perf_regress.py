@@ -15,15 +15,19 @@ in both rounds is compared:
   HIGH_VARIANCE keys (bench.py's median-of-5 set) are reported but
   never fail the gate — their documented in-run spread is the reason
   they are in that set at all. The sf10_synth section is likewise
-  informational-only: its medians are SF10_REPEATS=2, too few to
-  reject machine-load/page-cache outliers at that data size —
-  observed 1.5-2.3x swings on keys untouched in the interval
-  (silver_fact_lineitems r10->r11, text_vocab_topk r8->r10; the
-  synth_scale layout itself is deterministic, so these are runtime
-  variance, not data drift).
+  informational-only: through r11 its medians were SF10_REPEATS=2 —
+  a 2-sample median rejects nothing, and machine-load/page-cache
+  outliers at that data size produced 1.5-2.3x swings on keys
+  untouched in the interval (silver_fact_lineitems r10->r11,
+  text_vocab_topk r8->r10; synth_scale layouts are deterministic, so
+  this is runtime variance, not data drift). bench.py runs 3 repeats
+  from r11's second pass; the section stays non-gating until a round
+  of 3-repeat medians demonstrates stability.
 
-Exit 1 iff a non-high-variance key is flagged in any section, so the
-builder's end-of-round chain (pytest && bench && perf_regress &&
+Exit 1 iff a non-high-variance key is flagged in a gating section, OR
+the round being built has no artifact pair yet (the gate's failure
+mode must never be a silent pass), so the builder's end-of-round
+chain (pytest && bench && copy-artifact && perf_regress &&
 round_check) stops on a real regression.
 
 Usage: python tools/perf_regress.py [--round N] [--threshold 1.4]
@@ -63,12 +67,17 @@ def _dig(d: dict, path: tuple[str, ...]) -> dict:
     return d if isinstance(d, dict) else {}
 
 
+# bench.py's median-of-5 set, duplicated so this tool never imports
+# the full engine (bench pulls pyspark + every operator module; an
+# import failure would otherwise silently EMPTY the exemption set and
+# flip the gating policy). tests/test_perf_regress.py asserts this
+# copy stays identical to bench.HIGH_VARIANCE.
+HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh",
+                 "multimodal_jpeg", "multimodal_mpeg1"}
+
+
 def compare(prev: dict, cur: dict, threshold: float) -> list[dict]:
     """All common-key comparisons across sections, worst ratio first."""
-    try:
-        from bench import HIGH_VARIANCE  # noqa: PLC0415
-    except ImportError:  # tool usable on a bare artifact pair
-        HIGH_VARIANCE = set()
     rows = []
     for name, path, gating in _SECTIONS:
         p, c = _dig(prev, path), _dig(cur, path)
@@ -94,14 +103,25 @@ def main() -> int:
     args = ap.parse_args()
 
     rounds = _local_rounds()
-    if len(rounds) < 2:
-        print("perf_regress: need two BENCH_r*_local.json artifacts")
-        return 0
-    cur_n = args.round if args.round is not None else max(rounds)
+    # anchor to the round being BUILT (max committed CORRECTNESS + 1,
+    # same rule as round_check) — defaulting to max(rounds) would
+    # silently compare the two PREVIOUS rounds' shipped artifacts
+    # when this round's copy of bench_full.json hasn't happened yet,
+    # and the gate's failure mode must never be a silent pass
+    if args.round is not None:
+        cur_n = args.round
+    else:
+        import re as _re  # noqa: PLC0415
+        done = [int(m.group(1)) for f in os.listdir(REPO)
+                if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))]
+        cur_n = (max(done) + 1) if done else 1
     prev_candidates = [n for n in rounds if n < cur_n]
     if cur_n not in rounds or not prev_candidates:
-        print(f"perf_regress: no artifact pair for round {cur_n}")
-        return 0
+        print(f"perf_regress: NOT READY — no artifact pair for round "
+              f"{cur_n} (copy bench_full.json to "
+              f"BENCH_r{cur_n:02d}_local.json first; have rounds "
+              f"{sorted(rounds)})")
+        return 1
     prev_n = max(prev_candidates)
     with open(rounds[prev_n]) as fh:
         prev = json.load(fh)

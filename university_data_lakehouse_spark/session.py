@@ -45,9 +45,13 @@ def get_spark(
         # caller capturing `python bench.py > BENCH.json` records — one
         # GCLocker warning corrupts the JSON artifact (observed r11).
         # Disable UL entirely; log4j application logging is unaffected.
+        # composed, not replaced: a caller adding GC-tuning flags via
+        # the env var must not silently re-enable UL and bring the
+        # corruption back
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xlog:disable"),
+            ("-Xlog:disable "
+             + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")).strip(),
         )
         .config("spark.ui.enabled", "false")
     )
