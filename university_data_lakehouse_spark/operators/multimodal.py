@@ -190,7 +190,12 @@ def parse_media_header(payload: bytes) -> dict:
         while pos + 8 <= len(payload):
             cid = payload[pos:pos + 4]
             size = int.from_bytes(payload[pos + 4:pos + 8], "little")
-            if cid == b"fmt " and size >= 16:
+            # a declared size the truncated payload cannot back must
+            # not feed a short slice to struct.unpack — this parser's
+            # contract is all-None for malformed bytes, never a raise
+            # (it runs unguarded inside the metadata mapInPandas
+            # batch, where an escape fails the whole task)
+            if cid == b"fmt " and size >= 16 and pos + 24 <= len(payload):
                 _fmt, _ch, sample_rate, _br, block_align, _bits = struct.unpack(
                     "<HHIIHH", payload[pos + 8:pos + 24]
                 )
