@@ -27,65 +27,59 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r11 rotation. Lead: the 4 r10-new keys that have never had a
-    # driver row (pytest-oracle-green in r10 but outside the window),
-    # exactly as earmarked by the r10 fill comment and VERDICT item 1.
-    "dq_ks_drift", "dq_benford", "text_fineweb_rules",
-    "dq_embedding_health",
-    # Then the 44 keys whose last driver row is CORRECTNESS_r08
-    # (2 rounds old — the standing invariant's limit). This list is
-    # mechanically derived: r08 keys minus r09 minus r10 (see
-    # tools/window_check.py, which enforces it).
-    "dq_no_duplicates", "dq_not_null_pk", "dq_referential_integrity",
-    "dq_row_count", "dq_value_range",
-    "gold_order_metrics", "gold_revenue_analytics", "gold_status_funnel",
-    "multimodal_adpcm", "multimodal_jpeg", "multimodal_jpeg_420",
-    "multimodal_jpeg_color", "multimodal_jpeg_progressive",
-    "multimodal_mixed", "multimodal_mulaw",
-    "olap_basket_affinity", "olap_cube_revenue", "olap_customer_abc",
-    "olap_customer_abc_banded", "olap_inactive_customers",
-    "olap_priority_shipmode", "olap_profit_by_nation",
-    "olap_promo_revenue", "olap_prospect_customers",
-    "olap_returned_items", "olap_supplier_part_counts",
-    "olap_top_supplier", "olap_waiting_suppliers",
-    "pack_token_bins", "sample_split", "sample_stratified",
-    "sample_weighted",
-    "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
-    "silver_fact_contacts", "silver_fact_lineitems",
-    "silver_fact_orders",
-    "sim_knn_lsh",
-    "text_contamination", "text_contamination_semantic",
-    "text_lm_quality", "text_pii_redact", "text_repetition",
-    # The 2 remaining slots: keys materially changed in r11 —
-    # dq_psi_drift (floor-division bucketing so pre-1970 timestamps
-    # agree across engines) and dedup_embedding_lsh_auto (_valid_vec
-    # entry filter + _SQL_VALID_VEC in the oracle, ADVICE item 1).
-    # dedup_embedding_lsh carries the identical r11 change but its
-    # driver row is r9-aged, so it rotates in next round regardless;
-    # until then the bit-exact pytest oracle gate covers it.
-    "dq_psi_drift", "dedup_embedding_lsh_auto",
-    # r12 MUST lead with the 48 keys whose last driver row is
-    # CORRECTNESS_r09 (mechanically: r09 keys minus r10 minus r11 —
-    # dedup_c4_spans, dedup_embedding_cosine, dedup_embedding_lsh,
-    # dedup_exact, dedup_minhash_lsh, dedup_ngram_jaccard,
-    # dedup_simhash, dq_freshness, dq_profile, emb_random_projection,
-    # events_asof_join, events_funnel, events_retention,
-    # events_sessionize, events_user_stats, events_windowed_agg,
-    # multimodal_alaw, multimodal_audio_stats, multimodal_avi,
-    # multimodal_flac, multimodal_frame_sample, multimodal_meta,
-    # multimodal_mjpeg, multimodal_normalize, multimodal_png,
-    # multimodal_y4m, olap_late_orders, olap_local_supplier_volume,
-    # olap_market_pivot, olap_market_share, olap_min_cost_supplier,
-    # olap_price_percentiles, olap_pricing_summary,
-    # olap_revenue_forecast, olap_rollup_revenue, olap_running_revenue,
-    # olap_shipping_priority, olap_top_k_per_group, sim_knn_bruteforce,
-    # sim_knn_ivf, sim_knn_ivfpq, sim_knn_pq, sim_knn_rp, text_c4_rules,
-    # text_fingerprint, text_langid, text_quality_score,
-    # text_token_stats) + 2 slots for r12-changed/new keys — the
-    # r11-built multimodal_mpa_subbands (operators/multimodal.py,
-    # pytest-gated, oracle design in the mpa_codec docstring) is the
-    # earmarked candidate for one of them (147/150 capacity).
-    # tools/window_check.py verifies this earmark mechanically.
+    # r12 rotation. Lead: the 48 keys whose last driver row is
+    # CORRECTNESS_r09 (2 rounds old, the invariant's limit) —
+    # mechanically r09 green keys minus r10 minus r11, exactly the
+    # r11 earmark. tools/window_check.py enforces this ordering.
+    "dedup_c4_spans", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dq_freshness", "dq_profile",
+    "emb_random_projection", "events_asof_join", "events_funnel",
+    "events_retention", "events_sessionize", "events_user_stats",
+    "events_windowed_agg", "multimodal_alaw", "multimodal_audio_stats",
+    "multimodal_avi", "multimodal_flac", "multimodal_frame_sample",
+    "multimodal_meta", "multimodal_mjpeg", "multimodal_normalize",
+    "multimodal_png", "multimodal_y4m", "olap_late_orders",
+    "olap_local_supplier_volume", "olap_market_pivot",
+    "olap_market_share", "olap_min_cost_supplier",
+    "olap_price_percentiles", "olap_pricing_summary",
+    "olap_revenue_forecast", "olap_rollup_revenue",
+    "olap_running_revenue", "olap_shipping_priority",
+    "olap_top_k_per_group", "sim_knn_bruteforce", "sim_knn_ivf",
+    "sim_knn_ivfpq", "sim_knn_pq", "sim_knn_rp", "text_c4_rules",
+    "text_fingerprint", "text_langid", "text_quality_score",
+    "text_token_stats",
+    # Slot 49: first driver row for the r11-built Layer I subband
+    # decode — its DuckDB oracle (MPA_SUBBANDS_ORACLE) was pytest-
+    # proven bit-exact in r11 before registration (tests/test_mpa.py).
+    "multimodal_mpa_subbands",
+    # Slot 50: events_active_users — r10-aged AND one of the three
+    # sf10 informational bench flags under adjudication this round
+    # (VERDICT r11 item 3), so a fresh driver row rides along with
+    # any perf work on it.
+    "events_active_users",
+    # r13 MUST lead with the 47 keys whose last driver row is
+    # CORRECTNESS_r10 (mechanically r10 minus r11 minus r12 —
+    # "chunk_documents", "corpus_build", "corpus_manifest",
+    # "corpus_mixture_plan", "corpus_stats", "dedup_boilerplate",
+    # "dedup_cluster_canonical", "dedup_cluster_canonical_fast",
+    # "dedup_cluster_sizes", "dedup_name_fuzzy", "dq_value_outliers",
+    # "emb_label_centroids", "emb_nearest_centroid", "events_anomaly",
+    # "events_cohort_retention", "events_error_attribution",
+    # "events_first_last_touch", "events_funnel_windowed",
+    # "events_inter_event_gap", "events_json_props", "events_moving_avg",
+    # "events_resample_1h", "events_rfm", "events_top_paths",
+    # "events_transition_matrix", "events_value_histogram",
+    # "events_value_percentiles", "events_value_quartiles",
+    # "multimodal_decoded", "multimodal_features", "multimodal_gif",
+    # "multimodal_mpeg1", "olap_avg_yearly", "olap_big_orders",
+    # "olap_customer_distribution", "olap_disjunctive_revenue",
+    # "olap_excess_suppliers", "olap_grouping_sets",
+    # "olap_important_parts", "olap_nation_trade", "olap_repeat_customers",
+    # "olap_revenue_mom", "sim_knn_ivf_rp", "text_entropy",
+    # "text_gopher_rules", "text_tfidf_topk", "text_vocab_topk",
+    # ) + 3 spare slots for r13-changed/new keys (registry is at
+    # 147/150 capacity). tools/window_check.py verifies feasibility.
 )
 
 

@@ -2732,11 +2732,9 @@ def multimodal_mpa_subbands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(sqrt(...), 6) so a future oracle runs the identical
     expression.
 
-    NOT a registry key in r11 — the 50-slot driver window is full and
-    window_check.py now enforces that new keys take window slots in
-    their first round; the key + DuckDB oracle (the closed form in
-    the synth/codec docstrings) is earmarked for an r12 spare slot.
-    Pytest-gated meanwhile (tests/test_mpa.py)."""
+    Registry key since r12 (took the earmarked spare window slot);
+    the DuckDB oracle is MPA_SUBBANDS_ORACLE below, pytest-proven
+    bit-exact one round before registration (tests/test_mpa.py)."""
     from .mpa_codec import decode_mpa_l1  # noqa: PLC0415
 
     media = _synth_media_df(spark, sf_dir, synth_mpa_payload, "audio")
@@ -3027,6 +3025,7 @@ QUERIES = {
     "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
     "multimodal_mixed": multimodal_mixed,
     "multimodal_normalize": multimodal_normalize,
+    "multimodal_mpa_subbands": multimodal_mpa_subbands,
 }
 
 
@@ -3892,3 +3891,4 @@ def _normalize_oracle() -> str:
 
 
 ORACLES["multimodal_normalize"] = _normalize_oracle()
+ORACLES["multimodal_mpa_subbands"] = MPA_SUBBANDS_ORACLE
