@@ -83,9 +83,16 @@ def compare(prev: dict, cur: dict, threshold: float) -> list[dict]:
         p, c = _dig(prev, path), _dig(cur, path)
         for key in sorted(set(p) & set(c)):
             old, new = p[key], c[key]
-            if not old:
+            if old is None or new is None:
                 continue
-            ratio = new / old
+            # old == 0.0 is a real prior measurement (a timing that
+            # rounded to zero), NOT missing data — skipping it would
+            # let any regression from ~0 pass unflagged (r11 ADVICE).
+            # Treat the ratio as infinite and let ABS_FLOOR decide.
+            if old:
+                ratio = new / old
+            else:
+                ratio = float("inf") if new > old else 1.0
             rows.append({
                 "section": name, "key": key, "old": old, "new": new,
                 "ratio": round(ratio, 2),
@@ -103,18 +110,19 @@ def main() -> int:
     args = ap.parse_args()
 
     rounds = _local_rounds()
-    # anchor to the round being BUILT (max committed CORRECTNESS + 1,
-    # same rule as round_check) — defaulting to max(rounds) would
-    # silently compare the two PREVIOUS rounds' shipped artifacts
-    # when this round's copy of bench_full.json hasn't happened yet,
-    # and the gate's failure mode must never be a silent pass
+    # anchor to the LIVE round (tools/roundinfo.py — post-round aware,
+    # same rule as round_check/window_check) — defaulting to
+    # max(rounds) would silently compare the two PREVIOUS rounds'
+    # shipped artifacts when this round's copy of bench_full.json
+    # hasn't happened yet, and the gate's failure mode must never be
+    # a silent pass; the old max(CORRECTNESS)+1 rule instead demanded
+    # an artifact for a round nobody had started whenever it ran just
+    # after the driver dropped its end-of-round files (r11 nit)
     if args.round is not None:
         cur_n = args.round
     else:
-        import re as _re  # noqa: PLC0415
-        done = [int(m.group(1)) for f in os.listdir(REPO)
-                if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))]
-        cur_n = (max(done) + 1) if done else 1
+        from tools.roundinfo import round_state  # noqa: PLC0415
+        cur_n = round_state(REPO).round
     prev_candidates = [n for n in rounds if n < cur_n]
     if cur_n not in rounds or not prev_candidates:
         print(f"perf_regress: NOT READY — no artifact pair for round "

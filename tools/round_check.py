@@ -47,9 +47,13 @@ def _git(*args: str) -> str:
 
 
 def current_round() -> int:
-    rounds = [int(m.group(1)) for f in os.listdir(REPO)
-              if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))]
-    return (max(rounds) + 1) if rounds else 1
+    """The live round, post-round aware (tools/roundinfo.py): N+1 while
+    the builder works, N right after the driver drops round N's
+    artifacts — so an end-of-round re-run checks the artifacts that
+    actually exist instead of demanding a round nobody started."""
+    from tools.roundinfo import round_state  # noqa: PLC0415
+
+    return round_state(REPO).round
 
 
 def check_round(n: int) -> list[str]:
@@ -124,11 +128,13 @@ def main() -> int:
     errs = check_round(n)
 
     sys.path.insert(0, REPO)
+    from tools.roundinfo import round_state  # noqa: PLC0415
     from tools.window_check import check, load_history  # noqa: PLC0415
     import __spark_entry__ as entry  # noqa: PLC0415
 
     errs += [f"R4 {e}" for e in check(
-        list(entry._PRIORITY_KEYS), list(entry.queries()), load_history())]
+        list(entry._PRIORITY_KEYS), list(entry.queries()), load_history(),
+        post_round=round_state(REPO).post_round)]
 
     if errs:
         print(f"round_check r{n}: NOT READY")

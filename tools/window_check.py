@@ -26,6 +26,14 @@ history plus the live ``_PRIORITY_KEYS`` ordering and fails loudly if:
       counted as coverage — a failed row is treated as NO row, so a
       regression forces the key back into a window.
 
+In the POST-ROUND state (tools/roundinfo.py: the newest CORRECTNESS
+artifact landed and no engine input changed since), W2/W3 projections
+against the stale window would be phantom breaches — the live ordering
+belongs to the round that already ran.  There the tool enforces only
+RECORDED ages plus next-window feasibility (W5); the moment the
+builder touches any engine input, mid-round projection resumes, which
+forces the rotation to be the first commit of the new round.
+
 Usage:
     python tools/window_check.py            # check /root/repo state
     python -m pytest tests/test_window_check.py
@@ -76,13 +84,24 @@ def load_history(repo: str = REPO) -> dict[int, set[str]]:
 
 def check(window: list[str], registry: list[str],
           history: dict[int, set[str]],
-          window_size: int = WINDOW, max_age: int = MAX_AGE) -> list[str]:
+          window_size: int = WINDOW, max_age: int = MAX_AGE,
+          post_round: bool = False) -> list[str]:
     """Return a list of violation strings (empty == invariant holds).
 
     ``window`` is the priority prefix (only its first ``window_size``
     entries count as this round's driver window); ``registry`` is every
     key ``queries()`` exposes; ``history`` maps past round number ->
-    keys green that round.  "This round" is max(history) + 1.
+    keys green that round.
+
+    ``post_round`` (see tools/roundinfo.py) flips the semantics for
+    the inter-round state where the newest CORRECTNESS round already
+    RAN but the next round's window has not been laid yet: projecting
+    W2/W3 against the stale ordering would be a phantom breach (the
+    r11 red-suite bug), so instead only what is RECORDED is enforced
+    (no key's age ever exceeded max_age in committed history) plus the
+    W5 feasibility of the mandatory next window.  Mid-round — the
+    builder has started the new round — the full projection applies,
+    which is the rotate-first forcing function.
     """
     errs: list[str] = []
     reg = set(registry)
@@ -93,11 +112,47 @@ def check(window: list[str], registry: list[str],
     if ghosts:
         errs.append(f"W1 window names non-registry keys: {sorted(ghosts)}")
 
-    this_round = (max(history) + 1) if history else 1
+    if not history:
+        this_round = 1
+    elif post_round:
+        this_round = max(history)   # the round that just finished
+    else:
+        this_round = max(history) + 1
     last_row: dict[str, int] = {}
     for rnd in sorted(history):
         for key in history[rnd]:
             last_row[key] = rnd
+
+    capacity = (max_age + 1) * window_size
+    if len(reg) > capacity:
+        errs.append(f"W4 registry {len(reg)} keys exceeds rotation "
+                    f"capacity {capacity} ({max_age + 1} x {window_size})")
+
+    if post_round:
+        # RECORDED breach: a key's age exceeded max_age at the round
+        # that just ran — a rotation actually missed, never a
+        # projection artifact.
+        breached = [
+            f"{k} (last row r{last_row[k]}, age {this_round - last_row[k]})"
+            for k in sorted(reg)
+            if k in last_row and this_round - last_row[k] > max_age
+        ]
+        if breached:
+            errs.append(
+                f"W2 recorded driver-row age exceeds {max_age}: {breached}")
+        # feasibility of the NEXT round's window: keys that would age
+        # past max_age if not windowed in round this_round+1, plus
+        # never-driver-checked keys (their first eligible round is
+        # next round — W3's post-round form).
+        mandatory = sorted(
+            k for k in reg
+            if last_row.get(k, -(10 ** 9)) <= this_round - max_age
+        )
+        if len(mandatory) > window_size:
+            errs.append(
+                f"W5 next round needs {len(mandatory)} mandatory "
+                f"slots > {window_size}: rotation is infeasible")
+        return errs
 
     never = sorted(k for k in reg if k not in last_row and k not in win_set)
     if never:
@@ -112,11 +167,6 @@ def check(window: list[str], registry: list[str],
             overdue.append(f"{key} (last row r{last_row[key]}, age {age})")
     if overdue:
         errs.append(f"W2 driver-row age exceeds {max_age}: {overdue}")
-
-    capacity = (max_age + 1) * window_size
-    if len(reg) > capacity:
-        errs.append(f"W4 registry {len(reg)} keys exceeds rotation "
-                    f"capacity {capacity} ({max_age + 1} x {window_size})")
 
     # feasibility one round ahead: after this round, a key's last row
     # is this_round if windowed, else unchanged.  Keys whose post-round
@@ -135,19 +185,22 @@ def check(window: list[str], registry: list[str],
 def main() -> int:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry  # noqa: PLC0415
+    from tools.roundinfo import round_state  # noqa: PLC0415
 
     registry = list(entry.queries())
     window = list(entry._PRIORITY_KEYS)
     history = load_history()
-    errs = check(window, registry, history)
-    this_round = (max(history) + 1) if history else 1
+    state = round_state()
+    errs = check(window, registry, history, post_round=state.post_round)
+    mode = "post-round" if state.post_round else "mid-round"
     if errs:
-        print(f"window_check r{this_round}: INVARIANT BROKEN")
+        print(f"window_check r{state.round} ({mode}): INVARIANT BROKEN")
         for e in errs:
             print(f"  {e}")
         return 1
     n_window = len([k for k in window[:WINDOW] if k in set(registry)])
-    print(f"window_check r{this_round}: OK — {len(registry)} registry keys, "
+    print(f"window_check r{state.round} ({mode}): OK — "
+          f"{len(registry)} registry keys, "
           f"{n_window} in window, capacity {(MAX_AGE + 1) * WINDOW}")
     return 0
 
