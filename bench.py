@@ -197,6 +197,17 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("udl-bench")
     spark.sparkContext.setLogLevel("WARN")
+    # the -Xlog:disable stdout-corruption guard only binds when THIS
+    # process launched the driver JVM; against a pre-existing gateway
+    # (pyspark shell, PYSPARK_SUBMIT_ARGS) it is silently inert and a
+    # GCLocker warning could corrupt the JSON line again — fail loud
+    # instead of trusting stdout (r11 ADVICE)
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    if "-Xlog:disable" not in opts:
+        print("bench: FATAL — driver JVM lacks -Xlog:disable "
+              "(pre-existing gateway?); stdout JSON is not trustworthy",
+              file=sys.stderr)
+        sys.exit(2)
     queries = entry_mod.queries()
 
     # warmup: touch the biggest table so JVM + parquet footer caches are

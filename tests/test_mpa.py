@@ -133,6 +133,12 @@ def test_malformed_streams_raise():
     other = encode_mpa_l1([[{}]], bitrate_idx=4)
     with pytest.raises(ValueError, match="changed mid-stream"):
         decode_mpa_l1(good[:96] + other)
+    # STEREO -> DUAL_CHANNEL swap: nch stays 2, so only an explicit
+    # mode comparison catches it (r11 ADVICE)
+    st = encode_mpa_l1([[{}, {}]], mode=MODE_STEREO)
+    du = encode_mpa_l1([[{}, {}]], mode=MODE_DUAL)
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        decode_mpa_l1(st + du)
 
 
 def _raw_frame(alloc=0, scf=0, code=None, alloc_bits_override=None):
@@ -271,11 +277,12 @@ def test_multimodal_mpa_subbands_pipeline(spark, sf_dir):
             for j in range(2):
                 sb = (doc_id * 5 + f * 11 + j * 17) % 32
                 alloc = 1 + (doc_id + sb + f) % 14
-                spec[sb] = (alloc, 3 * ((doc_id + 3 * sb + f) % 21))
+                spec[sb] = (alloc, (doc_id + 3 * sb + f) % 63)
             n_active += 12 * len(spec)
             for sb, (alloc, scf) in spec.items():
                 nb = alloc + 1
-                sf = 2.0 ** (1 - scf // 3)
+                sf = (2.0 ** (1 - scf // 3) if scf % 3 == 0
+                      else 2.0 * 2.0 ** (-scf / 3.0))
                 for s in range(12):
                     c = (doc_id * 7 + s * 3 + sb + f) % ((1 << nb) - 1)
                     v = sf * (float(2 * (c + 1) - (1 << nb))
@@ -295,6 +302,45 @@ def test_multimodal_mpa_subbands_pipeline(spark, sf_dir):
         assert (r["sample_rate"], r["bitrate"]) == (32000, 64000)
         exp_rms = round(math.sqrt(e_energy / 1e9 / e_active), 6)
         assert r["subband_rms"] == exp_rms, d
+
+
+def test_scalefactor_table_matches_formula_and_sql_roundtrip():
+    """The 63 baked Table B.1 literals equal the formula, and the SQL
+    list literal parses back to BIT-IDENTICAL doubles in DuckDB —
+    the property that makes non-power-of-two scalefactors oracle-safe
+    (repr() round-trips IEEE doubles exactly)."""
+    import duckdb
+
+    from university_data_lakehouse_spark.operators.mpa_codec import (
+        SCALEFACTORS,
+        scalefactor,
+        scalefactor_sql_literals,
+    )
+
+    assert len(SCALEFACTORS) == 63
+    for idx in range(63):
+        want = (2.0 ** (1 - idx // 3) if idx % 3 == 0
+                else 2.0 * 2.0 ** (-idx / 3.0))
+        assert scalefactor(idx) == want
+    got = duckdb.sql(
+        f"SELECT unnest({scalefactor_sql_literals()}) AS v").fetchall()
+    assert [v for (v,) in got] == list(SCALEFACTORS)  # bit-exact
+
+
+def test_synth_corpus_exercises_irrational_scalefactors(spark, sf_dir):
+    """The r11 synth restricted scalefactor indices to multiples of 3
+    (exact powers of two); with the baked literals the restriction is
+    gone — assert the sf0.001 corpus actually hits idx % 3 != 0, so
+    the oracle-parity test above is exercising the hard case."""
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    doc_ids = [r["doc_id"] for r in
+               load_table(spark, sf_dir, "documents")
+               .select("doc_id").collect()]
+    idxs = {(d + 3 * ((d * 5 + f * 11 + j * 17) % 32) + f) % 63
+            for d in doc_ids
+            for f in range(1 + d % 3) for j in range(2)}
+    assert any(i % 3 for i in idxs)
 
 
 def test_multimodal_mpa_subbands_duckdb_oracle_parity(spark, sf_dir):

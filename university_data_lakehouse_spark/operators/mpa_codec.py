@@ -95,14 +95,36 @@ MODE_STEREO, MODE_JOINT, MODE_DUAL, MODE_MONO = 0, 1, 2, 3
 SAMPLES_PER_FRAME_L1 = 384                             # 12 × 32
 
 
+# Table B.1 baked as ONE shared table (the design note's plan B, the
+# Benford-constants discipline): sf(idx) = 2 · 2^(−idx/3), idx 0..62
+# (63 forbidden).  idx ≡ 0 (mod 3) are exact powers of two; the other
+# 42 values are irrational, so any oracle must use THESE literals, not
+# re-derive them with its own pow() — scalefactor_sql_literals() below
+# f-strings this tuple into the SQL, and repr() round-trips IEEE
+# doubles exactly, so both engines hold bit-identical values.
+SCALEFACTORS = tuple(
+    float(2.0 ** (1 - idx // 3)) if idx % 3 == 0
+    else float(2.0 * 2.0 ** (-idx / 3.0))
+    for idx in range(63)
+)
+
+
 def scalefactor(idx: int) -> float:
-    """Table B.1: sf(idx) = 2 · 2^(−idx/3), idx 0..62 (63 forbidden).
-    Exact powers of two at idx ≡ 0 (mod 3)."""
+    """Table B.1 lookup, idx 0..62 (63 forbidden)."""
     if not 0 <= idx <= 62:
         raise ValueError("mpa: scalefactor index out of range")
-    if idx % 3 == 0:
-        return float(2.0 ** (1 - idx // 3))            # exact
-    return float(2.0 * 2.0 ** (-idx / 3.0))
+    return SCALEFACTORS[idx]
+
+
+def scalefactor_sql_literals() -> str:
+    """DuckDB list literal of the 63 Table B.1 values — index with
+    list_extract(lit, idx + 1) (SQL lists are 1-based).  Each value is
+    a STRING cast to DOUBLE: DuckDB parses a bare 17-digit numeric
+    literal as DECIMAL first and the DECIMAL->DOUBLE conversion is off
+    by 1 ulp for some entries, while the string->double path is
+    correctly rounded (pinned by tests/test_mpa.py)."""
+    return ("[" + ", ".join(f"'{v!r}'::DOUBLE" for v in SCALEFACTORS)
+            + "]")
 
 
 def requantize_l1(code: int, nb: int) -> float:
@@ -242,7 +264,9 @@ def decode_mpa_l1(payload: bytes) -> dict | None:
             raise ValueError("mpa: lost sync between frames")
         if (nxt["sample_rate"] != hdr0["sample_rate"]
                 or nxt["bitrate"] != hdr0["bitrate"]
-                or nxt["nch"] != nch or nxt["crc"] != hdr0["crc"]):
+                or nxt["mode"] != hdr0["mode"]   # nch alone would mask
+                or nxt["nch"] != nch             # a STEREO<->DUAL swap
+                or nxt["crc"] != hdr0["crc"]):
             raise ValueError("mpa: header parameters changed mid-stream")
         hdr = nxt
     sub = np.concatenate(frames, axis=1)

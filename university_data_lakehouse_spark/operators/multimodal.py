@@ -73,6 +73,7 @@ from pyspark.sql.types import (
 
 from ..sources.loader import load_table
 from .flac_codec import encode_flac, flac_samples
+from .mpa_codec import scalefactor_sql_literals
 from .mpeg1_codec import encode_mpeg1_intra, mpeg1_frames
 
 MEDIA_SCHEMA = StructType([
@@ -1061,9 +1062,10 @@ def synth_mpa_payload(doc_id: int) -> bytes:
     """Deterministic VALID MPEG-1 Audio Layer I stream (see
     mpa_codec.encode_mpa_l1; mono, 32 kHz, 64 kbit/s → exact 96-byte
     frames): 1 + doc_id % 3 frames, each activating up to two
-    subbands with allocation 1 + (doc_id+sb+f) % 14, a power-of-two
-    scalefactor (index 3·((doc_id+3·sb+f) % 21) — exact by
-    construction, see the mpa_codec design note) and sample codes
+    subbands with allocation 1 + (doc_id+sb+f) % 14, a scalefactor
+    index spanning the FULL Table B.1 range ((doc_id+3·sb+f) % 63,
+    non-power-of-two values included — the oracle replays them from
+    the SAME baked literals, mpa_codec.SCALEFACTORS) and sample codes
     (doc_id·7 + s·3 + sb + f) % (2^nb − 1), which lands every code in
     the legal 0..2^nb−2 range. Each decoded subband sample is
     therefore the CLOSED FORM sf · (2(C+1) − 2^nb)/(2^nb − 1) of
@@ -1078,7 +1080,7 @@ def synth_mpa_payload(doc_id: int) -> bytes:
             sb = (doc_id * 5 + f * 11 + j * 17) % 32
             alloc = 1 + (doc_id + sb + f) % 14          # nb = 2..15
             nb = alloc + 1
-            scf = 3 * ((doc_id + 3 * sb + f) % 21)      # 0,3,..,60
+            scf = (doc_id + 3 * sb + f) % 63            # full 0..62
             codes = [(doc_id * 7 + s * 3 + sb + f) % ((1 << nb) - 1)
                      for s in range(12)]
             spec[sb] = (alloc, scf, codes)
@@ -2775,16 +2777,20 @@ def multimodal_mpa_subbands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB replay of multimodal_mpa_subbands — the full oracle for the
-# r12 registry key, pytest-compared bit-exact already (tests/
-# test_mpa.py): the synth construction is j-idempotent (alloc/scf/
-# codes depend only on (doc_id, f, sb)), so DISTINCT (doc_id, f, sb)
-# replays the encoder's dict overwrite; the value is the closed form
-# sf · (2(C+1) − 2^nb)/(2^nb − 1) with sf = POWER(2, 1 − scf//3) an
-# exact power of two; multiplication order matches the Python kernel
-# (sf * (num/den)); energy terms are FLOOR(v*v*1e9) BIGINTs (order-
-# free sum); the peak band is max energy with lowest-band tie-break;
-# the one libm value is the identical ROUND(SQRT(...), 6) expression.
-MPA_SUBBANDS_ORACLE = """
+# registry key, pytest-compared bit-exact (tests/test_mpa.py): the
+# synth construction is j-idempotent (alloc/scf/codes depend only on
+# (doc_id, f, sb)), so DISTINCT (doc_id, f, sb) replays the encoder's
+# dict overwrite; the value is the closed form
+# sf · (2(C+1) − 2^nb)/(2^nb − 1) with sf looked up from the SAME 63
+# baked Table B.1 literals the decoder uses (mpa_codec.SCALEFACTORS
+# f-stringed in via repr(), which round-trips IEEE doubles exactly —
+# the Benford-constants discipline; a SQL-side pow() re-derivation
+# could round differently for the 42 irrational entries);
+# multiplication order matches the Python kernel (sf * (num/den));
+# energy terms are FLOOR(v*v*1e9) BIGINTs (order-free sum); the peak
+# band is max energy with lowest-band tie-break; the one libm value
+# is the identical ROUND(SQRT(...), 6) expression.
+MPA_SUBBANDS_ORACLE = f"""
     WITH fr AS (
         SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f
         FROM documents
@@ -2798,7 +2804,7 @@ MPA_SUBBANDS_ORACLE = """
     p AS (
         SELECT doc_id, f, sb,
                1 + (doc_id + sb + f) % 14 AS alloc,
-               3 * ((doc_id + 3 * sb + f) % 21) AS scf
+               (doc_id + 3 * sb + f) % 63 AS scf
         FROM sbs
     ),
     smp AS (
@@ -2807,7 +2813,7 @@ MPA_SUBBANDS_ORACLE = """
     ),
     vals AS (
         SELECT doc_id, sb,
-               POWER(2.0, 1 - scf // 3) * (
+               list_extract({scalefactor_sql_literals()}, scf + 1) * (
                    CAST(2 * (((doc_id * 7 + s * 3 + sb + f)
                               % ((1 << (alloc + 1)) - 1)) + 1)
                         - (1 << (alloc + 1)) AS DOUBLE)

@@ -47,7 +47,12 @@ def get_spark(
         # Disable UL entirely; log4j application logging is unaffected.
         # composed, not replaced: a caller adding GC-tuning flags via
         # the env var must not silently re-enable UL and bring the
-        # corruption back
+        # corruption back.
+        # FRESH-JVM ONLY: extraJavaOptions binds when THIS builder
+        # launches the driver JVM; with a pre-existing gateway/session
+        # (tune_existing path, pyspark shell, PYSPARK_SUBMIT_ARGS) it
+        # is silently inert — bench.py asserts the option actually
+        # landed before trusting its stdout JSON
         .config(
             "spark.driver.extraJavaOptions",
             ("-Xlog:disable "
