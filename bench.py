@@ -142,6 +142,28 @@ HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh",
                  "multimodal_jpeg", "multimodal_mpeg1"}
 HIGH_VARIANCE_REPEATS = 5
 
+# coverage rotation (VERDICT r11 item 7): HEADLINE times 68 of the
+# registry's keys; the rest had NO timing row anywhere, so a
+# pathological slowdown in an untimed key (a corpus_* or events_*
+# outside HEADLINE) could hide for many rounds. Each round times one
+# quarter of the non-HEADLINE keys — sorted, chunked, the chunk picked
+# by the live round number — with 1 repeat: cheap, and every registry
+# key gets a timing row at most COVERAGE_CYCLES rounds old.
+# perf_regress compares each coverage key against its newest value in
+# ANY older artifact (consecutive rounds time disjoint quarters).
+COVERAGE_CYCLES = 4
+COVERAGE_REPEATS = 1
+
+
+def coverage_keys(queries: dict, rnd: int) -> list[str]:
+    rest = sorted(set(queries) - set(HEADLINE))
+    if not rest:
+        return []
+    per = -(-len(rest) // COVERAGE_CYCLES)
+    i = rnd % COVERAGE_CYCLES
+    return rest[i * per:(i + 1) * per]
+
+
 # skew section (VERDICT r6 #8): the skew-sensitive operators timed on
 # the planted-hostile corpus (tools/synth_skew.py — one user with ~10%
 # of events, one 10k-line order) next to the same queries on the base
@@ -244,6 +266,16 @@ def main() -> None:
     core_total = round(
         sum(v for k, v in timings.items() if k in CORE_QUERIES), 3)
 
+    # rotating coverage quarter of the non-HEADLINE keys (see
+    # coverage_keys above) — single repeat, informational
+    from tools.roundinfo import round_state  # noqa: PLC0415
+    rnd = round_state().round
+    cov_keys = coverage_keys(queries, rnd)
+    print(f"# coverage quarter r{rnd} (cycle {rnd % COVERAGE_CYCLES}): "
+          f"{len(cov_keys)} keys", file=sys.stderr)
+    coverage = {k: time_key(k, sf_dir, COVERAGE_REPEATS)[0]
+                for k in cov_keys}
+
     # scaling slope: re-time the 5 most expensive headline queries at a
     # second (smaller) scale factor so per-round numbers carry a
     # data-size derivative, not just a single point
@@ -273,6 +305,14 @@ def main() -> None:
     }
     if scaling:
         out["scaling"] = scaling
+    if coverage:
+        out["coverage"] = {
+            "round": rnd,
+            "cycle": rnd % COVERAGE_CYCLES,
+            "repeats": COVERAGE_REPEATS,
+            "queries": coverage,
+            "total": round(sum(coverage.values()), 3),
+        }
 
     # upward scale point: if a synthesized ~sf1 dataset exists (see
     # tools/synth_scale.py), re-time the headline set there so the

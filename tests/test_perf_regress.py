@@ -67,6 +67,44 @@ def test_improvements_are_never_flagged():
     assert not r["flagged"] and r["ratio"] == 0.5
 
 
+def test_zero_old_median_is_a_measurement_not_missing():
+    # a timing that rounded to 0.0 last round must still flag a real
+    # regression (r11 ADVICE: `if not old` conflated zero with absent)
+    rows = compare(_art({"q": 0.0}), _art({"q": 5.0}), 1.4)
+    r = _by_key(rows, "sf0.1", "q")
+    assert r["flagged"] and r["ratio"] == float("inf")
+    # 0.0 -> 0.0 and 0.0 -> sub-floor growth stay quiet
+    rows = compare(_art({"q": 0.0}), _art({"q": 0.0}), 1.4)
+    assert not _by_key(rows, "sf0.1", "q")["flagged"]
+    rows = compare(_art({"q": 0.0}), _art({"q": 0.1}), 1.4)
+    assert not _by_key(rows, "sf0.1", "q")["flagged"]
+
+
+def test_coverage_section_reports_but_never_gates():
+    prev = {"queries": {}, "coverage": {"queries": {"c": 1.0}}}
+    cur = {"queries": {}, "coverage": {"queries": {"c": 3.0}}}
+    rows = compare(prev, cur, 1.4)
+    r = _by_key(rows, "coverage", "c")
+    assert r["flagged"] and not r["gating"]
+
+
+def test_coverage_keys_partition_the_non_headline_registry():
+    import __spark_entry__ as entry_mod
+    import bench
+
+    queries = entry_mod.queries()
+    rest = set(queries) - set(bench.HEADLINE)
+    seen: list[str] = []
+    for rnd in range(bench.COVERAGE_CYCLES):
+        chunk = bench.coverage_keys(queries, rnd)
+        assert not set(chunk) & set(seen)      # disjoint quarters
+        seen += chunk
+    assert set(seen) == rest                   # full coverage per cycle
+    # the quarter is cheap by construction: ~20 keys/round
+    assert max(len(bench.coverage_keys(queries, r))
+               for r in range(bench.COVERAGE_CYCLES)) <= 25
+
+
 def test_high_variance_copy_matches_bench():
     # perf_regress duplicates bench.HIGH_VARIANCE so it never imports
     # the full engine (an import failure would silently empty the

@@ -49,6 +49,9 @@ _SECTIONS = (
     ("sf0.1", ("queries",), True),
     ("sf1_synth", ("sf1_synth", "queries"), True),
     ("sf10_synth", ("sf10_synth", "queries"), False),
+    # coverage is a 1-repeat rotating quarter (bench.py COVERAGE_*):
+    # single-sample timings flag loudly but must not gate
+    ("coverage", ("coverage", "queries"), False),
 )
 
 
@@ -135,6 +138,17 @@ def main() -> int:
         prev = json.load(fh)
     with open(rounds[cur_n]) as fh:
         cur = json.load(fh)
+
+    # coverage baselines: consecutive rounds time DISJOINT quarters,
+    # so each key's baseline is its newest value in ANY older artifact
+    # (ascending merge — later rounds overwrite earlier ones)
+    merged_cov: dict = {}
+    for n in sorted(prev_candidates):
+        with open(rounds[n]) as fh:
+            merged_cov.update(
+                _dig(json.load(fh), ("coverage", "queries")))
+    if merged_cov:
+        prev.setdefault("coverage", {})["queries"] = merged_cov
 
     rows = compare(prev, cur, args.threshold)
     flagged = [r for r in rows if r["flagged"]]
