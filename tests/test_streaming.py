@@ -553,3 +553,45 @@ def test_text_gates_compose_on_streams(spark, sf_dir, tmp_path):
         batch = {tuple(r) for r in fn(batch_docs).collect()}
         assert streamed == batch, name
         assert len(streamed) > 0, name
+
+
+def test_corpus_narrow_maps_compose_on_streams(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 item 5a): the corpus-construction narrow maps
+    not yet stream-unified — deterministic split assignment and
+    sliding-window chunking — run UNCHANGED on a readStream of the
+    documents table and reproduce the batch results exactly. Both are
+    stateless per-row maps (split: md5 hash gate; chunk: bounded
+    explode), so streaming needs no watermark, no state store, and no
+    new registry key."""
+    import os as _os
+
+    from university_data_lakehouse_spark.operators.pipeline import (
+        chunk_docs,
+        split_assign,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    _os.symlink(_os.path.join(sf_dir, "documents.parquet"),
+                stream_dir / "part-0.parquet")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(str(stream_dir))
+    )
+
+    for name, fn in (("split", split_assign), ("chunk", chunk_docs)):
+        q = (
+            fn(stream_docs).writeStream.format("memory")
+            .queryName(f"corpus_{name}")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {tuple(r) for r in
+                    spark.sql(f"SELECT * FROM corpus_{name}").collect()}
+        batch = {tuple(r) for r in fn(batch_docs).collect()}
+        assert streamed == batch, name
+        assert len(streamed) > 0, name

@@ -360,14 +360,11 @@ SPLIT_TRAIN_HEX = "e6666666"   # ~0.90 of the 32-bit key space
 SPLIT_VAL_HEX = "f3333333"     # next ~0.05; remainder is test
 
 
-def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/validation/test assignment: a doc's split
-    is decided by where the first 8 hex chars of md5('split:'||doc_id)
-    fall between fixed thresholds. Stateless narrow map — no RNG, no
-    global count, no coordination — so the assignment is reproducible
-    on any cluster layout and append-only growth never reshuffles
-    earlier docs across splits."""
-    doc = load_table(spark, sf_dir, "documents")
+def split_assign(doc: DataFrame) -> DataFrame:
+    """Frame-level split assignment (see :func:`sample_split`) —
+    stateless narrow map, so it runs UNCHANGED on a readStream of the
+    documents table (tests/test_streaming.py proves stream == batch,
+    the text-gate unification discipline)."""
     key = F.substring(
         F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
     )
@@ -379,6 +376,16 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("split_key") < SPLIT_VAL_HEX, "validation")
         .otherwise("test"),
     )
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment: a doc's split
+    is decided by where the first 8 hex chars of md5('split:'||doc_id)
+    fall between fixed thresholds. Stateless narrow map — no RNG, no
+    global count, no coordination — so the assignment is reproducible
+    on any cluster layout and append-only growth never reshuffles
+    earlier docs across splits."""
+    return split_assign(load_table(spark, sf_dir, "documents"))
 
 
 QUALITY_TAU = 0.645     # documents' scores cluster 0.63-0.66; ~median
