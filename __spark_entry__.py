@@ -53,18 +53,23 @@ _PRIORITY_KEYS = (
     # decode — its DuckDB oracle (MPA_SUBBANDS_ORACLE) was pytest-
     # proven bit-exact in r11 before registration (tests/test_mpa.py).
     "multimodal_mpa_subbands",
-    # Slot 50: events_active_users — r10-aged AND one of the three
-    # sf10 informational bench flags under adjudication this round
-    # (VERDICT r11 item 3), so a fresh driver row rides along with
-    # any perf work on it.
-    "events_active_users",
-    # r13 MUST lead with the 47 keys whose last driver row is
+    # Slot 50: olap_basket_affinity — materially changed this round
+    # (the sf10 flag adjudication led to a basket-form rewrite: one
+    # fact shuffle + in-row pair explode instead of distinct + window
+    # cap + self-join), so it takes the spare slot per the changed-
+    # keys-rotate-first discipline. The other two r11 sf10 flags
+    # (events_active_users, silver_fact_lineitems) cleared with
+    # 3-repeat medians and are unchanged; events_active_users is
+    # r10-aged and leads the r13 mandatory set.
+    "olap_basket_affinity",
+    # r13 MUST lead with the 48 keys whose last driver row is
     # CORRECTNESS_r10 (mechanically r10 minus r11 minus r12 —
     # "chunk_documents", "corpus_build", "corpus_manifest",
     # "corpus_mixture_plan", "corpus_stats", "dedup_boilerplate",
     # "dedup_cluster_canonical", "dedup_cluster_canonical_fast",
     # "dedup_cluster_sizes", "dedup_name_fuzzy", "dq_value_outliers",
-    # "emb_label_centroids", "emb_nearest_centroid", "events_anomaly",
+    # "emb_label_centroids", "emb_nearest_centroid",
+    # "events_active_users", "events_anomaly",
     # "events_cohort_retention", "events_error_attribution",
     # "events_first_last_touch", "events_funnel_windowed",
     # "events_inter_event_gap", "events_json_props", "events_moving_avg",

@@ -1164,52 +1164,56 @@ BASKET_MAX_LINES = 200  # drop baskets with more distinct parts: a
 def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity — the association-mining statistic
     (which parts ship together, with what lift over independence)
-    behind recommendations and assortment planning. The fact first
-    collapses to distinct (order, part); the pair generation is a
-    SELF-JOIN CO-PARTITIONED ON o_orderkey with fan-out bounded by
-    C(lines-per-order, 2) — a per-order constant, never corpus-
-    quadratic. Pair counts, per-part order counts, and the global
-    order count are all exact integers; support and lift divide them
-    once, so both engines emit identical doubles. Top-K by
-    (pair count desc, part keys) on the aggregated pairs table via a
-    distributed TakeOrdered (orderBy+limit — per-partition partial
-    top-K merged on the driver), NOT an unpartitioned rank window:
-    the pairs table is the one unbounded table here (distinct
-    co-occurring part pairs), and a global row_number would funnel
-    it through a single task. pair_rank derives from row_number only
-    AFTER the K-row cut, where a one-task window is K rows.
+    behind recommendations and assortment planning. The fact
+    collapses to one BASKET ROW per order (groupBy(l_orderkey) +
+    sort_array(collect_set(l_partkey)) — the set dedups, the sort
+    pins determinism); pair generation is then an IN-ROW double
+    explode with pa < pb, fan-out C(parts, 2) bounded by the basket
+    cap — a per-order constant, never corpus-quadratic, and NO join.
+    r12 rewrite: the previous form (distinct → window cap →
+    co-partitioned self-join) shuffled the fact three times and its
+    sf10 timing drifted 36→52s across rounds on untouched code; the
+    basket form shuffles it ONCE into order-grained baskets that
+    pairs / per-part counts / the order count all derive from
+    narrowly (14 exchanges → 8 in the formatted plan; sf10 best-case
+    46s → 30s same-session). At 100 TB the single fact shuffle is
+    the floor any grouping needs, and partial collect_set absorbs a
+    hot order map-side before the exchange (skew bench pins this).
+
+    Pair counts, per-part order counts, and the global order count
+    are all exact integers; support and lift divide them once, so
+    both engines emit identical doubles. Top-K by (pair count desc,
+    part keys) on the aggregated pairs table via a distributed
+    TakeOrdered (orderBy+limit — per-partition partial top-K merged
+    on the driver), NOT an unpartitioned rank window: the pairs
+    table is the one unbounded table here (distinct co-occurring
+    part pairs), and a global row_number would funnel it through a
+    single task. pair_rank derives from row_number only AFTER the
+    K-row cut, where a one-task window is K rows.
 
     Baskets with more than ``BASKET_MAX_LINES`` distinct parts are
     dropped BEFORE pair generation (and from the support/lift
     denominators, so all statistics describe the same capped
-    universe); the per-orderkey count uses a window over the same
-    hash partitioning the pair self-join needs. Measured at sf10
-    (controlled, same session, median of 2): window-cap 23.4s vs
-    uncapped 22.2s vs a broadcast-anti-join cap 36.4s — the window
-    shares the join's exchange while the anti-join recomputes the
-    distinct, so the window form is the scale choice."""
+    universe)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    w_sz = Window.partitionBy("l_orderkey")
-    op = (
-        op.withColumn("_n_lines", F.count(F.lit(1)).over(w_sz))
-        .where(F.col("_n_lines") <= BASKET_MAX_LINES)
-        .drop("_n_lines")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") <= BASKET_MAX_LINES)
     )
-    a = op.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pa"))
-    b = op.select(
-        F.col("l_orderkey").alias("okey_b"), F.col("l_partkey").alias("pb"))
     pairs = (
-        a.join(b, (F.col("okey") == F.col("okey_b"))
-               & (F.col("pa") < F.col("pb")))
+        baskets.select(F.explode("parts").alias("pa"), "parts")
+        .select("pa", F.explode("parts").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    per_part = op.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("n_part"))
-    n_orders = op.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders"))
+    per_part = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     topk = (
         pairs.orderBy(F.col("n_both").desc(), F.col("pa"), F.col("pb"))
         .limit(BASKET_TOP_K)
