@@ -50,10 +50,18 @@ def test_high_variance_keys_report_but_never_gate():
     assert r["flagged"] and r["high_variance"]
 
 
-def test_sf10_section_is_non_gating():
+def test_sf10_gates_only_past_the_widened_envelope():
+    # 1.8x / +4s: real at sf0.1 scale, but inside sf10's documented
+    # host-variance envelope (2x threshold, 10s absolute floor)
     rows = compare(_art(sf10={"q": 5.0}), _art(sf10={"q": 9.0}), 1.4)
+    assert not _by_key(rows, "sf10_synth", "q")["flagged"]
+    # a quadratic-blowup-shaped move (3x, +30s) flags AND gates
+    rows = compare(_art(sf10={"q": 15.0}), _art(sf10={"q": 45.0}), 1.4)
     r = _by_key(rows, "sf10_synth", "q")
-    assert r["flagged"] and not r["gating"]
+    assert r["flagged"] and r["gating"]
+    # big ratio but tiny absolute growth stays quiet (5s < 10s floor)
+    rows = compare(_art(sf10={"q": 1.0}), _art(sf10={"q": 6.0}), 1.4)
+    assert not _by_key(rows, "sf10_synth", "q")["flagged"]
 
 
 def test_keys_missing_from_either_round_are_skipped():
