@@ -1229,3 +1229,73 @@ def test_dedup_lsh_dirty_corpus_filtered_and_oracle_parity(spark, tmp_path):
             assert int(hit["n_semantic_hits"].iloc[0]) >= 1
         compare(fn(spark, d), sql, d, name=f"{key}@dirty")
     spark.catalog.clearCache()
+
+
+def test_basket_affinity_matches_pairwise_reference(spark, tmp_path):
+    """r12 basket-form rewrite pinned against an INDEPENDENT
+    pair-generation reference: pair/part/order counts and support/
+    lift recomputed in Python from itertools.combinations over the
+    raw rows — duplicate (order, part) lines collapse, a basket over
+    the cap vanishes from every statistic (numerators AND
+    denominators), and the top-K tie-break is (n_both desc, pa, pb)."""
+    import itertools
+    import math
+
+    from university_data_lakehouse_spark.operators.olap import (
+        BASKET_MAX_LINES,
+        olap_basket_affinity,
+    )
+
+    rows = []
+    lid = 0
+    # order 1: parts 1,2,3 (+ a duplicate line for part 2)
+    for pk in (1, 2, 3, 2):
+        lid += 1
+        rows.append((1, pk, lid))
+    # order 2: parts 2,3
+    for pk in (2, 3):
+        lid += 1
+        rows.append((2, pk, lid))
+    # order 3: parts 1,2
+    for pk in (1, 2):
+        lid += 1
+        rows.append((3, pk, lid))
+    # order 4: an over-cap basket — must vanish entirely
+    for pk in range(1000, 1000 + BASKET_MAX_LINES + 1):
+        lid += 1
+        rows.append((4, pk, lid))
+    d = str(tmp_path / "mini")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet"))
+
+    baskets = {1: {1, 2, 3}, 2: {2, 3}, 3: {1, 2}}   # order 4 capped out
+    n_orders = len(baskets)
+    n_part = {}
+    n_both = {}
+    for parts in baskets.values():
+        for p in parts:
+            n_part[p] = n_part.get(p, 0) + 1
+        for pa, pb in itertools.combinations(sorted(parts), 2):
+            n_both[(pa, pb)] = n_both.get((pa, pb), 0) + 1
+    expect = {}
+    ranked = sorted(n_both, key=lambda k: (-n_both[k], k))
+    for rank, (pa, pb) in enumerate(ranked, start=1):
+        expect[(pa, pb)] = (
+            rank, n_both[(pa, pb)], n_part[pa], n_part[pb],
+            n_both[(pa, pb)] / n_orders,
+            n_both[(pa, pb)] * n_orders / (n_part[pa] * n_part[pb]),
+        )
+
+    got = {(r["pa"], r["pb"]):
+           (r["pair_rank"], r["n_both"], r["n_a"], r["n_b"],
+            r["support"], r["lift"])
+           for r in olap_basket_affinity(spark, d).collect()}
+    assert set(got) == set(expect)
+    for k, (rank, nb, na, nbp, sup, lift) in expect.items():
+        g = got[k]
+        assert g[:4] == (rank, nb, na, nbp), k
+        assert math.isclose(g[4], sup, rel_tol=0, abs_tol=0), k
+        assert math.isclose(g[5], lift, rel_tol=0, abs_tol=0), k
