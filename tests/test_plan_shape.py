@@ -674,3 +674,21 @@ def test_basket_affinity_topk_is_take_ordered(spark, sf_dir):
     assert win_at != -1 and tko_at != -1
     # formatted tree prints operators top-down: parent (Window) first
     assert win_at < tko_at, tree
+
+
+def test_basket_affinity_is_join_free_single_fact_grouping(spark, sf_dir):
+    """r12 rewrite pin: the basket form must keep pair generation
+    JOIN-FREE — one groupBy(l_orderkey) collect_set over the fact,
+    then in-row explodes. No SortMergeJoin anywhere (the statistics
+    joins against the K-row top cut are broadcasts), no join at all
+    below the pair aggregation, and the exchange count stays at the
+    rewrite's level (8; the old self-join plan carried 14)."""
+    plan = _plan(olap.olap_basket_affinity(spark, sf_dir))
+    tree = _tree(plan)
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    # every explode (Generate) node sits above a grouped-basket agg,
+    # never above a join: pair fan-out is in-row
+    assert tree.count("Generate") >= 2, tree
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges <= 8, (n_exchanges, tree)
