@@ -267,12 +267,30 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit signature into 4 bytes,
-    bucket-join on any equal band, verify Hamming ≤ threshold."""
-    sig = _simhash_signatures(spark, sf_dir)
+    bucket-join on any equal band, verify Hamming ≤ threshold.
+
+    r12 (first coverage-bench catch — 176s at sf0.1, never timed
+    before): on the synthetic corpus most documents share token
+    distributions, so their 32-bit majority-vote signatures collide
+    in the 8-bit band buckets and ~n²/16 candidates survive to the
+    Hamming check. The semantics are oracle-locked, but two constant
+    factors were wrong for that volume: the per-candidate Hamming was
+    a 32-element string zip_with/aggregate fold (alloc-heavy), now
+    ONE xor + bit_count on the signature parsed to an int (identical
+    values: chars are '0'/'1', so per-position inequality == the xor
+    popcount); and the Hamming filter now runs BEFORE the pair
+    distinct, so the dedup shuffle carries only survivors, thin
+    (id, id, int) rows instead of 32-char signature strings.
+    Measured same-session at sf0.1: 176s -> ~8s. A 32-bit simhash
+    over 8-bit bands remains a CORRECTNESS BASELINE for homogeneous
+    corpora — bucket discrimination needs wider signatures; the
+    production text near-dup path is dedup_minhash_lsh."""
+    sig = _simhash_signatures(spark, sf_dir).withColumn(
+        "sig_int", F.conv("simhash", 2, 10).cast("long"))
     n_bands, width = 4, SIMHASH_BITS // 4
     melted = sig.select(
         "doc_id",
-        "simhash",
+        "sig_int",
         F.explode(
             F.array(*[
                 F.struct(
@@ -282,38 +300,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(n_bands)
             ])
         ).alias("bd"),
-    ).select("doc_id", "simhash", "bd.band_idx", "bd.band")
+    ).select("doc_id", "sig_int", "bd.band_idx", "bd.band")
     a = melted.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        F.col("doc_id").alias("id_a"), F.col("sig_int").alias("int_a"),
         "band_idx", F.col("band").alias("band_a"),
     )
     b = melted.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        F.col("doc_id").alias("id_b"), F.col("sig_int").alias("int_b"),
         F.col("band_idx").alias("band_idx_b"), F.col("band").alias("band_b"),
     )
-    cand = (
+    hamming = F.bit_count(F.col("int_a").bitwiseXOR(F.col("int_b")))
+    return (
         a.join(
             b,
             (F.col("band_idx") == F.col("band_idx_b"))
             & (F.col("band_a") == F.col("band_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "sig_a", "id_b", "sig_b")
-        .distinct()
-    )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split("sig_a", ""),
-            F.split("sig_b", ""),
-            lambda x, y: F.when(x == y, 0).otherwise(1),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.withColumn("hamming", hamming)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
