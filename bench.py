@@ -266,16 +266,6 @@ def main() -> None:
     core_total = round(
         sum(v for k, v in timings.items() if k in CORE_QUERIES), 3)
 
-    # rotating coverage quarter of the non-HEADLINE keys (see
-    # coverage_keys above) — single repeat, informational
-    from tools.roundinfo import round_state  # noqa: PLC0415
-    rnd = round_state().round
-    cov_keys = coverage_keys(queries, rnd)
-    print(f"# coverage quarter r{rnd} (cycle {rnd % COVERAGE_CYCLES}): "
-          f"{len(cov_keys)} keys", file=sys.stderr)
-    coverage = {k: time_key(k, sf_dir, COVERAGE_REPEATS)[0]
-                for k in cov_keys}
-
     # scaling slope: re-time the 5 most expensive headline queries at a
     # second (smaller) scale factor so per-round numbers carry a
     # data-size derivative, not just a single point
@@ -305,14 +295,6 @@ def main() -> None:
     }
     if scaling:
         out["scaling"] = scaling
-    if coverage:
-        out["coverage"] = {
-            "round": rnd,
-            "cycle": rnd % COVERAGE_CYCLES,
-            "repeats": COVERAGE_REPEATS,
-            "queries": coverage,
-            "total": round(sum(coverage.values()), 3),
-        }
 
     # upward scale point: if a synthesized ~sf1 dataset exists (see
     # tools/synth_scale.py), re-time the headline set there so the
@@ -375,6 +357,30 @@ def main() -> None:
             "dir": sf10_dir,
             "queries": huge,
             "total": round(sum(huge.values()), 3),
+        }
+
+    # rotating coverage quarter of the non-HEADLINE keys (see
+    # coverage_keys above) — single repeat, informational. Runs LAST,
+    # after every comparable section: its heavy one-off jobs (the
+    # all-pairs baselines live here) perturb JVM heap/GC state, and
+    # running it mid-bench in the first r12 pass inflated the
+    # downstream sf1 section 1.4-2.4x on untouched keys while the
+    # pre-coverage sections stayed flat — section order is part of
+    # the round-over-round comparability contract.
+    from tools.roundinfo import round_state  # noqa: PLC0415
+    rnd = round_state().round
+    cov_keys = coverage_keys(queries, rnd)
+    print(f"# coverage quarter r{rnd} (cycle {rnd % COVERAGE_CYCLES}): "
+          f"{len(cov_keys)} keys", file=sys.stderr)
+    coverage = {k: time_key(k, sf_dir, COVERAGE_REPEATS)[0]
+                for k in cov_keys}
+    if coverage:
+        out["coverage"] = {
+            "round": rnd,
+            "cycle": rnd % COVERAGE_CYCLES,
+            "repeats": COVERAGE_REPEATS,
+            "queries": coverage,
+            "total": round(sum(coverage.values()), 3),
         }
     emit(out)
 
