@@ -51,6 +51,8 @@ def current_round() -> int:
     the builder works, N right after the driver drops round N's
     artifacts — so an end-of-round re-run checks the artifacts that
     actually exist instead of demanding a round nobody started."""
+    if REPO not in sys.path:   # script-mode: sys.path[0] is tools/
+        sys.path.insert(0, REPO)
     from tools.roundinfo import round_state  # noqa: PLC0415
 
     return round_state(REPO).round
