@@ -305,3 +305,45 @@ def test_embedding_lsh_auto_branches_on_corpus_size(spark, sf_dir, tmp_path):
               for r in dedup_embedding_lsh(spark, sf_dir).collect()}
     assert small == narrow
     assert WIDE_MIN_VECTORS == 10_000
+
+
+def test_simhash_int_hamming_equals_character_definition(spark):
+    """r12 rewrite invariant: Hamming via conv(sig, 2, 10) + xor +
+    bit_count must equal the definitional per-character mismatch
+    count for ALL 0/1 signature strings — hypothesis drives random
+    32-bit signature pairs through BOTH expressions in one Spark
+    projection and cross-checks Python's own popcount."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sigs = st.integers(min_value=0, max_value=2**32 - 1)
+
+    @settings(max_examples=30, deadline=None)
+    @given(sigs, sigs)
+    def check(x, y):
+        assert bin(x ^ y).count("1") == sum(
+            a != b for a, b in zip(f"{x:032b}", f"{y:032b}"))
+
+    check()
+
+    # and the Spark expressions agree with each other on a batch
+    import random
+
+    rnd = random.Random(12)
+    rows = [(f"{rnd.getrandbits(32):032b}", f"{rnd.getrandbits(32):032b}")
+            for _ in range(64)]
+    df = spark.createDataFrame(rows, "sig_a string, sig_b string")
+    ia = F.conv("sig_a", 2, 10).cast("long")
+    ib = F.conv("sig_b", 2, 10).cast("long")
+    fast = F.bit_count(ia.bitwiseXOR(ib)).cast("int")
+    slow = F.aggregate(
+        F.zip_with(
+            F.split("sig_a", ""),
+            F.split("sig_b", ""),
+            lambda a, b: F.when(a == b, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    out = df.select(fast.alias("fast"), slow.alias("slow")).collect()
+    assert all(r["fast"] == r["slow"] for r in out)
