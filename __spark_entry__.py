@@ -27,64 +27,67 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r12 rotation. Lead: the 48 keys whose last driver row is
-    # CORRECTNESS_r09 (2 rounds old, the invariant's limit) —
-    # mechanically r09 green keys minus r10 minus r11, exactly the
-    # r11 earmark. tools/window_check.py enforces this ordering.
-    "dedup_c4_spans", "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dq_freshness", "dq_profile",
-    "emb_random_projection", "events_asof_join", "events_funnel",
-    "events_retention", "events_sessionize", "events_user_stats",
-    "events_windowed_agg", "multimodal_alaw", "multimodal_audio_stats",
-    "multimodal_avi", "multimodal_flac", "multimodal_frame_sample",
-    "multimodal_meta", "multimodal_mjpeg", "multimodal_normalize",
-    "multimodal_png", "multimodal_y4m", "olap_late_orders",
-    "olap_local_supplier_volume", "olap_market_pivot",
-    "olap_market_share", "olap_min_cost_supplier",
-    "olap_price_percentiles", "olap_pricing_summary",
-    "olap_revenue_forecast", "olap_rollup_revenue",
-    "olap_running_revenue", "olap_shipping_priority",
-    "olap_top_k_per_group", "sim_knn_bruteforce", "sim_knn_ivf",
-    "sim_knn_ivfpq", "sim_knn_pq", "sim_knn_rp", "text_c4_rules",
-    "text_fingerprint", "text_langid", "text_quality_score",
-    "text_token_stats",
-    # Slot 49: first driver row for the r11-built Layer I subband
-    # decode — its DuckDB oracle (MPA_SUBBANDS_ORACLE) was pytest-
-    # proven bit-exact in r11 before registration (tests/test_mpa.py).
-    "multimodal_mpa_subbands",
-    # Slot 50: olap_basket_affinity — materially changed this round
-    # (the sf10 flag adjudication led to a basket-form rewrite: one
-    # fact shuffle + in-row pair explode instead of distinct + window
-    # cap + self-join), so it takes the spare slot per the changed-
-    # keys-rotate-first discipline. The other two r11 sf10 flags
-    # (events_active_users, silver_fact_lineitems) cleared with
-    # 3-repeat medians and are unchanged; events_active_users is
-    # r10-aged and leads the r13 mandatory set.
-    "olap_basket_affinity",
-    # r13 MUST lead with the 48 keys whose last driver row is
-    # CORRECTNESS_r10 (mechanically r10 minus r11 minus r12 —
-    # "chunk_documents", "corpus_build", "corpus_manifest",
-    # "corpus_mixture_plan", "corpus_stats", "dedup_boilerplate",
-    # "dedup_cluster_canonical", "dedup_cluster_canonical_fast",
-    # "dedup_cluster_sizes", "dedup_name_fuzzy", "dq_value_outliers",
-    # "emb_label_centroids", "emb_nearest_centroid",
-    # "events_active_users", "events_anomaly",
-    # "events_cohort_retention", "events_error_attribution",
-    # "events_first_last_touch", "events_funnel_windowed",
-    # "events_inter_event_gap", "events_json_props", "events_moving_avg",
-    # "events_resample_1h", "events_rfm", "events_top_paths",
-    # "events_transition_matrix", "events_value_histogram",
-    # "events_value_percentiles", "events_value_quartiles",
-    # "multimodal_decoded", "multimodal_features", "multimodal_gif",
-    # "multimodal_mpeg1", "olap_avg_yearly", "olap_big_orders",
-    # "olap_customer_distribution", "olap_disjunctive_revenue",
-    # "olap_excess_suppliers", "olap_grouping_sets",
-    # "olap_important_parts", "olap_nation_trade", "olap_repeat_customers",
-    # "olap_revenue_mom", "sim_knn_ivf_rp", "text_entropy",
-    # "text_gopher_rules", "text_tfidf_topk", "text_vocab_topk",
-    # ) + 3 spare slots for r13-changed/new keys (registry is at
-    # 147/150 capacity). tools/window_check.py verifies feasibility.
+    # r13 rotation. Lead: the 48 keys whose last driver row is
+    # CORRECTNESS_r10 (2 rounds old, the invariant's limit) —
+    # mechanically r10 green keys minus r11 minus r12, exactly the
+    # r12 earmark. tools/window_check.py enforces this ordering.
+    "chunk_documents", "corpus_build", "corpus_manifest",
+    "corpus_mixture_plan", "corpus_stats", "dedup_boilerplate",
+    "dedup_cluster_canonical", "dedup_cluster_canonical_fast",
+    "dedup_cluster_sizes", "dedup_name_fuzzy", "dq_value_outliers",
+    "emb_label_centroids", "emb_nearest_centroid",
+    "events_active_users", "events_anomaly", "events_cohort_retention",
+    "events_error_attribution", "events_first_last_touch",
+    "events_funnel_windowed", "events_inter_event_gap",
+    "events_json_props", "events_moving_avg", "events_resample_1h",
+    "events_rfm", "events_top_paths", "events_transition_matrix",
+    "events_value_histogram", "events_value_percentiles",
+    "events_value_quartiles", "multimodal_decoded",
+    "multimodal_features", "multimodal_gif", "multimodal_mpeg1",
+    "olap_avg_yearly", "olap_big_orders", "olap_customer_distribution",
+    "olap_disjunctive_revenue", "olap_excess_suppliers",
+    "olap_grouping_sets", "olap_important_parts", "olap_nation_trade",
+    "olap_repeat_customers", "olap_revenue_mom", "sim_knn_ivf_rp",
+    "text_entropy", "text_gopher_rules", "text_tfidf_topk",
+    "text_vocab_topk",
+    # Slot 49: silver_fact_lineitems — r11-aged AND under active r13
+    # investigation (the sf10 8.2s plateau probe, VERDICT r12 What's
+    # wrong #1); refreshing it early both serves the changed-keys-
+    # rotate-first discipline if the probe forces a fix and trims the
+    # r14 mandatory set from 49 to 48.
+    "silver_fact_lineitems",
+    # Slot 50: dedup_embedding_lsh_auto — next-oldest (r11-aged)
+    # early refresh; designated SWAP TARGET if a new registry key
+    # (the earmarked 64-bit simhash sibling) is oracle-proven this
+    # round — a swap returns it to the r14 mandatory set, which
+    # stays feasible either way (48 or 49 of 50 slots).
+    "dedup_embedding_lsh_auto",
+    # r14 MUST lead with the keys whose last driver row is
+    # CORRECTNESS_r11 (mechanically r11 minus r12 minus r13; the two
+    # slot-49/50 early refreshes above drop out of this list, and a
+    # slot-50 swap puts dedup_embedding_lsh_auto back in —
+    # "dq_benford", "dq_embedding_health",
+    # "dq_ks_drift",
+    # "dq_no_duplicates", "dq_not_null_pk",
+    # "dq_psi_drift", "dq_referential_integrity", "dq_row_count",
+    # "dq_value_range", "gold_order_metrics", "gold_revenue_analytics",
+    # "gold_status_funnel", "multimodal_adpcm", "multimodal_jpeg",
+    # "multimodal_jpeg_420", "multimodal_jpeg_color",
+    # "multimodal_jpeg_progressive", "multimodal_mixed",
+    # "multimodal_mulaw", "olap_cube_revenue", "olap_customer_abc",
+    # "olap_customer_abc_banded", "olap_inactive_customers",
+    # "olap_priority_shipmode", "olap_profit_by_nation",
+    # "olap_promo_revenue", "olap_prospect_customers",
+    # "olap_returned_items", "olap_supplier_part_counts",
+    # "olap_top_supplier", "olap_waiting_suppliers", "pack_token_bins",
+    # "sample_split", "sample_stratified", "sample_weighted",
+    # "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
+    # "silver_fact_contacts", "silver_fact_orders", "sim_knn_lsh",
+    # "text_contamination", "text_contamination_semantic",
+    # "text_fineweb_rules", "text_lm_quality", "text_pii_redact",
+    # "text_repetition",
+    # ) = 47 keys (48 with the slot-50 swap) + 2-3 spare slots for
+    # r14-changed/new keys. tools/window_check.py verifies (W5).
 )
 
 
