@@ -138,8 +138,16 @@ SF10_REPEATS = 3      # fewer for the secondary scaling sections —
 # (driver run) vs 10.1s (builder run) at the same HEAD and sf1 —
 # in-run variance of the LSH kind, which would masquerade as a
 # regression without the median-of-5.
+# r13 (VERDICT r12 item 2): multimodal_mjpeg and multimodal_flac
+# joined after their r12 sf0.1 flags (1.52x / 1.42x) were adjudicated
+# host-window noise and CONFIRMED by the judge's quiet re-probe
+# (mjpeg 5.23s vs flagged 8.70, flac 7.83 vs 10.80 — both at or below
+# their r11 values on identical code). Same codec-heavyweight profile
+# as multimodal_jpeg/mpeg1: seconds-long Arrow decode batches whose
+# wall time rides the host's noisy-neighbor CPU windows.
 HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh",
-                 "multimodal_jpeg", "multimodal_mpeg1"}
+                 "multimodal_jpeg", "multimodal_mpeg1",
+                 "multimodal_mjpeg", "multimodal_flac"}
 HIGH_VARIANCE_REPEATS = 5
 
 # coverage rotation (VERDICT r11 item 7): HEADLINE times 68 of the
@@ -154,14 +162,30 @@ HIGH_VARIANCE_REPEATS = 5
 COVERAGE_CYCLES = 4
 COVERAGE_REPEATS = 1
 
+# Documented quadratic-by-construction baselines (each names its
+# scale-killer and in-registry production sibling in its docstring).
+# Their coverage cost is by construction, not a pathology signal —
+# cycle 0 spent 42s of its 72s total on two of them (VERDICT r12
+# What's wrong #2) and the section runs every round forever, so they
+# are timed at sf0.01 instead of the bench SF: still a timing row
+# (a blowup would show — their sf0.01 cost is well under a second),
+# but the section's budget stays ~O(core) as cycles rotate. The cap
+# is recorded in the artifact ("capped_sf001") — never silent.
+COVERAGE_CAP_SF001 = {"dedup_embedding_cosine", "dedup_ngram_jaccard",
+                      "dedup_simhash"}
+
 
 def coverage_keys(queries: dict, rnd: int) -> list[str]:
+    # stable per-key hash assignment (ADVICE r12): positional
+    # chunking of sorted(rest) shifted EVERY chunk boundary whenever
+    # one key was added or removed, silently skipping keys' cycles;
+    # crc32 % CYCLES pins each key to its quarter forever, so
+    # registry growth only affects the new key's own quarter.
+    import zlib  # noqa: PLC0415
     rest = sorted(set(queries) - set(HEADLINE))
-    if not rest:
-        return []
-    per = -(-len(rest) // COVERAGE_CYCLES)
     i = rnd % COVERAGE_CYCLES
-    return rest[i * per:(i + 1) * per]
+    return [k for k in rest
+            if zlib.crc32(k.encode()) % COVERAGE_CYCLES == i]
 
 
 # skew section (VERDICT r6 #8): the skew-sensitive operators timed on
@@ -370,9 +394,13 @@ def main() -> None:
     from tools.roundinfo import round_state  # noqa: PLC0415
     rnd = round_state().round
     cov_keys = coverage_keys(queries, rnd)
+    capped = sorted(set(cov_keys) & COVERAGE_CAP_SF001
+                    if os.path.isdir(scale_dir) else set())
     print(f"# coverage quarter r{rnd} (cycle {rnd % COVERAGE_CYCLES}): "
-          f"{len(cov_keys)} keys", file=sys.stderr)
-    coverage = {k: time_key(k, sf_dir, COVERAGE_REPEATS)[0]
+          f"{len(cov_keys)} keys; sf0.01-capped baselines: {capped}",
+          file=sys.stderr)
+    coverage = {k: time_key(k, scale_dir if k in capped else sf_dir,
+                            COVERAGE_REPEATS)[0]
                 for k in cov_keys}
     if coverage:
         out["coverage"] = {
@@ -380,6 +408,7 @@ def main() -> None:
             "cycle": rnd % COVERAGE_CYCLES,
             "repeats": COVERAGE_REPEATS,
             "queries": coverage,
+            "capped_sf001": capped,
             "total": round(sum(coverage.values()), 3),
         }
     emit(out)

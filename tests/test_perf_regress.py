@@ -122,3 +122,69 @@ def test_high_variance_copy_matches_bench():
     import tools.perf_regress as pr
 
     assert pr.HIGH_VARIANCE == bench.HIGH_VARIANCE
+
+
+# ---- adjudication + sf10 reproduction downgrades (r13) -------------------
+
+from tools.perf_regress import downgrade, load_adjudications  # noqa: E402
+
+
+def _flag_rows(section="sf0.1", key="q", old=1.0, new=2.0, gating=True):
+    return [{"section": section, "key": key, "old": old, "new": new,
+             "ratio": round(new / old, 2), "flagged": True,
+             "gating": gating, "high_variance": False}]
+
+
+def test_adjudication_downgrades_matching_round_only():
+    adj = {(12, "sf0.1", "q"): "quiet probe flat"}
+    # matching round: informational
+    rows = _flag_rows()
+    assert downgrade(rows, 12, adj, {}, 1.4) == []
+    assert rows[0]["adjudicated"] == "quiet probe flat"
+    # SAME flag next round: the record must NOT carry over
+    rows = _flag_rows()
+    assert downgrade(rows, 13, adj, {}, 1.4) == rows
+
+
+def test_adjudication_is_section_and_key_scoped():
+    adj = {(12, "sf1_synth", "q"): "probe"}
+    rows = _flag_rows(section="sf0.1", key="q")
+    assert downgrade(rows, 12, adj, {}, 1.4) == rows       # wrong section
+    rows = _flag_rows(section="sf1_synth", key="other")
+    assert downgrade(rows, 12, adj, {}, 1.4) == rows       # wrong key
+
+
+def test_sf10_flag_needs_reproduction_against_older_artifact():
+    # flagged vs prev (45 vs 15 = 3x, +30s) but FLAT vs the older
+    # baseline (40s): a one-artifact spike, downgraded informational
+    rows = _flag_rows(section="sf10_synth", old=15.0, new=45.0)
+    assert downgrade(rows, 13, {}, {"q": 40.0}, 1.4) == []
+    assert rows[0]["unreproduced"] == 40.0
+    # reproduces vs the older baseline too (10s -> 45s): still gates
+    rows = _flag_rows(section="sf10_synth", old=15.0, new=45.0)
+    assert downgrade(rows, 13, {}, {"q": 10.0}, 1.4) == rows
+    # no older artifact carrying the key: never a silent pass
+    rows = _flag_rows(section="sf10_synth", old=15.0, new=45.0)
+    assert downgrade(rows, 13, {}, {}, 1.4) == rows
+
+
+def test_sf10_reproduction_does_not_touch_other_sections():
+    # an sf0.1 flag with an older-baseline entry still gates — the
+    # reproduction relaxation is sf10-only (host-envelope rationale)
+    rows = _flag_rows(section="sf0.1", old=1.0, new=2.0)
+    assert downgrade(rows, 13, {}, {"q": 2.0}, 1.4) == rows
+
+
+def test_committed_adjudications_file_is_well_formed():
+    import json
+    import tools.perf_regress as pr
+
+    adj = load_adjudications()
+    assert adj, "BENCH_ADJUDICATIONS.json missing or empty"
+    sections = {s[0] for s in pr._SECTIONS}
+    with open(pr.ADJUDICATIONS_FILE) as fh:
+        for row in json.load(fh):
+            assert isinstance(row["round"], int)
+            assert row["section"] in sections
+            assert isinstance(row["key"], str) and row["key"]
+            assert isinstance(row["evidence"], str) and row["evidence"]

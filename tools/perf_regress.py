@@ -87,7 +87,33 @@ def _dig(d: dict, path: tuple[str, ...]) -> dict:
 # flip the gating policy). tests/test_perf_regress.py asserts this
 # copy stays identical to bench.HIGH_VARIANCE.
 HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh",
-                 "multimodal_jpeg", "multimodal_mpeg1"}
+                 "multimodal_jpeg", "multimodal_mpeg1",
+                 "multimodal_mjpeg", "multimodal_flac"}
+
+ADJUDICATIONS_FILE = os.path.join(REPO, "BENCH_ADJUDICATIONS.json")
+
+
+def load_adjudications(path: str = ADJUDICATIONS_FILE) -> dict:
+    """Committed flag adjudications: (round, section, key) -> evidence.
+
+    A perf flag that the bench-host-variance probe discipline (check
+    the key at other SFs in the same artifact, check its HEADLINE
+    time-neighbors, re-probe alone in a quiet window) proves
+    ENVIRONMENTAL gets a record here — round, section, key, the
+    flagged ratio, and a one-line evidence summary — committed with
+    the round instead of living only in commit-message prose
+    (VERDICT r12 item 3). A matching flagged row downgrades to
+    informational so a clean round's gate exits 0.  Records bind to
+    ONE round: an r12 adjudication can never suppress an r13 flag on
+    the same key — a recurring flag must be re-probed or the key
+    promoted to HIGH_VARIANCE.
+    """
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        rows = json.load(fh)
+    return {(r["round"], r["section"], r["key"]): r["evidence"]
+            for r in rows}
 
 
 def compare(prev: dict, cur: dict, threshold: float) -> list[dict]:
@@ -116,6 +142,48 @@ def compare(prev: dict, cur: dict, threshold: float) -> list[dict]:
                 "high_variance": key in HIGH_VARIANCE,
             })
     return sorted(rows, key=lambda r: -r["ratio"])
+
+
+def downgrade(rows: list[dict], cur_n: int, adjudications: dict,
+              older_sf10: dict, threshold: float) -> list[dict]:
+    """Apply the two informational downgrades and return the rows
+    that still gate (the exit-1 set).
+
+    1. Committed adjudications (see load_adjudications): a flagged
+       (cur_n, section, key) with an evidence record is marked
+       ``adjudicated`` — proven environmental for THIS round.
+    2. sf10 reproduction (ADVICE r12): identical-code sf10 runs on
+       this host have swung 12x on one repeat, so even the widened
+       median-of-3 envelope can flag spuriously. A gating sf10 flag
+       must REPRODUCE against the newest older-than-previous artifact
+       carrying the key — a real quadratic blowup grows across
+       rounds and clears the same envelope vs the older baseline too
+       (the r12 basket-affinity find tripled over two rounds); a
+       one-artifact spike does not. No older artifact with the key →
+       the flag stands (the gate's failure mode must never be a
+       silent pass).
+    """
+    sf10 = next(s for s in _SECTIONS if s[0] == "sf10_synth")
+    _, _, _, scale, floor = sf10
+    for r in rows:
+        if not r["flagged"]:
+            continue
+        evid = adjudications.get((cur_n, r["section"], r["key"]))
+        if evid:
+            r["adjudicated"] = evid
+            continue
+        if r["section"] == "sf10_synth" and r["key"] in older_sf10:
+            base = older_sf10[r["key"]]
+            if base:
+                repro = (r["new"] / base > threshold * scale
+                         and (r["new"] - base) > floor)
+            else:
+                repro = r["new"] > floor
+            if not repro:
+                r["unreproduced"] = base
+    return [r for r in rows
+            if r["flagged"] and r["gating"] and not r["high_variance"]
+            and "adjudicated" not in r and "unreproduced" not in r]
 
 
 def main() -> int:
@@ -164,7 +232,14 @@ def main() -> int:
 
     rows = compare(prev, cur, args.threshold)
     flagged = [r for r in rows if r["flagged"]]
-    hard = [r for r in flagged if not r["high_variance"] and r["gating"]]
+    # sf10 reproduction baseline: the newest older-than-previous
+    # artifact value per key (ascending merge, later overwrites)
+    older_sf10: dict = {}
+    for n in sorted(n for n in prev_candidates if n < prev_n):
+        with open(rounds[n]) as fh:
+            older_sf10.update(_dig(json.load(fh), ("sf10_synth", "queries")))
+    hard = downgrade(rows, cur_n, load_adjudications(),
+                     older_sf10, args.threshold)
 
     for tot in ("core_total",):
         if prev.get(tot) and cur.get(tot):
@@ -172,7 +247,12 @@ def main() -> int:
                   f"({cur[tot] / prev[tot]:.2f}x)")
     for r in flagged:
         tag = (" [high-variance, informational]" if r["high_variance"]
-               else " [non-gating section]" if not r["gating"] else "")
+               else " [non-gating section]" if not r["gating"]
+               else f" [adjudicated: {r['adjudicated']}]"
+               if "adjudicated" in r
+               else f" [sf10 unreproduced vs older baseline "
+                    f"{r['unreproduced']}s, informational]"
+               if "unreproduced" in r else "")
         print(f"  {r['section']:10s} {r['key']}: {r['old']} -> {r['new']} "
               f"({r['ratio']}x){tag}")
     if hard:
@@ -181,7 +261,7 @@ def main() -> int:
         return 1
     print(f"perf_regress r{prev_n}->r{cur_n}: OK — "
           f"{len(rows)} common-key comparisons, "
-          f"{len(flagged)} high-variance informational flag(s)")
+          f"{len(flagged)} informational flag(s)")
     return 0
 
 
