@@ -56,17 +56,18 @@ _PRIORITY_KEYS = (
     # rotate-first discipline if the probe forces a fix and trims the
     # r14 mandatory set from 49 to 48.
     "silver_fact_lineitems",
-    # Slot 50: dedup_embedding_lsh_auto — next-oldest (r11-aged)
-    # early refresh; designated SWAP TARGET if a new registry key
-    # (the earmarked 64-bit simhash sibling) is oracle-proven this
-    # round — a swap returns it to the r14 mandatory set, which
-    # stays feasible either way (48 or 49 of 50 slots).
-    "dedup_embedding_lsh_auto",
+    # Slot 50: dedup_simhash_wide — the r13 new key (VERDICT r12
+    # item 6: 64-bit signature, 4 x 16-bit bands — the scale sibling
+    # for the under-discriminating 32-bit baseline), oracle-proven in
+    # pytest before registration per the mpa precedent. It displaced
+    # the provisional dedup_embedding_lsh_auto early refresh, which
+    # returns to the r14 mandatory set (49 of 50 slots — feasible,
+    # window_check W5).
+    "dedup_simhash_wide",
     # r14 MUST lead with the keys whose last driver row is
-    # CORRECTNESS_r11 (mechanically r11 minus r12 minus r13; the two
-    # slot-49/50 early refreshes above drop out of this list, and a
-    # slot-50 swap puts dedup_embedding_lsh_auto back in —
-    # "dq_benford", "dq_embedding_health",
+    # CORRECTNESS_r11 (mechanically r11 minus r12 minus r13; the
+    # slot-49 early refresh drops out of this list —
+    # "dedup_embedding_lsh_auto", "dq_benford", "dq_embedding_health",
     # "dq_ks_drift",
     # "dq_no_duplicates", "dq_not_null_pk",
     # "dq_psi_drift", "dq_referential_integrity", "dq_row_count",
@@ -86,8 +87,8 @@ _PRIORITY_KEYS = (
     # "text_contamination", "text_contamination_semantic",
     # "text_fineweb_rules", "text_lm_quality", "text_pii_redact",
     # "text_repetition",
-    # ) = 47 keys (48 with the slot-50 swap) + 2-3 spare slots for
-    # r14-changed/new keys. tools/window_check.py verifies (W5).
+    # ) = 48 keys + 2 spare slots for r14-changed/new keys.
+    # tools/window_check.py verifies (W5).
 )
 
 

@@ -347,3 +347,109 @@ def test_simhash_int_hamming_equals_character_definition(spark):
     ).cast("int")
     out = df.select(fast.alias("fast"), slow.alias("slow")).collect()
     assert all(r["fast"] == r["slow"] for r in out)
+
+
+# ---- 64-bit wide simhash sibling (r13) -----------------------------------
+
+
+def test_simhash_wide_two_half_hamming_equals_character_definition(spark):
+    """The wide verification splits the 64-bit signature into two
+    32-bit halves (conv of the full string can overflow signed
+    BIGINT): xor+bit_count per half, summed, must equal the
+    definitional per-character mismatch count over all 64 positions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sigs = st.integers(min_value=0, max_value=2**64 - 1)
+
+    @settings(max_examples=30, deadline=None)
+    @given(sigs, sigs)
+    def check(x, y):
+        per_char = sum(a != b for a, b in zip(f"{x:064b}", f"{y:064b}"))
+        halves = (bin((x >> 32) ^ (y >> 32)).count("1")
+                  + bin((x & 0xFFFFFFFF) ^ (y & 0xFFFFFFFF)).count("1"))
+        assert per_char == halves
+
+    check()
+
+    # and the Spark two-half expression agrees with the per-char fold
+    import random
+
+    rnd = random.Random(13)
+    rows = [(f"{rnd.getrandbits(64):064b}", f"{rnd.getrandbits(64):064b}")
+            for _ in range(64)]
+    df = spark.createDataFrame(rows, "sig_a string, sig_b string")
+
+    def halves(col):
+        return (F.conv(F.substring(col, 1, 32), 2, 10).cast("long"),
+                F.conv(F.substring(col, 33, 32), 2, 10).cast("long"))
+
+    hi_a, lo_a = halves("sig_a")
+    hi_b, lo_b = halves("sig_b")
+    fast = (F.bit_count(hi_a.bitwiseXOR(hi_b))
+            + F.bit_count(lo_a.bitwiseXOR(lo_b))).cast("int")
+    slow = F.aggregate(
+        F.zip_with(
+            F.split("sig_a", ""),
+            F.split("sig_b", ""),
+            lambda a, b: F.when(a == b, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    out = df.select(fast.alias("fast"), slow.alias("slow")).collect()
+    assert all(r["fast"] == r["slow"] for r in out)
+
+
+def test_simhash_wide_recall_and_candidate_pruning(spark, sf_dir,
+                                                   jaccard_pairs):
+    """The point of the 64/4x16 geometry: same near-dup recall
+    standard as the 32-bit baseline, with a STRICTLY smaller band
+    candidate set on the homogeneous synthetic corpus (the r12
+    pathology: 8-bit bands let ~n²/16 candidates through)."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_WIDE_BANDS,
+        SIMHASH_WIDE_BITS,
+        _simhash_signatures,
+        _simhash_signatures_wide,
+        dedup_simhash_wide,
+    )
+
+    wide = {(r.id_a, r.id_b)
+            for r in dedup_simhash_wide(spark, sf_dir).collect()}
+    strong = {p for p, j in jaccard_pairs.items() if j >= 0.95}
+    if strong:  # same coarseness standard as the 32-bit test
+        assert len(strong & wide) / len(strong) >= 0.5
+
+    def n_candidates(sig_df, n_bands, bits):
+        width = bits // n_bands
+        melted = sig_df.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.substring("simhash", j * width + 1, width)
+                    .alias("band"),
+                )
+                for j in range(n_bands)
+            ])).alias("bd"),
+        ).select("doc_id", "bd.band_idx", "bd.band")
+        a = melted.select(F.col("doc_id").alias("id_a"),
+                          "band_idx", F.col("band").alias("band_a"))
+        b = melted.select(F.col("doc_id").alias("id_b"),
+                          F.col("band_idx").alias("band_idx_b"),
+                          F.col("band").alias("band_b"))
+        return (a.join(b, (F.col("band_idx") == F.col("band_idx_b"))
+                       & (F.col("band_a") == F.col("band_b"))
+                       & (F.col("id_a") < F.col("id_b")))
+                .select("id_a", "id_b").distinct().count())
+
+    narrow_cand = n_candidates(
+        _simhash_signatures(spark, sf_dir), 4, SIMHASH_BITS)
+    wide_cand = n_candidates(
+        _simhash_signatures_wide(spark, sf_dir),
+        SIMHASH_WIDE_BANDS, SIMHASH_WIDE_BITS)
+    # 16-bit bands must discriminate materially better than 8-bit
+    # ones on the same corpus — at least halving the candidate set
+    assert wide_cand * 2 <= narrow_cand, (wide_cand, narrow_cand)

@@ -31,6 +31,10 @@ MINHASH_K = 9            # minhash signature length
 LSH_BANDS = 3            # bands of MINHASH_K / LSH_BANDS rows
 SIMHASH_BITS = 32        # one bit per md5 hex nibble's high bit
 SIMHASH_MAX_HAMMING = 6
+SIMHASH_WIDE_BITS = 64   # r13 scale sibling: 2 md5s per token
+SIMHASH_WIDE_BANDS = 4   # 4 x 16-bit bands (65536 buckets/band)
+SIMHASH_WIDE_SALT = "#w"  # second-hash-family suffix for bits 33-64
+SIMHASH_WIDE_MAX_HAMMING = 3  # Manku/Jain/Sarma WWW'07: k=3 on 64-bit
 COSINE_TAU = 0.4
 
 
@@ -283,8 +287,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, id, int) rows instead of 32-char signature strings.
     Measured same-session at sf0.1: 176s -> ~8s. A 32-bit simhash
     over 8-bit bands remains a CORRECTNESS BASELINE for homogeneous
-    corpora — bucket discrimination needs wider signatures; the
-    production text near-dup path is dedup_minhash_lsh."""
+    corpora — bucket discrimination needs wider signatures. The
+    in-family scale sibling is ``dedup_simhash_wide`` (r13: 64-bit
+    signature, 4 x 16-bit bands); the production text near-dup path
+    is dedup_minhash_lsh."""
     sig = _simhash_signatures(spark, sf_dir).withColumn(
         "sig_int", F.conv("simhash", 2, 10).cast("long"))
     n_bands, width = 4, SIMHASH_BITS // 4
@@ -320,6 +326,162 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
+    )
+
+
+def _simhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures: bits 1-32 are the majority vote of
+    ``md5(token)`` nibble high bits (bit-identical to the 32-bit
+    signature's definition), bits 33-64 vote on
+    ``md5(token || SIMHASH_WIDE_SALT)`` — a second independent member
+    of the same md5 hash family, so the widening needs no new
+    primitive and stays oracle-expressible.
+
+    Same array-native shape as ``_simhash_signatures``, with TWO
+    cache layers: the distinct-token array materializes first (so
+    the regexp runs once, not once per hash family), then the two
+    md5 arrays materialize as SEPARATE plain ``array<string>``
+    columns — each bit's ``aggregate`` fold scans a flat string
+    array exactly like the 32-bit stage. The obvious alternative
+    (one array of (h1, h2) structs) made each of the 64 folds pay
+    struct-field extraction per element: measured 9.0s vs 1.3s for
+    the 32-bit stage at sf0.1; the flat two-array form restores the
+    ~2x-of-narrow cost the doubled width actually warrants.
+    Map-only at 100 TB."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("td"),
+    ).cache()
+    hs = toks.select(
+        "doc_id",
+        F.transform("td", lambda t: F.md5(t)).alias("h1"),
+        F.transform(
+            "td", lambda t: F.md5(F.concat(t, F.lit(SIMHASH_WIDE_SALT)))
+        ).alias("h2"),
+    ).cache()
+    bit = lambda col, i: F.when(  # noqa: E731
+        F.aggregate(
+            col,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1),
+        )
+        > 0,
+        F.lit("1"),
+    ).otherwise(F.lit("0"))
+    half = SIMHASH_WIDE_BITS // 2
+    return hs.where(F.size("h1") > 0).select(
+        "doc_id",
+        F.concat(*[bit("h1", i) for i in range(1, half + 1)],
+                 *[bit("h2", i) for i in range(1, half + 1)]).alias("simhash"),
+    )
+
+
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over a 64-bit signature banded 4 x 16.
+
+    The scale sibling VERDICT r12 asked for (What's wrong #4): the
+    32-bit/8-bit-band geometry of ``dedup_simhash`` under-discriminates
+    on homogeneous corpora — 256 buckets per band let ~n²/16
+    candidates survive banding even after the r12 constant-factor
+    fixes. Doubling the signature and widening bands to 16 bits gives
+    65536 buckets per band, so band agreement demands 16 consecutive
+    bit matches instead of 8 — the candidate set shrinks roughly
+    quadratically in the per-bit disagreement rate while true
+    near-dups (Hamming ≤ 6 of 64) still collide with the same
+    any-band pigeonhole structure as the 32-bit baseline.
+
+    Verification is the r12 int-xor form, split across the two
+    32-bit halves (``conv`` of the full 64-char string can overflow
+    BIGINT's signed range): one xor + bit_count per half, filtered
+    BEFORE the pair distinct so the dedup shuffle carries only thin
+    survivor rows. The Hamming threshold is k = 3 — the published
+    production operating point for 64-bit fingerprints (Manku, Jain
+    & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07,
+    §3: k = 3 over f = 64 for an 8B-page corpus). Keeping the
+    32-bit key's ≤ 6 at 64 bits would be a LOOSER gate relative to
+    signature noise: on a homogeneous corpus expected inter-doc
+    Hamming stays well under 6 of 64, and the pair output balloons
+    (measured at sf0.1: 1.86M pairs under k = 6 vs 554k under k = 3).
+    The operator is OUTPUT-BOUND on this corpus — 554k of 12.5M doc
+    pairs are genuine k ≤ 3 near-dups — so the measured win over the
+    32-bit baseline (8.2s vs 14.2s same-session; 13.7x fewer pairs
+    than its ≤ 6-of-32 output) is bounded by the corpus's own
+    near-dup mass, not by banding. k = 3 < 4 bands also buys the
+    Manku pigeonhole guarantee: every qualifying pair agrees on at
+    least one full band, so banding recall is EXACT, not
+    probabilistic.
+    """
+    half = SIMHASH_WIDE_BITS // 2
+    sig = _simhash_signatures_wide(spark, sf_dir).select(
+        "doc_id",
+        "simhash",
+        F.conv(F.substring("simhash", 1, half), 2, 10)
+        .cast("long").alias("sig_hi"),
+        F.conv(F.substring("simhash", half + 1, half), 2, 10)
+        .cast("long").alias("sig_lo"),
+    )
+    width = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
+    melted = sig.select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.substring("simhash", j * width + 1, width).alias("band"),
+                )
+                for j in range(SIMHASH_WIDE_BANDS)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "sig_hi", "sig_lo", "bd.band_idx", "bd.band")
+    a = melted.select(
+        F.col("doc_id").alias("id_a"), F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"), "band_idx",
+        F.col("band").alias("band_a"),
+    )
+    b = melted.select(
+        F.col("doc_id").alias("id_b"), F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("band_idx").alias("band_idx_b"), F.col("band").alias("band_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+
+    # First-match-only emission replaces the pair ``distinct()``: a
+    # pair whose signatures agree on several bands would surface once
+    # per agreeing band, and distinct-ing ~1.5M survivor rows was the
+    # only post-join shuffle left in the plan. Every band value is
+    # recoverable from the signature ints already riding the join row
+    # (band 2j = hi>>16 etc.), so each candidate keeps only the row
+    # whose band_idx is the FIRST agreeing band — exactly-once per
+    # pair by construction, no shuffle, a per-row int predicate.
+    def band_int(hi: str, lo: str, k: int):
+        src = F.col(hi) if k < 2 else F.col(lo)
+        if k % 2 == 0:
+            return F.shiftrightunsigned(src, SIMHASH_WIDE_BITS // 4)
+        return src.bitwiseAND(F.lit((1 << (SIMHASH_WIDE_BITS // 4)) - 1))
+
+    no_earlier_band_matches = F.lit(True)
+    for k in range(SIMHASH_WIDE_BANDS - 1):
+        no_earlier_band_matches = no_earlier_band_matches & (
+            (F.col("band_idx") <= k)
+            | (band_int("hi_a", "lo_a", k) != band_int("hi_b", "lo_b", k))
+        )
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_a") == F.col("band_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(no_earlier_band_matches)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_WIDE_MAX_HAMMING)
     )
 
 
@@ -880,6 +1042,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_wide": dedup_simhash_wide,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
@@ -1080,6 +1243,56 @@ ORACLES = {
         WHERE list_sum(list_transform(range(1, {SIMHASH_BITS + 1}),
                   i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
                             THEN 0 ELSE 1 END)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    "dedup_simhash_wide": f"""
+        WITH ut AS (
+            SELECT DISTINCT doc_id, t FROM (
+                SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id, i,
+                   SUM(CASE WHEN substr(
+                           CASE WHEN i <= {SIMHASH_WIDE_BITS // 2}
+                                THEN md5(t)
+                                ELSE md5(t || '{SIMHASH_WIDE_SALT}') END,
+                           CASE WHEN i <= {SIMHASH_WIDE_BITS // 2}
+                                THEN i ELSE i - {SIMHASH_WIDE_BITS // 2} END,
+                           1) >= '8'
+                            THEN 1 ELSE -1 END) AS vote
+            FROM ut,
+                 (SELECT unnest(range(1, {SIMHASH_WIDE_BITS + 1})) AS i)
+            GROUP BY doc_id, i
+        ),
+        sig AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY i) AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        melted AS (
+            SELECT doc_id, simhash, j AS band_idx,
+                   substr(simhash,
+                          j * {SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS} + 1,
+                          {SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS}) AS band
+            FROM sig,
+                 (SELECT unnest(range(0, {SIMHASH_WIDE_BANDS})) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, x.simhash AS sig_a,
+                            y.doc_id AS id_b, y.simhash AS sig_b
+            FROM melted x
+            JOIN melted y ON x.band_idx = y.band_idx AND x.band = y.band
+                         AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(list_sum(list_transform(
+                   range(1, {SIMHASH_WIDE_BITS + 1}),
+                   i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                             THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE list_sum(list_transform(range(1, {SIMHASH_WIDE_BITS + 1}),
+                  i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                            THEN 0 ELSE 1 END)) <= {SIMHASH_WIDE_MAX_HAMMING}
     """,
     "dedup_embedding_cosine": f"""
         WITH v AS (
