@@ -171,3 +171,18 @@ def test_post_round_never_checked_key_counts_toward_mandatory():
     # with a wide-enough window the same state is fine
     assert check(REG[:4], REG + ["brand_new"], h, window_size=3,
                  post_round=True) == []
+
+
+def test_w7_new_key_budget():
+    # two never-checked keys in one round exceed the endgame budget
+    # even when both sit inside the window (W3 quiet)
+    h = hist(r1={"k2", "k3", "k4", "k5"})
+    errs = check(["k0", "k1", *REG[2:]], REG, h, window_size=6)
+    assert any(e.startswith("W7") for e in errs)
+    # one new key is within budget
+    h = hist(r1={"k1", "k2", "k3", "k4", "k5"})
+    errs = check(["k0", *REG[1:]], REG, h, window_size=6)
+    assert not any(e.startswith("W7") for e in errs)
+    # round 1 (no history): every key is new, W7 must not bind
+    errs = check(REG, REG, {}, window_size=6)
+    assert not any(e.startswith("W7") for e in errs)

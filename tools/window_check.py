@@ -24,7 +24,12 @@ history plus the live ``_PRIORITY_KEYS`` ordering and fails loudly if:
       whole point);
   W6. a red driver row (any of rows/schema/hash false) is being
       counted as coverage — a failed row is treated as NO row, so a
-      regression forces the key back into a window.
+      regression forces the key back into a window;
+  W7. more than NEW_KEY_BUDGET (1) never-driver-checked keys exist
+      mid-round — the registry endgame policy (SURVEY §2, r13): at
+      147/150 capacity, growth is at most ONE new oracle key per
+      round, into a spare window slot, so rotation planning stays
+      feasible all the way to the 150-key ceiling.
 
 In the POST-ROUND state (tools/roundinfo.py: the newest CORRECTNESS
 artifact landed and no engine input changed since), W2/W3 projections
@@ -52,6 +57,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50     # driver checks the first 50 queries() keys
 MAX_AGE = 2     # max rounds since a key's last green driver row
+NEW_KEY_BUDGET = 1  # max new (never-driver-checked) keys per round
 
 
 def load_history(repo: str = REPO) -> dict[int, set[str]]:
@@ -157,6 +163,14 @@ def check(window: list[str], registry: list[str],
     never = sorted(k for k in reg if k not in last_row and k not in win_set)
     if never:
         errs.append(f"W3 never-driver-checked keys outside window: {never}")
+
+    # endgame new-key budget (SURVEY §2 policy, r13): only bind once
+    # a history exists — in round 1 every key is legitimately new.
+    if history:
+        new_keys = sorted(k for k in reg if k not in last_row)
+        if len(new_keys) > NEW_KEY_BUDGET:
+            errs.append(f"W7 {len(new_keys)} new keys exceed the "
+                        f"per-round budget {NEW_KEY_BUDGET}: {new_keys}")
 
     overdue = []
     for key in sorted(reg):
