@@ -66,3 +66,28 @@ def test_allowlist_names_only_registry_keys():
     reg = set(entry_mod.queries())
     ghosts = [k for k in ALLOW if k not in reg]
     assert not ghosts, f"allowlist names non-registry keys: {ghosts}"
+
+
+def test_nested_types_count_as_one_column():
+    """ADVICE r12: `struct<([^>]*)>` truncated at the first `>` of a
+    nested type and the flat comma-split miscounted parameterized
+    types — a wide scan with nested columns could pass the audit."""
+    from tools.prune_audit import top_level_fields
+
+    assert top_level_fields("a:int,b:bigint") == 2
+    assert top_level_fields("a:array<int>,b:int") == 2
+    assert top_level_fields(
+        "a:struct<x:int,y:struct<p:int,q:int>>,b:map<string,int>,"
+        "c:array<struct<u:double,v:double>>") == 3
+    assert top_level_fields("") == 0
+
+    # end-to-end through scan_blocks: 3 nested columns of the 8-wide
+    # documents table must be 3, not 6 (flat split) or 1 (truncation)
+    plan = (
+        "== Physical Plan ==\n"
+        "(1) Scan parquet \n"
+        "Location: InMemoryFileIndex [file:/x/documents.parquet]\n"
+        "ReadSchema: struct<a:array<struct<x:int,y:int>>,"
+        "b:map<string,int>,c:int>\n"
+    )
+    assert list(scan_blocks(plan)) == [("documents", 3)]

@@ -60,19 +60,34 @@ ALLOW: dict[str, str] = {
 }
 
 
+def top_level_fields(body: str) -> int:
+    """Count struct fields at bracket depth 0 — `struct<a:int,
+    b:array<struct<x:int,y:int>>>` is TWO columns, not four. The old
+    `[^>]*` regex truncated at the first `>` of any nested type and
+    the flat `,`-split counted nested members as columns, so a wide
+    scan with nested columns could be miscounted (ADVICE r12; latent
+    on the flat testdata, real for any nested-schema source)."""
+    depth, n = 0, 0
+    for chunk in body.split(","):
+        if depth == 0 and ":" in chunk:
+            n += 1
+        depth += chunk.count("<") - chunk.count(">")
+    return n
+
+
 def scan_blocks(plan: str):
     """Yield (table, n_columns_read) for each parquet scan block."""
     for block in re.split(r"\(\d+\) Scan parquet", plan)[1:]:
         loc = re.search(r"Location:.*?\[([^\]]*)\]", block)
-        rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        # greedy to the LAST '>' on the line so nested types stay in
+        rs = re.search(r"ReadSchema: struct<(.*)>", block)
         if not loc or not rs:
             continue
         table = next((t for t in TABLE_WIDTHS
                       if f"{t}.parquet" in loc.group(1)), None)
         if table is None:
             continue
-        ncols = len([c for c in rs.group(1).split(",") if ":" in c])
-        yield table, ncols
+        yield table, top_level_fields(rs.group(1))
 
 
 def classify(key: str, plan: str) -> list[str]:
