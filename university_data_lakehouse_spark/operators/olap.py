@@ -1194,7 +1194,24 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Baskets with more than ``BASKET_MAX_LINES`` distinct parts are
     dropped BEFORE pair generation (and from the support/lift
     denominators, so all statistics describe the same capped
-    universe)."""
+    universe).
+
+    Buffer-bound decision (ADVICE r12, weighed and declined): the
+    size cap is applied AFTER collect_set materializes a basket, so
+    a degenerate order buffers its full distinct-part array before
+    being dropped. Pre-filtering oversized orders needs the count
+    BEFORE the collect — that is two extra fact-scale shuffles
+    (dedup pairs → per-order count → join back) on EVERY run, and it
+    breaks the single-fact-shuffle plan this r12 rewrite exists for
+    (pinned by tests/test_plan_shape.py). The unguarded buffer is
+    physically bounded: collect_set dedups in the map-side partial,
+    so a basket buffers at most min(order's lines, |part| dimension)
+    longs — the planted-skew 10k-line order is an 80 KB buffer,
+    measured absorbed map-side in the skew bench. An order would
+    need ~100M DISTINCT parts to pressure an executor, which is a
+    part-dimension-sized order, not a plausible fact row group; if
+    such a source existed, the count→filter→collect shape above is
+    the known mitigation to swap in."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.groupBy("l_orderkey")
