@@ -415,3 +415,111 @@ def test_forget_documents_merge_on_read_path(spark, sf_dir, tmp_path):
     assert not any(f.get("dv") for f in shards.manifest()["files"])
     shards.vacuum(keep_versions=1, min_age_seconds=0)
     assert shards.read(spark).count() == n - 2
+
+
+def test_backfill_change_feed_survives_concurrent_compaction(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """r13 (VERDICT r12 item 9): the last uncrossed tables/ surface
+    TRIPLE — partition-range backfill slices landing while a CDF
+    consumer polls AND maybe_compact races both. Pins:
+
+      - a tick spanning a backfill slice + a compaction delivers
+        exactly the slice's rows (the rewrite is layout-only to the
+        keyed diff);
+      - a compaction that LOSES the OCC race to a backfill slice
+        skips (None) and the slice is delivered exactly once;
+      - a compact-only tick yields zero row changes but advances the
+        cursor;
+      - the mirror ends equal to the one-shot build."""
+    from university_data_lakehouse_spark.operators.silver import (
+        silver_fact_orders,
+    )
+    from university_data_lakehouse_spark.plans.backfill import backfill
+    from university_data_lakehouse_spark.streaming.source import (
+        TableChangeFeed,
+    )
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    src = catalog.table("silver/fact_orders")
+    dst = catalog.table("silver/fact_orders_mirror")
+    feed = TableChangeFeed(src, str(tmp_path / "chk"),
+                           keys=["transaction_key"])
+
+    def run_slices(slices):
+        return backfill(
+            spark, sf_dir, catalog,
+            table="silver/fact_orders",
+            fn=silver_fact_orders,
+            slice_col="posting_date",
+            slices=slices,
+            keys=["transaction_key", "posting_date"],
+            partition_by=["years(posting_date)"],
+        )
+
+    def tick():
+        df, target = feed.poll(spark)
+        if df is None:
+            return None, target
+        keys = {r["transaction_key"] for r in
+                df.select("transaction_key").collect()}
+        ups = df.where("_change_type <> 'delete'").drop(
+            "_change_type", "_commit_version")
+        if not dst.exists():
+            dst.write(ups)
+        elif not ups.isEmpty():
+            dst.merge(ups, keys=["transaction_key"])
+        feed.commit(target)
+        return keys, target
+
+    full = silver_fact_orders(spark, sf_dir)
+    keys_in = lambda lo, hi: {
+        r["transaction_key"] for r in full.where(
+            (F.col("posting_date") >= lo) & (F.col("posting_date") < hi)
+        ).select("transaction_key").collect()}
+
+    # v1: bootstrap slice
+    run_slices([("1995-01-01", "1997-01-01")])
+    got, t1 = tick()
+    assert t1 == 1 and got == keys_in("1995-01-01", "1997-01-01")
+
+    # v2 slice + v3 compaction inside ONE tick: the keyed diff must
+    # surface exactly the slice's rows, nothing from the rewrite
+    run_slices([("1997-01-01", "1999-01-01")])
+    assert src.compact(spark) == 3
+    got, t3 = tick()
+    assert t3 == 3 and got == keys_in("1997-01-01", "1999-01-01")
+
+    # v4: compaction loses the OCC race to a backfill slice landing
+    # mid-rewrite — maintenance skips, the slice is the only commit
+    orig_stage = src._stage
+
+    def racing_stage(df, partition_by=None, **kw):
+        staged = orig_stage(df, partition_by=partition_by, **kw)
+        run_slices([("1999-01-01", "2000-01-01")])
+        return staged
+
+    monkeypatch.setattr(src, "_stage", racing_stage)
+    assert src.maybe_compact(spark, max_files=0) is None
+    monkeypatch.setattr(src, "_stage", orig_stage)
+    assert src.latest_version() == 4
+    got, t4 = tick()
+    assert t4 == 4 and got == keys_in("1999-01-01", "2000-01-01")
+
+    # v5 final slice, v6 compact-only: the slice tick delivers its
+    # rows; the compact-only tick is empty but moves the cursor
+    run_slices([("2000-01-01", "2002-01-01")])
+    got, t5 = tick()
+    assert t5 == 5 and got == keys_in("2000-01-01", "2002-01-01")
+    assert src.compact(spark, target_files=2) == 6
+    got, t6 = tick()
+    assert t6 == 6 and got == set()
+    assert feed.cursor() == 6
+
+    # end state: mirror == one-shot build, nothing pending
+    m = {r["transaction_key"] for r in dst.read(spark).select(
+        "transaction_key").collect()}
+    f = {r["transaction_key"] for r in full.select(
+        "transaction_key").collect()}
+    assert m == f
+    df_none, _ = feed.poll(spark)
+    assert df_none is None
