@@ -50,12 +50,14 @@ _PRIORITY_KEYS = (
     "olap_repeat_customers", "olap_revenue_mom", "sim_knn_ivf_rp",
     "text_entropy", "text_gopher_rules", "text_tfidf_topk",
     "text_vocab_topk",
-    # Slot 49: silver_fact_lineitems — r11-aged AND under active r13
-    # investigation (the sf10 8.2s plateau probe, VERDICT r12 What's
-    # wrong #1); refreshing it early both serves the changed-keys-
-    # rotate-first discipline if the probe forces a fix and trims the
-    # r14 mandatory set from 49 to 48.
-    "silver_fact_lineitems",
+    # Slot 49: dedup_simhash — materially changed this round (first-
+    # match-only band emission replaced the post-join distinct;
+    # 14.2s -> 5.4s at sf0.1), so it rotates per the changed-keys-
+    # rotate-first discipline, displacing the provisional
+    # silver_fact_lineitems early refresh (that key's r13 work was a
+    # measurement + docstring diagnosis, code untouched — it stays
+    # r11-aged and leads r14's mandatory set).
+    "dedup_simhash",
     # Slot 50: dedup_simhash_wide — the r13 new key (VERDICT r12
     # item 6: 64-bit signature, 4 x 16-bit bands — the scale sibling
     # for the under-discriminating 32-bit baseline), oracle-proven in
@@ -65,8 +67,7 @@ _PRIORITY_KEYS = (
     # window_check W5).
     "dedup_simhash_wide",
     # r14 MUST lead with the keys whose last driver row is
-    # CORRECTNESS_r11 (mechanically r11 minus r12 minus r13; the
-    # slot-49 early refresh drops out of this list —
+    # CORRECTNESS_r11 (mechanically r11 minus r12 minus r13 —
     # "dedup_embedding_lsh_auto", "dq_benford", "dq_embedding_health",
     # "dq_ks_drift",
     # "dq_no_duplicates", "dq_not_null_pk",
@@ -83,12 +84,13 @@ _PRIORITY_KEYS = (
     # "olap_top_supplier", "olap_waiting_suppliers", "pack_token_bins",
     # "sample_split", "sample_stratified", "sample_weighted",
     # "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
-    # "silver_fact_contacts", "silver_fact_orders", "sim_knn_lsh",
+    # "silver_fact_contacts", "silver_fact_lineitems",
+    # "silver_fact_orders", "sim_knn_lsh",
     # "text_contamination", "text_contamination_semantic",
     # "text_fineweb_rules", "text_lm_quality", "text_pii_redact",
     # "text_repetition",
-    # ) = 48 keys + 2 spare slots for r14-changed/new keys.
-    # tools/window_check.py verifies (W5).
+    # ) = 49 keys + 1 spare slot for r14-changed/new keys.
+    # tools/window_check.py verifies (W5: 49 <= 50).
 )
 
 

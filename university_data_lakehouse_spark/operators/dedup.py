@@ -285,12 +285,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount); and the Hamming filter now runs BEFORE the pair
     distinct, so the dedup shuffle carries only survivors, thin
     (id, id, int) rows instead of 32-char signature strings.
-    Measured same-session at sf0.1: 176s -> ~8s. A 32-bit simhash
-    over 8-bit bands remains a CORRECTNESS BASELINE for homogeneous
-    corpora — bucket discrimination needs wider signatures. The
+    Measured same-session at sf0.1: 176s -> ~8s. r13 removed the
+    last post-join shuffle too: pairs emit exactly once from their
+    FIRST agreeing band (band k recovered from the signature int as
+    (sig >> (24-8k)) & 0xFF) instead of being distinct()-ed — 14.2s
+    -> 5.4s same-session at sf0.1 on the ~7.5M-pair output. A 32-bit
+    simhash over 8-bit bands remains a CORRECTNESS BASELINE for
+    homogeneous corpora — its ≤6-of-32 gate still passes 7.5M pairs
+    where the wide sibling's Manku-threshold gate passes 554k. The
     in-family scale sibling is ``dedup_simhash_wide`` (r13: 64-bit
-    signature, 4 x 16-bit bands); the production text near-dup path
-    is dedup_minhash_lsh."""
+    signature, 4 x 16-bit bands, k = 3); the production text
+    near-dup path is dedup_minhash_lsh."""
     sig = _simhash_signatures(spark, sf_dir).withColumn(
         "sig_int", F.conv("simhash", 2, 10).cast("long"))
     n_bands, width = 4, SIMHASH_BITS // 4
@@ -316,6 +321,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band_idx").alias("band_idx_b"), F.col("band").alias("band_b"),
     )
     hamming = F.bit_count(F.col("int_a").bitwiseXOR(F.col("int_b")))
+
+    # First-match-only emission (r13, backported from the wide
+    # sibling): a pair agreeing on several bands used to surface once
+    # per band and be distinct()-ed — on this corpus a ~7.5M-row
+    # shuffle. Band k of the 32-bit signature is (sig >> (24-8k)) &
+    # 0xFF, recoverable from the int already riding the join row, so
+    # each pair keeps only the row whose band_idx is its FIRST
+    # agreeing band — exactly-once by construction, no shuffle.
+    def band_of(col: str, k: int):
+        width = SIMHASH_BITS // 4
+        return F.shiftrightunsigned(
+            F.col(col), SIMHASH_BITS - width * (k + 1)
+        ).bitwiseAND(F.lit((1 << width) - 1))
+
+    no_earlier_band_matches = F.lit(True)
+    for k in range(n_bands - 1):
+        no_earlier_band_matches = no_earlier_band_matches & (
+            (F.col("band_idx") <= k)
+            | (band_of("int_a", k) != band_of("int_b", k))
+        )
     return (
         a.join(
             b,
@@ -323,9 +348,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("band_a") == F.col("band_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
+        .where(no_earlier_band_matches)
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
     )
 
 
@@ -405,13 +430,14 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming stays well under 6 of 64, and the pair output balloons
     (measured at sf0.1: 1.86M pairs under k = 6 vs 554k under k = 3).
     The operator is OUTPUT-BOUND on this corpus — 554k of 12.5M doc
-    pairs are genuine k ≤ 3 near-dups — so the measured win over the
-    32-bit baseline (8.2s vs 14.2s same-session; 13.7x fewer pairs
-    than its ≤ 6-of-32 output) is bounded by the corpus's own
-    near-dup mass, not by banding. k = 3 < 4 bands also buys the
-    Manku pigeonhole guarantee: every qualifying pair agrees on at
-    least one full band, so banding recall is EXACT, not
-    probabilistic.
+    pairs are genuine k ≤ 3 near-dups (13.7x fewer than the 32-bit
+    baseline's ≤ 6-of-32 output), so wall time is bounded by the
+    corpus's own near-dup mass, not by banding; the extra ~3s over
+    the first-match-rewritten baseline buys the 2x signature and the
+    two-halves verify that the tighter gate is made of. k = 3 < 4
+    bands also buys the Manku pigeonhole guarantee: every qualifying
+    pair agrees on at least one full band, so banding recall is
+    EXACT, not probabilistic.
     """
     half = SIMHASH_WIDE_BITS // 2
     sig = _simhash_signatures_wide(spark, sf_dir).select(
