@@ -595,3 +595,74 @@ def test_corpus_narrow_maps_compose_on_streams(spark, sf_dir, tmp_path):
         batch = {tuple(r) for r in fn(batch_docs).collect()}
         assert streamed == batch, name
         assert len(streamed) > 0, name
+
+
+def test_simhash_tagger_matches_batch_signatures(spark, sf_dir):
+    """The barrier-free one-aggregate vote fold (streaming/dedupe.py)
+    must be BIT-IDENTICAL to the batch per-bit fold — ingest-time
+    flags and nightly-batch dedup must never disagree on a
+    signature."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        _simhash_signatures_wide,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+    from university_data_lakehouse_spark.streaming.dedupe import simhash_tag
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = {(r.doc_id, r.simhash)
+              for r in simhash_tag(docs).select("doc_id", "simhash").collect()}
+    batch = {(r.doc_id, r.simhash)
+             for r in _simhash_signatures_wide(spark, sf_dir).collect()}
+    assert tagged == batch and len(tagged) > 0
+    # and the two int halves reassemble the binary string
+    row = simhash_tag(docs).first()
+    assert f"{row.sig_hi:032b}{row.sig_lo:032b}" == row.simhash
+
+
+def test_streaming_near_dup_flagging_matches_batch(spark, sf_dir,
+                                                   tmp_path):
+    """Dedup-on-ingest end-to-end: documents stream in, each is
+    signature-tagged and band-joined (stream-static) against the
+    historical corpus band table, and the flagged (doc_id, dup_of,
+    hamming) rows equal the same flagger run in batch mode — each
+    pair exactly once (the first-match emission needs no streaming
+    state)."""
+    import os as _os
+
+    from university_data_lakehouse_spark.sources.loader import load_table
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        corpus_band_table,
+        flag_near_dups,
+    )
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    corpus = corpus_band_table(batch_docs)
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    _os.symlink(_os.path.join(sf_dir, "documents.parquet"),
+                stream_dir / "part-0.parquet")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(str(stream_dir))
+    )
+
+    q = (
+        flag_near_dups(stream_docs, corpus)
+        .writeStream.format("memory").queryName("ingest_flags")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in
+                spark.sql("SELECT * FROM ingest_flags").collect()}
+    batch = {tuple(r) for r in
+             flag_near_dups(batch_docs, corpus).collect()}
+    assert streamed == batch and len(streamed) > 0
+    # exactly-once: no (doc_id, dup_of) appears twice
+    pairs = [(a, b) for a, b, _ in streamed]
+    assert len(pairs) == len(set(pairs))
+    # directionality: self-pairs excluded, both directions present
+    # (the flagger is ingest-vs-corpus, not an ordered pair table)
+    assert all(a != b for a, b in pairs)

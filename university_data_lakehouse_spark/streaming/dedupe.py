@@ -1,0 +1,175 @@
+"""Dedup-on-ingest: near-duplicate flagging for STREAMING documents
+(SURVEY §2.9 × §2.5).
+
+The batch dedup family (operators/dedup.py) is pair-join shaped and
+inherently batch; what a streaming pipeline actually needs is the
+front half — signature each incoming document and flag it against the
+historical corpus BEFORE it lands, so near-dups never enter the lake.
+Structured Streaming expresses this exactly: a stateless per-row
+signature map plus a stream-static equi-join against the corpus band
+table (supported for arbitrary static sides; the static table is
+re-resolved per micro-batch, so nightly corpus rebuilds are picked up
+without restarting the query).
+
+Signature parity is the load-bearing constraint: a streamed doc must
+get the SAME 64-bit signature the batch operator would give it, or
+ingest-time flags disagree with nightly-batch dedup. The batch stage
+(``_simhash_signatures_wide``) leans on ``cache()`` barriers to stop
+Catalyst re-inlining the token/md5 arrays into all 64 bit folds —
+and caching is illegal on streaming DataFrames. The streaming form
+here avoids needing a barrier at all: ONE ``aggregate`` per hash
+family folds the md5 array into a 32-counter vote array (a single
+reference to the array expression, so there is nothing for Catalyst
+to duplicate), then the sign of each counter becomes a signature bit.
+``tests/test_streaming.py`` pins the two formulations bit-identical
+on batch AND stream == batch end-to-end.
+
+At 100 TB: the tagger is map-only (embarrassingly parallel, no state
+store, no watermark); the band join broadcasts or shuffles the
+CORPUS BAND TABLE, which is 4 thin rows per historical doc — the
+stream side never self-joins, so ingest cost is linear in the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens
+from ..operators.dedup import (
+    SIMHASH_WIDE_BANDS,
+    SIMHASH_WIDE_BITS,
+    SIMHASH_WIDE_MAX_HAMMING,
+    SIMHASH_WIDE_SALT,
+)
+
+_HALF = SIMHASH_WIDE_BITS // 2
+_BAND_WIDTH = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
+
+
+def _family_bits(md5_arr) -> "F.Column":
+    """32 signature bits for one hash family: fold the doc's md5
+    array into a vote-counter array in ONE aggregate (streaming-safe
+    — no cache barrier needed because the array expression is
+    referenced exactly once), then take each counter's sign.
+    Bit definition is identical to the batch stage: position i votes
+    +1 iff md5 hex char i has its high bit set (char >= '8')."""
+    votes = F.aggregate(
+        md5_arr,
+        F.array_repeat(F.lit(0), _HALF),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_HALF)),
+                lambda i: F.when(
+                    h.substr(i, F.lit(1)) >= "8", 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.array_join(
+        F.transform(votes,
+                    lambda v: F.when(v > 0, F.lit("1")).otherwise("0")),
+        "",
+    )
+
+
+def simhash_tag(docs: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, simhash, sig_hi, sig_lo) for each document with at least
+    one token — a stateless per-row map that runs unchanged on batch
+    and streaming frames and is pinned bit-identical to the batch
+    ``_simhash_signatures_wide`` stage."""
+    td = F.array_distinct(tokens(F.col(text_col)))
+    sig = F.concat(
+        _family_bits(F.transform(td, lambda t: F.md5(t))),
+        _family_bits(F.transform(
+            td, lambda t: F.md5(F.concat(t, F.lit(SIMHASH_WIDE_SALT))))),
+    )
+    return (
+        docs.where(F.size(td) > 0)
+        .select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+        .select(
+            "doc_id",
+            "simhash",
+            F.conv(F.substring("simhash", 1, _HALF), 2, 10)
+            .cast("long").alias("sig_hi"),
+            F.conv(F.substring("simhash", _HALF + 1, _HALF), 2, 10)
+            .cast("long").alias("sig_lo"),
+        )
+    )
+
+
+def corpus_band_table(docs: DataFrame) -> DataFrame:
+    """The STATIC side of the ingest join: 4 thin (doc_id, sig_hi,
+    sig_lo, band_idx, band) rows per historical document. Rebuild it
+    whenever the corpus rolls (it is re-resolved every micro-batch)."""
+    return simhash_tag(docs).select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.substring("simhash", j * _BAND_WIDTH + 1,
+                                _BAND_WIDTH).alias("band"),
+                )
+                for j in range(SIMHASH_WIDE_BANDS)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "sig_hi", "sig_lo", "bd.band_idx", "bd.band")
+
+
+def flag_near_dups(incoming: DataFrame,
+                   corpus_bands: DataFrame) -> DataFrame:
+    """(doc_id, dup_of, hamming) for every incoming document within
+    Hamming ≤ k of a historical one — ``incoming`` may be a
+    streaming frame (the stream side of a stream-static equi-join),
+    ``corpus_bands`` is :func:`corpus_band_table` output.
+
+    Same verification discipline as the batch operator: one
+    xor + bit_count per 32-bit half, and each (incoming, historical)
+    pair emits exactly once from its FIRST agreeing band — the
+    first-match predicate needs only the signature ints already on
+    the join row, so no post-join distinct is needed (distinct on a
+    stream would demand state the flagger doesn't otherwise need)."""
+    new = corpus_band_table(incoming).select(
+        F.col("doc_id").alias("in_id"), F.col("sig_hi").alias("in_hi"),
+        F.col("sig_lo").alias("in_lo"), "band_idx", "band",
+    )
+    hist = corpus_bands.select(
+        F.col("doc_id").alias("dup_of"), F.col("sig_hi").alias("c_hi"),
+        F.col("sig_lo").alias("c_lo"),
+        F.col("band_idx").alias("band_idx_c"), F.col("band").alias("band_c"),
+    )
+
+    def band_int(hi: str, lo: str, k: int):
+        src = F.col(hi) if k < 2 else F.col(lo)
+        if k % 2 == 0:
+            return F.shiftrightunsigned(src, _BAND_WIDTH)
+        return src.bitwiseAND(F.lit((1 << _BAND_WIDTH) - 1))
+
+    no_earlier = F.lit(True)
+    for k in range(SIMHASH_WIDE_BANDS - 1):
+        no_earlier = no_earlier & (
+            (F.col("band_idx") <= k)
+            | (band_int("in_hi", "in_lo", k) != band_int("c_hi", "c_lo", k))
+        )
+    hamming = (
+        F.bit_count(F.col("in_hi").bitwiseXOR(F.col("c_hi")))
+        + F.bit_count(F.col("in_lo").bitwiseXOR(F.col("c_lo")))
+    )
+    return (
+        new.join(
+            hist,
+            (F.col("band_idx") == F.col("band_idx_c"))
+            & (F.col("band") == F.col("band_c"))
+            & (F.col("in_id") != F.col("dup_of")),
+        )
+        .where(no_earlier)
+        .select(F.col("in_id").alias("doc_id"), "dup_of",
+                hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_WIDE_MAX_HAMMING)
+    )
