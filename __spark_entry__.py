@@ -27,69 +27,54 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r13 rotation. Lead: the 48 keys whose last driver row is
-    # CORRECTNESS_r10 (2 rounds old, the invariant's limit) —
-    # mechanically r10 green keys minus r11 minus r12, exactly the
-    # r12 earmark. tools/window_check.py enforces this ordering.
-    "chunk_documents", "corpus_build", "corpus_manifest",
-    "corpus_mixture_plan", "corpus_stats", "dedup_boilerplate",
-    "dedup_cluster_canonical", "dedup_cluster_canonical_fast",
-    "dedup_cluster_sizes", "dedup_name_fuzzy", "dq_value_outliers",
-    "emb_label_centroids", "emb_nearest_centroid",
-    "events_active_users", "events_anomaly", "events_cohort_retention",
-    "events_error_attribution", "events_first_last_touch",
-    "events_funnel_windowed", "events_inter_event_gap",
-    "events_json_props", "events_moving_avg", "events_resample_1h",
-    "events_rfm", "events_top_paths", "events_transition_matrix",
-    "events_value_histogram", "events_value_percentiles",
-    "events_value_quartiles", "multimodal_decoded",
-    "multimodal_features", "multimodal_gif", "multimodal_mpeg1",
-    "olap_avg_yearly", "olap_big_orders", "olap_customer_distribution",
-    "olap_disjunctive_revenue", "olap_excess_suppliers",
-    "olap_grouping_sets", "olap_important_parts", "olap_nation_trade",
-    "olap_repeat_customers", "olap_revenue_mom", "sim_knn_ivf_rp",
-    "text_entropy", "text_gopher_rules", "text_tfidf_topk",
-    "text_vocab_topk",
-    # Slot 49: dedup_simhash — materially changed this round (first-
-    # match-only band emission replaced the post-join distinct;
-    # 14.2s -> 5.4s at sf0.1), so it rotates per the changed-keys-
-    # rotate-first discipline, displacing the provisional
-    # silver_fact_lineitems early refresh (that key's r13 work was a
-    # measurement + docstring diagnosis, code untouched — it stays
-    # r11-aged and leads r14's mandatory set).
-    "dedup_simhash",
-    # Slot 50: dedup_simhash_wide — the r13 new key (VERDICT r12
-    # item 6: 64-bit signature, 4 x 16-bit bands — the scale sibling
-    # for the under-discriminating 32-bit baseline), oracle-proven in
-    # pytest before registration per the mpa precedent. It displaced
-    # the provisional dedup_embedding_lsh_auto early refresh, which
-    # returns to the r14 mandatory set (49 of 50 slots — feasible,
-    # window_check W5).
-    "dedup_simhash_wide",
-    # r14 MUST lead with the keys whose last driver row is
-    # CORRECTNESS_r11 (mechanically r11 minus r12 minus r13 —
-    # "dedup_embedding_lsh_auto", "dq_benford", "dq_embedding_health",
-    # "dq_ks_drift",
-    # "dq_no_duplicates", "dq_not_null_pk",
-    # "dq_psi_drift", "dq_referential_integrity", "dq_row_count",
-    # "dq_value_range", "gold_order_metrics", "gold_revenue_analytics",
-    # "gold_status_funnel", "multimodal_adpcm", "multimodal_jpeg",
-    # "multimodal_jpeg_420", "multimodal_jpeg_color",
-    # "multimodal_jpeg_progressive", "multimodal_mixed",
-    # "multimodal_mulaw", "olap_cube_revenue", "olap_customer_abc",
-    # "olap_customer_abc_banded", "olap_inactive_customers",
-    # "olap_priority_shipmode", "olap_profit_by_nation",
-    # "olap_promo_revenue", "olap_prospect_customers",
-    # "olap_returned_items", "olap_supplier_part_counts",
-    # "olap_top_supplier", "olap_waiting_suppliers", "pack_token_bins",
-    # "sample_split", "sample_stratified", "sample_weighted",
-    # "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
-    # "silver_fact_contacts", "silver_fact_lineitems",
-    # "silver_fact_orders", "sim_knn_lsh",
-    # "text_contamination", "text_contamination_semantic",
-    # "text_fineweb_rules", "text_lm_quality", "text_pii_redact",
-    # "text_repetition",
-    # ) = 49 keys + 1 spare slot for r14-changed/new keys.
+    # r14 rotation. Lead: the 49 keys whose last driver row is
+    # CORRECTNESS_r11 (2 rounds old, the invariant's limit) —
+    # mechanically r11 green keys minus r12 minus r13, exactly the
+    # r13 earmark. tools/window_check.py enforces this ordering.
+    "dedup_embedding_lsh_auto", "dq_benford", "dq_embedding_health",
+    "dq_ks_drift", "dq_no_duplicates", "dq_not_null_pk",
+    "dq_psi_drift", "dq_referential_integrity", "dq_row_count",
+    "dq_value_range", "gold_order_metrics", "gold_revenue_analytics",
+    "gold_status_funnel", "multimodal_adpcm", "multimodal_jpeg",
+    "multimodal_jpeg_420", "multimodal_jpeg_color",
+    "multimodal_jpeg_progressive", "multimodal_mixed",
+    "multimodal_mulaw", "olap_cube_revenue", "olap_customer_abc",
+    "olap_customer_abc_banded", "olap_inactive_customers",
+    "olap_priority_shipmode", "olap_profit_by_nation",
+    "olap_promo_revenue", "olap_prospect_customers",
+    "olap_returned_items", "olap_supplier_part_counts",
+    "olap_top_supplier", "olap_waiting_suppliers", "pack_token_bins",
+    "sample_split", "sample_stratified", "sample_weighted",
+    "silver_dim_customers", "silver_dim_parts", "silver_dim_suppliers",
+    "silver_fact_contacts", "silver_fact_lineitems",
+    "silver_fact_orders", "sim_knn_lsh", "text_contamination",
+    "text_contamination_semantic", "text_fineweb_rules",
+    "text_lm_quality", "text_pii_redact", "text_repetition",
+    # Slot 50: spare, reserved for an r14-changed or (W7-budgeted) new
+    # key.  If the round spends the slot, the key registers here; if
+    # the round banks it, the slot stays empty and the window is 49.
+    # r15 MUST lead with the keys whose last driver row is
+    # CORRECTNESS_r12 (mechanically r12 minus r13 minus r14-window —
+    # "dedup_c4_spans", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    # "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    # "dq_freshness", "dq_profile", "emb_random_projection",
+    # "events_asof_join", "events_funnel", "events_retention",
+    # "events_sessionize", "events_user_stats", "events_windowed_agg",
+    # "multimodal_alaw", "multimodal_audio_stats", "multimodal_avi",
+    # "multimodal_flac", "multimodal_frame_sample", "multimodal_meta",
+    # "multimodal_mjpeg", "multimodal_mpa_subbands",
+    # "multimodal_normalize", "multimodal_png", "multimodal_y4m",
+    # "olap_basket_affinity", "olap_late_orders",
+    # "olap_local_supplier_volume", "olap_market_pivot",
+    # "olap_market_share", "olap_min_cost_supplier",
+    # "olap_price_percentiles", "olap_pricing_summary",
+    # "olap_revenue_forecast", "olap_rollup_revenue",
+    # "olap_running_revenue", "olap_shipping_priority",
+    # "olap_top_k_per_group", "sim_knn_bruteforce", "sim_knn_ivf",
+    # "sim_knn_ivfpq", "sim_knn_pq", "sim_knn_rp", "text_c4_rules",
+    # "text_fingerprint", "text_langid", "text_quality_score",
+    # "text_token_stats",
+    # ) = 49 keys + 1 spare slot for r15-changed/new keys.
     # tools/window_check.py verifies (W5: 49 <= 50).
 )
 
