@@ -413,8 +413,8 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixes. Doubling the signature and widening bands to 16 bits gives
     65536 buckets per band, so band agreement demands 16 consecutive
     bit matches instead of 8 — the candidate set shrinks roughly
-    quadratically in the per-bit disagreement rate while true
-    near-dups (Hamming ≤ 6 of 64) still collide with the same
+    quadratically in the per-bit disagreement rate while qualifying
+    pairs (Hamming ≤ k = 3, below) still collide with the same
     any-band pigeonhole structure as the 32-bit baseline.
 
     Verification is the r12 int-xor form, split across the two
