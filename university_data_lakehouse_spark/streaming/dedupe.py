@@ -87,9 +87,17 @@ def simhash_tag(docs: DataFrame,
         _family_bits(F.transform(
             td, lambda t: F.md5(F.concat(t, F.lit(SIMHASH_WIDE_SALT))))),
     )
+    # Single-element explode = a streaming-safe evaluation barrier: a
+    # Generate node blocks project collapse AND pushdown substitution,
+    # so the two vote folds run once per row.  Without it, downstream
+    # derivations (sig_hi/sig_lo, band substrings, pushed isnotnull
+    # join predicates) each inline the whole fold — measured 6 folds
+    # per side in the flag_near_dups join plan (pinned at 2 by
+    # tests/test_streaming.py).
     return (
         docs.where(F.size(td) > 0)
-        .select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(F.array(sig)).alias("simhash"))
         .select(
             "doc_id",
             "simhash",
@@ -103,8 +111,21 @@ def simhash_tag(docs: DataFrame,
 
 def corpus_band_table(docs: DataFrame) -> DataFrame:
     """The STATIC side of the ingest join: 4 thin (doc_id, sig_hi,
-    sig_lo, band_idx, band) rows per historical document. Rebuild it
-    whenever the corpus rolls (it is re-resolved every micro-batch)."""
+    sig_lo, band_idx, band) rows per historical document.
+
+    Passing this LIVE DataFrame as the static side works (and the
+    end-to-end test keeps that path for small corpora), but a
+    stream-static join re-EXECUTES the static plan every micro-batch
+    — with a live frame that is the 64-bit signature fold over the
+    ENTIRE historical corpus, per batch.  At 100 TB that is a
+    corpus-scale recompute on every trigger.  The scale path is
+    :func:`materialize_corpus_bands` +
+    :func:`flag_near_dups_foreach_batch`: write these rows through
+    the managed-table layer once per corpus roll, and let each
+    micro-batch re-read only the LATEST manifest (a JSON read) plus
+    the thin parquet band files — per-batch cost becomes the join
+    itself, and a corpus roll is picked up mid-query without a
+    restart."""
     return simhash_tag(docs).select(
         "doc_id",
         "sig_hi",
@@ -120,6 +141,51 @@ def corpus_band_table(docs: DataFrame) -> DataFrame:
             ])
         ).alias("bd"),
     ).select("doc_id", "sig_hi", "sig_lo", "bd.band_idx", "bd.band")
+
+
+def materialize_corpus_bands(docs: DataFrame, table_path: str) -> int:
+    """Compute :func:`corpus_band_table` ONCE and commit it through the
+    managed-table layer; returns the committed version.  Call this per
+    corpus roll (nightly rebuild, backfill, compaction) — the signature
+    fold over the historical corpus runs exactly once per roll instead
+    of once per micro-batch.  ``mode="overwrite"`` keeps the table a
+    pure function of the current corpus while the table layer's
+    versioning retains prior rolls for time travel / CDF audits."""
+    from ..tables.format import ManagedTable  # noqa: PLC0415 (cycle-free lazy)
+
+    return ManagedTable(table_path).write(
+        corpus_band_table(docs), mode="overwrite",
+        operation="corpus_band_roll",
+    )
+
+
+def read_corpus_bands(spark, table_path: str) -> DataFrame:
+    """Latest-version read of the materialized band table — a manifest
+    (JSON) resolve plus a parquet scan of 4-thin-rows-per-doc files;
+    NO signature recompute."""
+    from ..tables.format import ManagedTable  # noqa: PLC0415
+
+    return ManagedTable(table_path).read(spark)
+
+
+def flag_near_dups_foreach_batch(table_path: str, sink):
+    """``foreachBatch`` factory for the MATERIALIZED ingest flagger.
+
+    Structured Streaming resolves a plain stream-static join's static
+    side once at query start, so a managed-table snapshot DataFrame
+    would pin the version current at ``start()`` for the life of the
+    query.  ``foreachBatch`` restores roll pickup: the returned
+    function re-reads the LATEST table version at every micro-batch
+    (cheap — one manifest JSON + the thin band parquet) and hands
+    ``flag_near_dups(batch, bands)`` to ``sink(flags_df, batch_id)``.
+    Per-batch cost is the band join on batch-sized input; the
+    corpus-scale signature fold never appears in the per-batch plan
+    (pinned by tests/test_streaming.py)."""
+    def _per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bands = read_corpus_bands(batch_df.sparkSession, table_path)
+        sink(flag_near_dups(batch_df, bands), batch_id)
+
+    return _per_batch
 
 
 def flag_near_dups(incoming: DataFrame,
