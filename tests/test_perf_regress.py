@@ -124,9 +124,13 @@ def test_high_variance_copy_matches_bench():
     assert pr.HIGH_VARIANCE == bench.HIGH_VARIANCE
 
 
-# ---- adjudication + sf10 reproduction downgrades (r13) -------------------
+# ---- adjudication + reproduction downgrades (r13/r14) --------------------
 
-from tools.perf_regress import downgrade, load_adjudications  # noqa: E402
+from tools.perf_regress import (  # noqa: E402
+    downgrade,
+    load_adjudications,
+    mark_sf_mismatch,
+)
 
 
 def _flag_rows(section="sf0.1", key="q", old=1.0, new=2.0, gating=True):
@@ -135,8 +139,12 @@ def _flag_rows(section="sf0.1", key="q", old=1.0, new=2.0, gating=True):
              "gating": gating, "high_variance": False}]
 
 
+def _adj(evidence="quiet probe flat", ratio=None):
+    return {"evidence": evidence, "ratio": ratio}
+
+
 def test_adjudication_downgrades_matching_round_only():
-    adj = {(12, "sf0.1", "q"): "quiet probe flat"}
+    adj = {(12, "sf0.1", "q"): _adj()}
     # matching round: informational
     rows = _flag_rows()
     assert downgrade(rows, 12, adj, {}, 1.4) == []
@@ -147,32 +155,82 @@ def test_adjudication_downgrades_matching_round_only():
 
 
 def test_adjudication_is_section_and_key_scoped():
-    adj = {(12, "sf1_synth", "q"): "probe"}
+    adj = {(12, "sf1_synth", "q"): _adj("probe")}
     rows = _flag_rows(section="sf0.1", key="q")
     assert downgrade(rows, 12, adj, {}, 1.4) == rows       # wrong section
     rows = _flag_rows(section="sf1_synth", key="other")
     assert downgrade(rows, 12, adj, {}, 1.4) == rows       # wrong key
 
 
+def test_adjudication_is_ratio_bounded():
+    # r13 ADVICE: a record committed mid-round must not suppress a
+    # LARGER regression when the round's artifact is regenerated after
+    # the record — downgrade only up to recorded ratio * 1.1 slack
+    adj = {(14, "sf0.1", "q"): _adj("probed at 1.5x", ratio=1.5)}
+    rows = _flag_rows(old=1.0, new=2.5)                    # 2.5x > 1.65
+    assert downgrade(rows, 14, adj, {}, 1.4) == rows
+    rows = _flag_rows(old=1.0, new=1.55)                   # inside slack
+    assert downgrade(rows, 14, adj, {}, 1.4) == []
+    # a ratio-less legacy record downgrades unconditionally
+    adj = {(14, "sf0.1", "q"): _adj("legacy record")}
+    rows = _flag_rows(old=1.0, new=9.0)
+    assert downgrade(rows, 14, adj, {}, 1.4) == []
+
+
 def test_sf10_flag_needs_reproduction_against_older_artifact():
     # flagged vs prev (45 vs 15 = 3x, +30s) but FLAT vs the older
     # baseline (40s): a one-artifact spike, downgraded informational
     rows = _flag_rows(section="sf10_synth", old=15.0, new=45.0)
-    assert downgrade(rows, 13, {}, {"q": 40.0}, 1.4) == []
+    assert downgrade(rows, 13, {}, {"sf10_synth": {"q": 40.0}}, 1.4) == []
     assert rows[0]["unreproduced"] == 40.0
     # reproduces vs the older baseline too (10s -> 45s): still gates
     rows = _flag_rows(section="sf10_synth", old=15.0, new=45.0)
-    assert downgrade(rows, 13, {}, {"q": 10.0}, 1.4) == rows
+    assert downgrade(rows, 13, {}, {"sf10_synth": {"q": 10.0}}, 1.4) == rows
     # no older artifact carrying the key: never a silent pass
     rows = _flag_rows(section="sf10_synth", old=15.0, new=45.0)
     assert downgrade(rows, 13, {}, {}, 1.4) == rows
 
 
-def test_sf10_reproduction_does_not_touch_other_sections():
+def test_sf1_flag_needs_reproduction_against_older_artifact():
+    # the r13 pattern (VERDICT item 3): a noisy-sf1 pair flags today
+    # (2.0x, +1s vs prev) but is FLAT vs the round-before-previous
+    # artifact — a host window spanning all same-window repeats, so
+    # the flag self-clears to informational under the r14 rule
+    rows = _flag_rows(section="sf1_synth", old=1.0, new=2.0)
+    assert downgrade(rows, 14, {}, {"sf1_synth": {"q": 1.9}}, 1.4) == []
+    assert rows[0]["unreproduced"] == 1.9
+    # a real regression reproduces vs the older baseline (its own
+    # 1.4x envelope + 0.2s floor) and still gates
+    rows = _flag_rows(section="sf1_synth", old=1.0, new=2.0)
+    assert downgrade(rows, 14, {}, {"sf1_synth": {"q": 0.5}}, 1.4) == rows
+    # no older artifact carrying the key: never a silent pass
+    rows = _flag_rows(section="sf1_synth", old=1.0, new=2.0)
+    assert downgrade(rows, 14, {}, {}, 1.4) == rows
+
+
+def test_reproduction_does_not_touch_other_sections():
     # an sf0.1 flag with an older-baseline entry still gates — the
-    # reproduction relaxation is sf10-only (host-envelope rationale)
+    # reproduction relaxation is sf1/sf10-only (host-envelope
+    # rationale; sf0.1 repeats are spread across the run)
     rows = _flag_rows(section="sf0.1", old=1.0, new=2.0)
-    assert downgrade(rows, 13, {}, {"q": 2.0}, 1.4) == rows
+    assert downgrade(rows, 13, {}, {"sf0.1": {"q": 2.0}}, 1.4) == rows
+
+
+def test_coverage_cap_change_voids_the_comparison():
+    # r13 ADVICE: a key newly entering COVERAGE_CAP_SF001 is timed at
+    # sf0.01 against an sf0.1 baseline — a fake ~10x improvement; a
+    # key LEAVING the cap set would raise a spurious ~10x flag
+    rows = _flag_rows(section="coverage", old=0.3, new=3.0, gating=False)
+    mark_sf_mismatch(rows, {"q": True}, set())          # capped -> uncapped
+    assert not rows[0]["flagged"] and rows[0]["sf_mismatch"] == (True, False)
+    # same-status comparisons are untouched (both uncapped here)
+    rows = _flag_rows(section="coverage", old=1.0, new=3.0, gating=False)
+    mark_sf_mismatch(rows, {"q": False}, set())
+    assert rows[0]["flagged"] and "sf_mismatch" not in rows[0]
+    # non-coverage sections are never touched
+    rows = _flag_rows(section="sf0.1", old=1.0, new=3.0)
+    mark_sf_mismatch(rows, {"q": True}, set())
+    assert rows[0]["flagged"] and "sf_mismatch" not in rows[0]
 
 
 def test_committed_adjudications_file_is_well_formed():
@@ -188,3 +246,4 @@ def test_committed_adjudications_file_is_well_formed():
             assert row["section"] in sections
             assert isinstance(row["key"], str) and row["key"]
             assert isinstance(row["evidence"], str) and row["evidence"]
+            assert isinstance(row.get("ratio"), (int, float))

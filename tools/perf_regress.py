@@ -23,6 +23,11 @@ in both rounds is compared:
   basket-affinity find, which tripled across two rounds — clears 2.8x
   easily and must fail the build.
 
+Gating flags in the sf1_synth and sf10_synth sections must additionally
+REPRODUCE against the round-before-previous artifact (see downgrade)
+and committed adjudications downgrade a matching flag for ONE round up
+to the recorded ratio (see load_adjudications).
+
 Exit 1 iff a non-high-variance key is flagged in a gating section, OR
 the round being built has no artifact pair yet (the gate's failure
 mode must never be a silent pass), so the builder's end-of-round
@@ -92,9 +97,26 @@ HIGH_VARIANCE = {"dedup_minhash_lsh", "dedup_embedding_lsh",
 
 ADJUDICATIONS_FILE = os.path.join(REPO, "BENCH_ADJUDICATIONS.json")
 
+# an adjudication suppresses a flag only up to the ratio it recorded
+# (plus small slack): a record committed mid-round must never hide a
+# LARGER regression that appears when the round's artifact is
+# regenerated afterward (r13 ADVICE — this exact sequence happened in
+# r13: adjudications at cd35ed4, bench re-run at final HEAD)
+ADJ_RATIO_SLACK = 1.1
+
+# sections whose gating flags must REPRODUCE against the newest
+# older-than-previous artifact before they fail the build.  sf10
+# since r12; sf1_synth since r14 (VERDICT r13 item 3: bench.py times
+# all sf1 repeats inside one window, so a minutes-long host window
+# spans every repeat and the median can't ride it out — r12 produced
+# 1 environmental sf1 flag, r13 produced 3, all probed back to their
+# prior values on identical code).
+_REPRO_SECTIONS = ("sf1_synth", "sf10_synth")
+
 
 def load_adjudications(path: str = ADJUDICATIONS_FILE) -> dict:
-    """Committed flag adjudications: (round, section, key) -> evidence.
+    """Committed flag adjudications:
+    (round, section, key) -> {"evidence": str, "ratio": float|None}.
 
     A perf flag that the bench-host-variance probe discipline (check
     the key at other SFs in the same artifact, check its HEADLINE
@@ -104,15 +126,18 @@ def load_adjudications(path: str = ADJUDICATIONS_FILE) -> dict:
     the round instead of living only in commit-message prose
     (VERDICT r12 item 3). A matching flagged row downgrades to
     informational so a clean round's gate exits 0.  Records bind to
-    ONE round: an r12 adjudication can never suppress an r13 flag on
-    the same key — a recurring flag must be re-probed or the key
-    promoted to HIGH_VARIANCE.
+    ONE round AND one magnitude: an r12 adjudication can never
+    suppress an r13 flag on the same key, and a record never
+    suppresses a flag whose ratio exceeds the recorded one by more
+    than ADJ_RATIO_SLACK — a recurring or grown flag must be
+    re-probed or the key promoted to HIGH_VARIANCE.
     """
     if not os.path.exists(path):
         return {}
     with open(path) as fh:
         rows = json.load(fh)
-    return {(r["round"], r["section"], r["key"]): r["evidence"]
+    return {(r["round"], r["section"], r["key"]):
+            {"evidence": r["evidence"], "ratio": r.get("ratio")}
             for r in rows}
 
 
@@ -144,36 +169,65 @@ def compare(prev: dict, cur: dict, threshold: float) -> list[dict]:
     return sorted(rows, key=lambda r: -r["ratio"])
 
 
+def mark_sf_mismatch(rows: list[dict], prev_capped: dict,
+                     cur_capped: set) -> None:
+    """Void coverage comparisons whose two sides were timed at
+    DIFFERENT scale factors (r13 ADVICE): COVERAGE_CAP_SF001 keys are
+    timed at sf0.01 while their pre-cap baselines were sf0.1, so the
+    first capped round shows a fake ~10x improvement and a future
+    un-capping would raise a spurious ~10x flag.  ``prev_capped`` maps
+    key -> capped? in the artifact its baseline came from (absent =
+    unknown-era artifact, treated as uncapped); ``cur_capped`` is the
+    current artifact's capped set.  Mismatched rows are unflagged and
+    tagged so the report says WHY the comparison is void."""
+    for r in rows:
+        if r["section"] != "coverage":
+            continue
+        was = prev_capped.get(r["key"], False)
+        now = r["key"] in cur_capped
+        if was != now:
+            r["flagged"] = False
+            r["sf_mismatch"] = (was, now)
+
+
 def downgrade(rows: list[dict], cur_n: int, adjudications: dict,
-              older_sf10: dict, threshold: float) -> list[dict]:
+              older: dict, threshold: float) -> list[dict]:
     """Apply the two informational downgrades and return the rows
     that still gate (the exit-1 set).
 
     1. Committed adjudications (see load_adjudications): a flagged
        (cur_n, section, key) with an evidence record is marked
-       ``adjudicated`` — proven environmental for THIS round.
-    2. sf10 reproduction (ADVICE r12): identical-code sf10 runs on
-       this host have swung 12x on one repeat, so even the widened
-       median-of-3 envelope can flag spuriously. A gating sf10 flag
-       must REPRODUCE against the newest older-than-previous artifact
-       carrying the key — a real quadratic blowup grows across
-       rounds and clears the same envelope vs the older baseline too
-       (the r12 basket-affinity find tripled over two rounds); a
+       ``adjudicated`` — proven environmental for THIS round — but
+       only while the flagged ratio stays within ADJ_RATIO_SLACK of
+       the RECORDED ratio; a larger regression appearing after the
+       record was committed is a new finding, not the probed one.
+    2. Reproduction (_REPRO_SECTIONS; ``older`` maps section ->
+       {key: newest older-than-previous value}): identical-code runs
+       on this host swing 2-4x inside one hosting window, and the
+       sf1/sf10 sections time all repeats of a key back-to-back, so a
+       window spans every repeat and the median can't ride it out. A
+       gating flag in these sections must REPRODUCE against the
+       newest older-than-previous artifact carrying the key, under
+       the section's OWN envelope — a real blowup grows across rounds
+       and clears the same envelope vs the older baseline too (the
+       r12 basket-affinity find tripled over two rounds); a
        one-artifact spike does not. No older artifact with the key →
        the flag stands (the gate's failure mode must never be a
        silent pass).
     """
-    sf10 = next(s for s in _SECTIONS if s[0] == "sf10_synth")
-    _, _, _, scale, floor = sf10
+    spec = {s[0]: (s[3], s[4]) for s in _SECTIONS}
     for r in rows:
         if not r["flagged"]:
             continue
-        evid = adjudications.get((cur_n, r["section"], r["key"]))
-        if evid:
-            r["adjudicated"] = evid
+        rec = adjudications.get((cur_n, r["section"], r["key"]))
+        if rec and (rec["ratio"] is None
+                    or r["ratio"] <= rec["ratio"] * ADJ_RATIO_SLACK):
+            r["adjudicated"] = rec["evidence"]
             continue
-        if r["section"] == "sf10_synth" and r["key"] in older_sf10:
-            base = older_sf10[r["key"]]
+        sec_older = older.get(r["section"], {})
+        if r["section"] in _REPRO_SECTIONS and r["key"] in sec_older:
+            base = sec_older[r["key"]]
+            scale, floor = spec[r["section"]]
             if base:
                 repro = (r["new"] / base > threshold * scale
                          and (r["new"] - base) > floor)
@@ -221,25 +275,43 @@ def main() -> int:
 
     # coverage baselines: consecutive rounds time DISJOINT quarters,
     # so each key's baseline is its newest value in ANY older artifact
-    # (ascending merge — later rounds overwrite earlier ones)
+    # (ascending merge — later rounds overwrite earlier ones).  Track
+    # each baseline's capped_sf001 status alongside it so comparisons
+    # across a cap change are voided, not misread (r13 ADVICE).
     merged_cov: dict = {}
+    prev_capped: dict = {}
     for n in sorted(prev_candidates):
         with open(rounds[n]) as fh:
-            merged_cov.update(
-                _dig(json.load(fh), ("coverage", "queries")))
+            art = json.load(fh)
+        cov_q = _dig(art, ("coverage", "queries"))
+        capped = set((art.get("coverage") or {}).get("capped_sf001") or [])
+        merged_cov.update(cov_q)
+        for k in cov_q:
+            prev_capped[k] = k in capped
     if merged_cov:
         prev.setdefault("coverage", {})["queries"] = merged_cov
+    cur_capped = set((cur.get("coverage") or {}).get("capped_sf001") or [])
 
     rows = compare(prev, cur, args.threshold)
+    mark_sf_mismatch(rows, prev_capped, cur_capped)
     flagged = [r for r in rows if r["flagged"]]
-    # sf10 reproduction baseline: the newest older-than-previous
-    # artifact value per key (ascending merge, later overwrites)
-    older_sf10: dict = {}
+    # reproduction baselines per section: the newest older-than-
+    # previous artifact value per key (ascending merge)
+    older: dict[str, dict] = {name: {} for name in _REPRO_SECTIONS}
+    paths = {s[0]: s[1] for s in _SECTIONS}
     for n in sorted(n for n in prev_candidates if n < prev_n):
         with open(rounds[n]) as fh:
-            older_sf10.update(_dig(json.load(fh), ("sf10_synth", "queries")))
+            art = json.load(fh)
+        for name in _REPRO_SECTIONS:
+            older[name].update(_dig(art, paths[name]))
     hard = downgrade(rows, cur_n, load_adjudications(),
-                     older_sf10, args.threshold)
+                     older, args.threshold)
+    voided = [r for r in rows if "sf_mismatch" in r]
+    for r in voided:
+        was, now = r["sf_mismatch"]
+        print(f"  coverage   {r['key']}: comparison voided — baseline "
+              f"{'sf0.01' if was else 'sf0.1'} vs current "
+              f"{'sf0.01' if now else 'sf0.1'} (capped_sf001 changed)")
 
     for tot in ("core_total",):
         if prev.get(tot) and cur.get(tot):
@@ -250,7 +322,7 @@ def main() -> int:
                else " [non-gating section]" if not r["gating"]
                else f" [adjudicated: {r['adjudicated']}]"
                if "adjudicated" in r
-               else f" [sf10 unreproduced vs older baseline "
+               else f" [unreproduced vs older baseline "
                     f"{r['unreproduced']}s, informational]"
                if "unreproduced" in r else "")
         print(f"  {r['section']:10s} {r['key']}: {r['old']} -> {r['new']} "
