@@ -50,9 +50,15 @@ _PRIORITY_KEYS = (
     "silver_fact_orders", "sim_knn_lsh", "text_contamination",
     "text_contamination_semantic", "text_fineweb_rules",
     "text_lm_quality", "text_pii_redact", "text_repetition",
-    # Slot 50: spare, reserved for an r14-changed or (W7-budgeted) new
-    # key.  If the round spends the slot, the key registers here; if
-    # the round banks it, the slot stays empty and the window is 49.
+    # Slot 50: dedup_simhash_incremental — the r14 new key (the one
+    # candidate VERDICT r13 item 4 named as adding a genuinely new
+    # semantic): incoming-vs-corpus directional near-dup flagging run
+    # through the STREAMING ingest flagger's own code
+    # (streaming.dedupe.flag_near_dups over corpus_band_table), so the
+    # driver's DuckDB oracle pins the dedup-on-ingest path.
+    # Oracle-proven in pytest before registration per the mpa
+    # precedent; registry now 149/150 (1 banked slot).
+    "dedup_simhash_incremental",
     # r15 MUST lead with the keys whose last driver row is
     # CORRECTNESS_r12 (mechanically r12 minus r13 minus r14-window —
     # "dedup_c4_spans", "dedup_embedding_cosine", "dedup_embedding_lsh",

@@ -717,3 +717,25 @@ def test_simhash_has_no_post_join_shuffle(spark, sf_dir, which):
     above_join = tree[:join_pos]  # physical plans print root first
     assert "HashAggregate" not in above_join, tree
     assert "Exchange" not in above_join, tree
+
+
+def test_simhash_incremental_no_distinct_single_fold_per_side(spark, sf_dir):
+    """dedup_simhash_incremental shape (r14): the directional ingest
+    flagger must carry NO post-join distinct (first-match band
+    emission makes pairs exactly-once by construction) and exactly
+    ONE signature vote fold per hash family per side — the Generate
+    barrier in streaming.dedupe.simhash_tag stops pushdown
+    substitution re-inlining the fold (it measured 6 folds/side
+    without it)."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        dedup_simhash_incremental,
+    )
+
+    df = dedup_simhash_incremental(spark, sf_dir)
+    plan = _plan(df)
+    tree = _tree(plan)
+    assert "HashAggregate" not in tree, tree        # no distinct/groupBy
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("aggregate(") == 4, opt        # 2 families x 2 sides
+    # the ingest gate is a scan-level filter, not a post-scan stage
+    assert "md5" in plan.split("\n\n", 1)[0] or "PushedFilters" in plan

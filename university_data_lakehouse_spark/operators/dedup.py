@@ -511,6 +511,42 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup flagging: INCOMING documents vs the
+    standing corpus (the batch twin of dedup-on-ingest, r14).
+
+    Splits ``documents`` deterministically (a doc is incoming iff the
+    first hex char of ``md5('ingest:' || doc_id)`` is '0' — the
+    repo's cross-engine sampling-gate convention, ~1/16 of the
+    corpus) and emits (doc_id, dup_of, hamming) for every incoming
+    document within Hamming ≤ k of a CORPUS document — the exact
+    directional semantic the streaming ingest flagger applies per
+    micro-batch, run here through the SAME code
+    (``streaming.dedupe.flag_near_dups`` over ``corpus_band_table``),
+    so the driver's DuckDB oracle pins the ingest path, not a
+    batch re-implementation of it.  Unlike ``dedup_simhash_wide``
+    this never self-joins the corpus: cost is |incoming| × the band
+    collision rate — the incremental shape that stays linear in the
+    ingest batch at 100 TB.  The production deployment materializes
+    the corpus side once per roll via
+    ``streaming.dedupe.materialize_corpus_bands`` (managed-table
+    layer; roll pickup pinned by tests/test_streaming.py) — the live
+    composition here keeps the registry entry side-effect-free.
+    """
+    from ..streaming.dedupe import (  # noqa: PLC0415 (avoid import cycle)
+        corpus_band_table,
+        flag_near_dups,
+    )
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    gate = F.substring(
+        F.md5(F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))),
+        1, 1,
+    ) == "0"
+    return flag_near_dups(docs.where(gate),
+                          corpus_band_table(docs.where(~gate)))
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ τ. Exact all-pairs here
     (the oracle-checked correctness baseline, O(n²) by definition —
@@ -1069,6 +1105,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_wide": dedup_simhash_wide,
+    "dedup_simhash_incremental": dedup_simhash_incremental,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
@@ -1311,6 +1348,57 @@ ORACLES = {
                          AND x.doc_id < y.doc_id
         )
         SELECT id_a, id_b,
+               CAST(list_sum(list_transform(
+                   range(1, {SIMHASH_WIDE_BITS + 1}),
+                   i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                             THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE list_sum(list_transform(range(1, {SIMHASH_WIDE_BITS + 1}),
+                  i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                            THEN 0 ELSE 1 END)) <= {SIMHASH_WIDE_MAX_HAMMING}
+    """,
+    "dedup_simhash_incremental": f"""
+        WITH ut AS (
+            SELECT DISTINCT doc_id, t FROM (
+                SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id, i,
+                   SUM(CASE WHEN substr(
+                           CASE WHEN i <= {SIMHASH_WIDE_BITS // 2}
+                                THEN md5(t)
+                                ELSE md5(t || '{SIMHASH_WIDE_SALT}') END,
+                           CASE WHEN i <= {SIMHASH_WIDE_BITS // 2}
+                                THEN i ELSE i - {SIMHASH_WIDE_BITS // 2} END,
+                           1) >= '8'
+                            THEN 1 ELSE -1 END) AS vote
+            FROM ut,
+                 (SELECT unnest(range(1, {SIMHASH_WIDE_BITS + 1})) AS i)
+            GROUP BY doc_id, i
+        ),
+        sig AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY i) AS simhash,
+                   substr(md5('ingest:' || doc_id), 1, 1) = '0' AS incoming
+            FROM votes GROUP BY doc_id
+        ),
+        melted AS (
+            SELECT doc_id, simhash, incoming, j AS band_idx,
+                   substr(simhash,
+                          j * {SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS} + 1,
+                          {SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS}) AS band
+            FROM sig,
+                 (SELECT unnest(range(0, {SIMHASH_WIDE_BANDS})) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_id, x.simhash AS sig_a,
+                            y.doc_id AS dup_of, y.simhash AS sig_b
+            FROM melted x
+            JOIN melted y ON x.band_idx = y.band_idx AND x.band = y.band
+            WHERE x.incoming AND NOT y.incoming
+        )
+        SELECT doc_id, dup_of,
                CAST(list_sum(list_transform(
                    range(1, {SIMHASH_WIDE_BITS + 1}),
                    i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
