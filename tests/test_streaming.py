@@ -753,3 +753,55 @@ def test_materialized_band_table_picks_up_corpus_roll(spark, tmp_path):
         assert any(table_path in f for f in files)  # band parquet feeds it
         assert plan.count("md5") <= 2      # incoming-side tag only (2 hash
         #                                    families), zero corpus folds
+
+
+def test_near_dup_gated_ingest_quarantines_planted_dup(spark, tmp_path):
+    """plans/corpus.near_dup_gated_ingest closes the loop from
+    ingest-time flags to the corpus build: a planted near-dup streams
+    in, lands in the quarantine table (tagged with the violated
+    expectation and its closest corpus match), and NEVER reaches the
+    bronze documents table the incremental build consumes; the novel
+    doc in the same batch publishes normally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.plans.corpus import (
+        near_dup_gated_ingest,
+    )
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        materialize_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    text_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    text_new = "quark lepton boson hadron gluon photon neutrino meson"
+    band_path = str(tmp_path / "bands")
+    materialize_corpus_bands(
+        spark.createDataFrame([(1, text_a)], "doc_id long, text string"),
+        band_path)
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([101, 102], type=pa.int64()),
+                  "text": [text_a, text_new]}),
+        stream_dir / "f1.parquet")
+
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    q = near_dup_gated_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), band_path)
+    q.awaitTermination(120)
+
+    published = catalog.table("bronze/documents_ingested").read(spark)
+    assert [r.doc_id for r in published.collect()] == [102]
+    # the pass-gate audit columns are null on published rows
+    row = published.first()
+    assert row._dup_of is None and row._dup_hamming is None
+
+    quarantined = catalog.table("quarantine/near_dup_docs").read(spark)
+    qrows = quarantined.collect()
+    assert len(qrows) == 1
+    assert (qrows[0].doc_id, qrows[0]._dup_of, qrows[0]._dup_hamming,
+            qrows[0]._violated) == (101, 1, 0, "near_dup")

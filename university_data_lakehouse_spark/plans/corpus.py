@@ -90,6 +90,63 @@ def corpus_graph():
     ])
 
 
+def near_dup_gated_ingest(
+    stream_docs: DataFrame,
+    catalog: TableCatalog,
+    checkpoint_dir: str,
+    band_table_path: str,
+    docs_table: str = "bronze/documents_ingested",
+    quarantine_table: str = "quarantine/near_dup_docs",
+):
+    """Dedup-on-ingest wired into the check-gated corpus plans
+    (VERDICT r13 item 7): documents stream in, each micro-batch is
+    flagged against the MATERIALIZED corpus band table
+    (``streaming.dedupe.materialize_corpus_bands`` writes it once per
+    roll; the latest version is re-read per batch), and flagged
+    near-dups are quarantined through the sink's row-level
+    expectations machinery — the same (name, predicate, action)
+    policies the asset graph runs — so they NEVER reach the bronze
+    documents table the incremental corpus build consumes.
+
+    Composition, no new machinery: ``prepare`` joins the batch
+    against its flags (one thin row per flagged doc — the CLOSEST
+    corpus match, min (hamming, dup_of)); the ``near_dup`` drop
+    expectation quarantines rows with a non-null ``_dup_of`` (tagged
+    with the violated expectation and carrying the dup provenance)
+    and merges the survivors on doc_id.  The always-null
+    ``_dup_of``/``_dup_hamming`` columns on published rows are the
+    audit trail that a row passed the gate.  Per-batch cost is the
+    band join on batch-sized input (the corpus side is a manifest
+    read + thin parquet scan — roll pickup and per-batch plan shape
+    pinned in tests/test_streaming.py)."""
+    from ..streaming.dedupe import (  # noqa: PLC0415 — avoid import cycle
+        flag_near_dups,
+        read_corpus_bands,
+    )
+    from ..streaming.sink import merge_into_table  # noqa: PLC0415
+
+    def prepare(batch: DataFrame) -> DataFrame:
+        bands = read_corpus_bands(batch.sparkSession, band_table_path)
+        closest = (
+            flag_near_dups(batch, bands)
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("hamming", "dup_of")).alias("mx"))
+            .select("doc_id", F.col("mx.dup_of").alias("_dup_of"),
+                    F.col("mx.hamming").alias("_dup_hamming"))
+        )
+        return batch.join(closest, "doc_id", "left")
+
+    return merge_into_table(
+        stream_docs,
+        table=catalog.table(docs_table),
+        keys=["doc_id"],
+        checkpoint_dir=checkpoint_dir,
+        prepare=prepare,
+        expectations=(("near_dup", "_dup_of IS NULL", "drop"),),
+        quarantine=catalog.table(quarantine_table),
+    )
+
+
 def _doc_hashes(doc: DataFrame) -> DataFrame:
     return doc.select("doc_id", F.md5("text").alias("text_md5"))
 
