@@ -805,3 +805,51 @@ def test_near_dup_gated_ingest_quarantines_planted_dup(spark, tmp_path):
     assert len(qrows) == 1
     assert (qrows[0].doc_id, qrows[0]._dup_of, qrows[0]._dup_hamming,
             qrows[0]._violated) == (101, 1, 0, "near_dup")
+
+
+def test_roll_corpus_bands_is_incremental_and_equivalent(spark, tmp_path):
+    """roll_corpus_bands folds ONLY the new documents and merges on
+    (doc_id, band_idx): two incremental rolls produce exactly the
+    band table a full materialization over the union would, a changed
+    doc's re-roll replaces its 4 rows instead of duplicating them,
+    and the flagger reads the rolled table identically."""
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        corpus_band_table,
+        flag_near_dups,
+        read_corpus_bands,
+        roll_corpus_bands,
+    )
+
+    text_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    text_b = "quark lepton boson hadron gluon photon neutrino meson"
+    text_b2 = "quark lepton boson hadron gluon photon neutrino kaon"
+    path = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+
+    v1 = roll_corpus_bands(
+        spark.createDataFrame([(1, text_a)], schema), path)
+    v2 = roll_corpus_bands(
+        spark.createDataFrame([(2, text_b)], schema), path)
+    assert (v1, v2) == (1, 2)
+
+    rolled = {tuple(r) for r in read_corpus_bands(spark, path).collect()}
+    full = {tuple(r) for r in corpus_band_table(
+        spark.createDataFrame([(1, text_a), (2, text_b)], schema)
+    ).collect()}
+    assert rolled == full and len(rolled) == 8   # 2 docs x 4 bands
+
+    # a changed doc re-rolls in place: still 4 rows for doc 2, and
+    # they carry the NEW signature
+    roll_corpus_bands(spark.createDataFrame([(2, text_b2)], schema), path)
+    rerolled = read_corpus_bands(spark, path)
+    assert rerolled.count() == 8
+    new_sig = {tuple(r) for r in corpus_band_table(
+        spark.createDataFrame([(2, text_b2)], schema)).collect()}
+    assert {tuple(r) for r in
+            rerolled.where("doc_id = 2").collect()} == new_sig
+
+    # the flagger over the rolled table flags a dup of the ROLLED text
+    flags = {tuple(r) for r in flag_near_dups(
+        spark.createDataFrame([(101, text_b2)], schema),
+        read_corpus_bands(spark, path)).collect()}
+    assert flags == {(101, 2, 0)}

@@ -150,13 +150,38 @@ def materialize_corpus_bands(docs: DataFrame, table_path: str) -> int:
     fold over the historical corpus runs exactly once per roll instead
     of once per micro-batch.  ``mode="overwrite"`` keeps the table a
     pure function of the current corpus while the table layer's
-    versioning retains prior rolls for time travel / CDF audits."""
+    versioning retains prior rolls for time travel / CDF audits.
+    For day-to-day rolls prefer :func:`roll_corpus_bands` — it folds
+    only the NEW documents (O(new docs), not O(corpus)); this full
+    rebuild is the bootstrap / compaction / post-delete path."""
     from ..tables.format import ManagedTable  # noqa: PLC0415 (cycle-free lazy)
 
     return ManagedTable(table_path).write(
         corpus_band_table(docs), mode="overwrite",
         operation="corpus_band_roll",
     )
+
+
+def roll_corpus_bands(new_docs: DataFrame, table_path: str) -> int:
+    """INCREMENTAL corpus roll: signature-fold ONLY the new documents
+    and MERGE their 4 band rows into the materialized table on
+    (doc_id, band_idx) — changed docs upsert, unseen docs insert, the
+    standing corpus is untouched.  A nightly roll therefore costs
+    O(new docs) in signature work (plus the table layer's
+    footer-stats-pruned rewrite of overlapping files), not the
+    O(corpus) recompute of :func:`materialize_corpus_bands` — at
+    100 TB that is the difference between folding a day's ingest and
+    folding the lake.  First roll bootstraps the table.  Keep the
+    full rebuild for compaction / after out-of-band deletes
+    (``forget_documents`` removes docs the band table would otherwise
+    still flag against)."""
+    from ..tables.format import ManagedTable  # noqa: PLC0415
+
+    tbl = ManagedTable(table_path)
+    bands = corpus_band_table(new_docs)
+    if not tbl.exists():
+        return tbl.write(bands, operation="corpus_band_roll")
+    return tbl.merge(bands, keys=["doc_id", "band_idx"])
 
 
 def read_corpus_bands(spark, table_path: str) -> DataFrame:
