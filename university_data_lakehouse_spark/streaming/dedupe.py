@@ -7,9 +7,17 @@ front half — signature each incoming document and flag it against the
 historical corpus BEFORE it lands, so near-dups never enter the lake.
 Structured Streaming expresses this exactly: a stateless per-row
 signature map plus a stream-static equi-join against the corpus band
-table (supported for arbitrary static sides; the static table is
-re-resolved per micro-batch, so nightly corpus rebuilds are picked up
-without restarting the query).
+table. The corpus side has three forms, cheapest first:
+:func:`roll_corpus_bands` (r14) MERGEs only the NEW documents' band
+rows into the managed table per roll; :func:`materialize_corpus_bands`
+rebuilds it whole (bootstrap / compaction / post-delete);
+passing the live :func:`corpus_band_table` frame works for small
+corpora but re-executes the corpus-wide signature fold every
+micro-batch.  Roll pickup: a stream-static join re-EXECUTES its
+static plan per batch but resolves it once at query start, so new
+table versions need :func:`flag_near_dups_foreach_batch`, which
+re-reads the latest manifest per batch (a JSON read + thin parquet
+scan — pinned by tests/test_streaming.py).
 
 Signature parity is the load-bearing constraint: a streamed doc must
 get the SAME 64-bit signature the batch operator would give it, or
@@ -17,12 +25,13 @@ ingest-time flags disagree with nightly-batch dedup. The batch stage
 (``_simhash_signatures_wide``) leans on ``cache()`` barriers to stop
 Catalyst re-inlining the token/md5 arrays into all 64 bit folds —
 and caching is illegal on streaming DataFrames. The streaming form
-here avoids needing a barrier at all: ONE ``aggregate`` per hash
-family folds the md5 array into a 32-counter vote array (a single
-reference to the array expression, so there is nothing for Catalyst
-to duplicate), then the sign of each counter becomes a signature bit.
-``tests/test_streaming.py`` pins the two formulations bit-identical
-on batch AND stream == batch end-to-end.
+here avoids a corpus-sized cache: ONE ``aggregate`` per hash family
+folds the md5 array into a 32-counter vote array, and a
+single-element-explode Generate node (see :func:`simhash_tag`) keeps
+project collapse and pushdown substitution from re-inlining that
+fold into downstream derivations.  ``tests/test_streaming.py`` pins
+the two formulations bit-identical on batch AND stream == batch
+end-to-end.
 
 At 100 TB: the tagger is map-only (embarrassingly parallel, no state
 store, no watermark); the band join broadcasts or shuffles the
