@@ -453,3 +453,56 @@ def test_simhash_wide_recall_and_candidate_pruning(spark, sf_dir,
     # 16-bit bands must discriminate materially better than 8-bit
     # ones on the same corpus — at least halving the candidate set
     assert wide_cand * 2 <= narrow_cand, (wide_cand, narrow_cand)
+
+
+def test_incremental_flags_are_exactly_the_split_wide_pairs(spark, sf_dir):
+    """Cross-operator consistency (r14): dedup_simhash_incremental's
+    directional flags must be EXACTLY the dedup_simhash_wide pairs
+    with one incoming and one corpus member, oriented incoming ->
+    corpus — the incremental operator is a restriction of the
+    symmetric one, not a reimplementation that could drift."""
+    import hashlib
+
+    from university_data_lakehouse_spark.operators.dedup import (
+        dedup_simhash_incremental,
+        dedup_simhash_wide,
+    )
+
+    def incoming(doc_id) -> bool:
+        return hashlib.md5(f"ingest:{doc_id}".encode()).hexdigest()[0] == "0"
+
+    wide = {(r.id_a, r.id_b, r.hamming)
+            for r in dedup_simhash_wide(spark, sf_dir).collect()}
+    expected = set()
+    for a, b, h in wide:
+        ia, ib = incoming(a), incoming(b)
+        if ia and not ib:
+            expected.add((a, b, h))
+        elif ib and not ia:
+            expected.add((b, a, h))
+    got = {(r.doc_id, r.dup_of, r.hamming)
+           for r in dedup_simhash_incremental(spark, sf_dir).collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_flagger_on_empty_corpus_bootstrap(spark, tmp_path):
+    """First-ever ingest, before any corpus exists: materializing an
+    EMPTY corpus yields a valid 0-row band table, the flagger emits
+    no flags, and docs with no tokens are silently unflagged (the
+    tagger's size(td) > 0 gate) — the bootstrap path needs no special
+    casing."""
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        flag_near_dups,
+        materialize_corpus_bands,
+        read_corpus_bands,
+    )
+
+    path = str(tmp_path / "bands")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert materialize_corpus_bands(empty, path) == 1
+    bands = read_corpus_bands(spark, path)
+    assert bands.count() == 0
+    inc = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "...!!!")],  # doc 2: no tokens
+        "doc_id long, text string")
+    assert flag_near_dups(inc, bands).count() == 0

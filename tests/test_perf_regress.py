@@ -247,3 +247,16 @@ def test_committed_adjudications_file_is_well_formed():
             assert isinstance(row["key"], str) and row["key"]
             assert isinstance(row["evidence"], str) and row["evidence"]
             assert isinstance(row.get("ratio"), (int, float))
+
+
+def test_cap_status_of_unknown_era_baselines_defaults_to_uncapped():
+    # a baseline merged from an artifact predating capped_sf001
+    # tracking has no recorded status: treated as uncapped, so a
+    # currently-uncapped key compares normally and a currently-capped
+    # key is voided (the fake-10x-improvement direction)
+    rows = _flag_rows(section="coverage", old=1.0, new=3.0, gating=False)
+    mark_sf_mismatch(rows, {}, set())            # unknown prev, uncapped now
+    assert rows[0]["flagged"] and "sf_mismatch" not in rows[0]
+    rows = _flag_rows(section="coverage", old=1.0, new=0.12, gating=False)
+    mark_sf_mismatch(rows, {}, {"q"})            # unknown prev, capped now
+    assert "sf_mismatch" in rows[0]
