@@ -853,3 +853,62 @@ def test_roll_corpus_bands_is_incremental_and_equivalent(spark, tmp_path):
         spark.createDataFrame([(101, text_b2)], schema),
         read_corpus_bands(spark, path)).collect()}
     assert flags == {(101, 2, 0)}
+
+
+def test_ingest_lifecycle_publish_roll_then_quarantine(spark, tmp_path):
+    """The full dedup-on-ingest lifecycle, one running query: batch 1
+    publishes a novel doc against an EMPTY (bootstrap) band table; an
+    incremental roll_corpus_bands folds the published doc into the
+    corpus; batch 2's near-dup of that doc is then quarantined — the
+    loop where today's publishes become tomorrow's dedup corpus,
+    picked up mid-query with no restart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.plans.corpus import (
+        near_dup_gated_ingest,
+    )
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        materialize_corpus_bands,
+        roll_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    band_path = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+    materialize_corpus_bands(spark.createDataFrame([], schema), band_path)
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                             "text": [text]}), stream_dir / "f1.parquet")
+
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    # the gate runs availableNow per invocation; drive it tick-wise
+    # (sensor semantics: same checkpoint, only new files per tick)
+    q = near_dup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), band_path)
+    q.awaitTermination(120)
+    docs_t = catalog.table("bronze/documents_ingested")
+    assert [r.doc_id for r in docs_t.read(spark).collect()] == [1]
+
+    # nightly roll: fold ONLY the newly published docs
+    roll_corpus_bands(docs_t.read(spark).select("doc_id", "text"),
+                      band_path)
+
+    pq.write_table(pa.table({"doc_id": pa.array([2], type=pa.int64()),
+                             "text": [text]}), stream_dir / "f2.parquet")
+    q2 = near_dup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), band_path)
+    q2.awaitTermination(120)
+
+    published = {r.doc_id
+                 for r in catalog.table("bronze/documents_ingested")
+                 .read(spark).collect()}
+    assert published == {1}                      # the near-dup never landed
+    qrows = catalog.table("quarantine/near_dup_docs").read(spark).collect()
+    assert [(r.doc_id, r._dup_of, r._violated) for r in qrows] == [
+        (2, 1, "near_dup")]
