@@ -739,3 +739,24 @@ def test_simhash_incremental_no_distinct_single_fold_per_side(spark, sf_dir):
     assert opt.count("aggregate(") == 4, opt        # 2 families x 2 sides
     # the ingest gate is a scan-level filter, not a post-scan stage
     assert "md5" in plan.split("\n\n", 1)[0] or "PushedFilters" in plan
+
+
+def test_simhash_wide_unified_stage_no_cache_two_folds_per_side(
+        spark, sf_dir):
+    """The r15 unification (VERDICT r14 item 3): dedup_simhash_wide's
+    signature stage IS streaming.dedupe.simhash_tag — so its plan
+    must carry no InMemoryRelation (the retired batch twin's two
+    cache() barriers materialized a corpus-sized token/md5 cache per
+    run) and exactly ONE vote fold per hash family per side, held by
+    the tagger's Generate barrier exactly as in the incremental and
+    streaming flaggers."""
+    from university_data_lakehouse_spark.operators.dedup import (
+        dedup_simhash_wide,
+    )
+
+    df = dedup_simhash_wide(spark, sf_dir)
+    tree = _tree(_plan(df))
+    assert "InMemoryRelation" not in tree, tree
+    assert "InMemoryTableScan" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("aggregate(") == 4, opt        # 2 families x 2 sides

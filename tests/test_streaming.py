@@ -597,26 +597,61 @@ def test_corpus_narrow_maps_compose_on_streams(spark, sf_dir, tmp_path):
         assert len(streamed) > 0, name
 
 
-def test_simhash_tagger_matches_batch_signatures(spark, sf_dir):
-    """The barrier-free one-aggregate vote fold (streaming/dedupe.py)
-    must be BIT-IDENTICAL to the batch per-bit fold — ingest-time
-    flags and nightly-batch dedup must never disagree on a
-    signature."""
+def test_simhash_tagger_matches_python_reference(spark, sf_dir):
+    """Independent bit pin for the 64-bit signature contract. Until
+    r15 this compared the streaming fold against the batch twin; the
+    twin is retired (the batch stage now PROJECTS simhash_tag, so a
+    twin compare would be a tautology) and the redundancy it provided
+    is replaced by a pure-Python hashlib.md5 reference: every bit of
+    every signature on a 50-doc sample must equal the definitional
+    majority vote — position i votes +1 iff md5 hex char i has its
+    high bit set, family 2 salts the token with SIMHASH_WIDE_SALT."""
+    import hashlib
+    import re
+
     from university_data_lakehouse_spark.operators.dedup import (
+        SIMHASH_WIDE_SALT,
         _simhash_signatures_wide,
     )
     from university_data_lakehouse_spark.sources.loader import load_table
     from university_data_lakehouse_spark.streaming.dedupe import simhash_tag
 
     docs = load_table(spark, sf_dir, "documents")
-    tagged = {(r.doc_id, r.simhash)
-              for r in simhash_tag(docs).select("doc_id", "simhash").collect()}
-    batch = {(r.doc_id, r.simhash)
-             for r in _simhash_signatures_wide(spark, sf_dir).collect()}
-    assert tagged == batch and len(tagged) > 0
-    # and the two int halves reassemble the binary string
+    sample = docs.orderBy("doc_id").limit(50)
+    tagged = {r.doc_id: r.simhash
+              for r in simhash_tag(sample)
+              .select("doc_id", "simhash").collect()}
+    texts = {r.doc_id: r.text
+             for r in sample.select("doc_id", "text").collect()}
+
+    def ref_sig(text: str) -> str | None:
+        toks = list(dict.fromkeys(re.findall(r"[a-z0-9]+", text.lower())))
+        if not toks:
+            return None
+        bits = []
+        for salt in ("", SIMHASH_WIDE_SALT):
+            hexes = [hashlib.md5((t + salt).encode()).hexdigest()
+                     for t in toks]
+            for i in range(32):
+                vote = sum(1 if h[i] >= "8" else -1 for h in hexes)
+                bits.append("1" if vote > 0 else "0")
+        return "".join(bits)
+
+    expected = {d: s for d, s in
+                ((d, ref_sig(t)) for d, t in texts.items())
+                if s is not None}
+    assert tagged == expected and len(tagged) > 0
+    # the two int halves reassemble the binary string
     row = simhash_tag(docs).first()
     assert f"{row.sig_hi:032b}{row.sig_lo:032b}" == row.simhash
+    # and the batch stage is exactly the tagger's projection (the
+    # unification holds on real data, not just by code reading)
+    batch = {(r.doc_id, r.simhash)
+             for r in _simhash_signatures_wide(spark, sf_dir).collect()}
+    full = {(r.doc_id, r.simhash)
+            for r in simhash_tag(load_table(spark, sf_dir, "documents"))
+            .select("doc_id", "simhash").collect()}
+    assert batch == full
 
 
 def test_streaming_near_dup_flagging_matches_batch(spark, sf_dir,

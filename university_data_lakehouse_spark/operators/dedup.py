@@ -362,45 +362,23 @@ def _simhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same md5 hash family, so the widening needs no new
     primitive and stays oracle-expressible.
 
-    Same array-native shape as ``_simhash_signatures``, with TWO
-    cache layers: the distinct-token array materializes first (so
-    the regexp runs once, not once per hash family), then the two
-    md5 arrays materialize as SEPARATE plain ``array<string>``
-    columns — each bit's ``aggregate`` fold scans a flat string
-    array exactly like the 32-bit stage. The obvious alternative
-    (one array of (h1, h2) structs) made each of the 64 folds pay
-    struct-field extraction per element: measured 9.0s vs 1.3s for
-    the 32-bit stage at sf0.1; the flat two-array form restores the
-    ~2x-of-narrow cost the doubled width actually warrants.
-    Map-only at 100 TB."""
+    Since r15 this is a thin projection of the ONE implementation of
+    the bit contract, ``streaming.dedupe.simhash_tag`` (the
+    Generate-barrier one-aggregate vote fold). Until then the stage
+    carried its own per-bit fold behind two ``cache()`` barriers —
+    a load-bearing bit contract maintained in two places (drift
+    risk, VERDICT r14 item 3), and the barriers materialized a
+    corpus-sized token/md5 cache per run (the 11.2 s cold coverage
+    row). The unified fold folds each hash-family array into a
+    32-counter vote array in ONE ``aggregate`` and needs no cache:
+    map-only at 100 TB, streaming- and batch-identical by
+    construction. The independent bit pin moved from the retired
+    twin-implementation test to a pure-Python md5 reference
+    (tests/test_streaming.py) plus the DuckDB oracle."""
+    from ..streaming.dedupe import simhash_tag  # noqa: PLC0415 — lazy, cycle-free
+
     doc = load_table(spark, sf_dir, "documents")
-    toks = doc.select(
-        "doc_id",
-        F.array_distinct(tokens(F.col("text"))).alias("td"),
-    ).cache()
-    hs = toks.select(
-        "doc_id",
-        F.transform("td", lambda t: F.md5(t)).alias("h1"),
-        F.transform(
-            "td", lambda t: F.md5(F.concat(t, F.lit(SIMHASH_WIDE_SALT)))
-        ).alias("h2"),
-    ).cache()
-    bit = lambda col, i: F.when(  # noqa: E731
-        F.aggregate(
-            col,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1),
-        )
-        > 0,
-        F.lit("1"),
-    ).otherwise(F.lit("0"))
-    half = SIMHASH_WIDE_BITS // 2
-    return hs.where(F.size("h1") > 0).select(
-        "doc_id",
-        F.concat(*[bit("h1", i) for i in range(1, half + 1)],
-                 *[bit("h2", i) for i in range(1, half + 1)]).alias("simhash"),
-    )
+    return simhash_tag(doc).select("doc_id", "simhash")
 
 
 def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,30 +417,14 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair agrees on at least one full band, so banding recall is
     EXACT, not probabilistic.
     """
-    half = SIMHASH_WIDE_BITS // 2
-    sig = _simhash_signatures_wide(spark, sf_dir).select(
-        "doc_id",
-        "simhash",
-        F.conv(F.substring("simhash", 1, half), 2, 10)
-        .cast("long").alias("sig_hi"),
-        F.conv(F.substring("simhash", half + 1, half), 2, 10)
-        .cast("long").alias("sig_lo"),
-    )
-    width = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
-    melted = sig.select(
-        "doc_id",
-        "sig_hi",
-        "sig_lo",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band_idx"),
-                    F.substring("simhash", j * width + 1, width).alias("band"),
-                )
-                for j in range(SIMHASH_WIDE_BANDS)
-            ])
-        ).alias("bd"),
-    ).select("doc_id", "sig_hi", "sig_lo", "bd.band_idx", "bd.band")
+    # One signature/band implementation serves batch and streaming
+    # (r15, VERDICT r14 item 3): corpus_band_table = Generate-barrier
+    # simhash_tag + the 4x16 band melt, exactly the frame the ingest
+    # flagger joins against — so nightly-batch pairs and ingest-time
+    # flags share every stage up to the join by construction.
+    from ..streaming.dedupe import corpus_band_table  # noqa: PLC0415
+
+    melted = corpus_band_table(load_table(spark, sf_dir, "documents"))
     a = melted.select(
         F.col("doc_id").alias("id_a"), F.col("sig_hi").alias("hi_a"),
         F.col("sig_lo").alias("lo_a"), "band_idx",

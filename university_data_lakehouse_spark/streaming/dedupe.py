@@ -21,17 +21,19 @@ scan — pinned by tests/test_streaming.py).
 
 Signature parity is the load-bearing constraint: a streamed doc must
 get the SAME 64-bit signature the batch operator would give it, or
-ingest-time flags disagree with nightly-batch dedup. The batch stage
-(``_simhash_signatures_wide``) leans on ``cache()`` barriers to stop
-Catalyst re-inlining the token/md5 arrays into all 64 bit folds —
-and caching is illegal on streaming DataFrames. The streaming form
-here avoids a corpus-sized cache: ONE ``aggregate`` per hash family
-folds the md5 array into a 32-counter vote array, and a
-single-element-explode Generate node (see :func:`simhash_tag`) keeps
-project collapse and pushdown substitution from re-inlining that
-fold into downstream derivations.  ``tests/test_streaming.py`` pins
-the two formulations bit-identical on batch AND stream == batch
-end-to-end.
+ingest-time flags disagree with nightly-batch dedup. Since r15 that
+parity holds BY CONSTRUCTION — :func:`simhash_tag` is the single
+implementation of the 64-bit bit contract, and the batch stage
+(``operators.dedup._simhash_signatures_wide``) is a projection of it
+(VERDICT r14 item 3 retired the batch twin's two ``cache()``
+barriers, which materialized a corpus-sized token/md5 cache and were
+illegal on streams anyway). The fold needs no cache: ONE
+``aggregate`` per hash family folds the md5 array into a 32-counter
+vote array, and a single-element-explode Generate node keeps project
+collapse and pushdown substitution from re-inlining that fold into
+downstream derivations.  ``tests/test_streaming.py`` pins the bits
+against a pure-Python md5 reference and stream == batch end-to-end;
+the DuckDB oracle pins them cross-engine.
 
 At 100 TB: the tagger is map-only (embarrassingly parallel, no state
 store, no watermark); the band join broadcasts or shuffles the
@@ -88,8 +90,11 @@ def simhash_tag(docs: DataFrame,
                 text_col: str = "text") -> DataFrame:
     """(id, simhash, sig_hi, sig_lo) for each document with at least
     one token — a stateless per-row map that runs unchanged on batch
-    and streaming frames and is pinned bit-identical to the batch
-    ``_simhash_signatures_wide`` stage."""
+    and streaming frames. THE single implementation of the 64-bit
+    signature bit contract (r15): the batch
+    ``_simhash_signatures_wide`` stage projects this frame, and the
+    bits are pinned against a pure-Python md5 reference
+    (tests/test_streaming.py) and the DuckDB oracle."""
     td = F.array_distinct(tokens(F.col(text_col)))
     sig = F.concat(
         _family_bits(F.transform(td, lambda t: F.md5(t))),
