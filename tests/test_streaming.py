@@ -739,7 +739,7 @@ def test_materialized_band_table_picks_up_corpus_roll(spark, tmp_path):
     pq.write_table(pa.table({"doc_id": ["s1"], "text": [text_a]}),
                    stream_dir / "f1.parquet")
 
-    batches: list[tuple[int, set, str]] = []
+    batches: list[tuple[int, set, str, list]] = []
 
     def sink(flags_df, batch_id):
         plan = flags_df._jdf.queryExecution().optimizedPlan().toString()
@@ -947,3 +947,185 @@ def test_ingest_lifecycle_publish_roll_then_quarantine(spark, tmp_path):
     qrows = catalog.table("quarantine/near_dup_docs").read(spark).collect()
     assert [(r.doc_id, r._dup_of, r._violated) for r in qrows] == [
         (2, 1, "near_dup")]
+
+
+def test_forget_purges_band_table_and_reingest_publishes(spark, tmp_path):
+    """RTBF x dedup-on-ingest (VERDICT r14 item 2): forgetting a doc
+    must purge its simhash band rows too, or the signature ghost
+    keeps flagging — a re-submitted forgotten document would be
+    quarantined against its own ghost and never re-enter the corpus,
+    contradicting forget_documents' "re-submitted content is treated
+    as new" contract. Lifecycle: publish through the gate, roll the
+    band table, forget (band_table_path + the ingest doc table via
+    extra_tables), then re-ingest the SAME text under a new doc_id —
+    it publishes, and no table still carries the forgotten id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.plans.corpus import (
+        forget_documents,
+        near_dup_gated_ingest,
+    )
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        read_corpus_bands,
+        roll_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    band_path = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                             "text": [text]}), stream_dir / "f1.parquet")
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    near_dup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), band_path,
+    ).awaitTermination(120)
+    docs_t = catalog.table("bronze/documents_ingested")
+    assert [r.doc_id for r in docs_t.read(spark).collect()] == [1]
+    roll_corpus_bands(docs_t.read(spark).select("doc_id", "text"),
+                      band_path)
+    assert read_corpus_bands(spark, band_path).count() == 4
+
+    out = forget_documents(
+        spark, catalog, [1], band_table_path=band_path,
+        extra_tables=("bronze/documents_ingested",))
+    # ingest-only deployment: no shard/hash tables -> skipped, and the
+    # result names exactly the tables that committed a delete
+    assert set(out) == {"bronze/documents_ingested", "corpus_bands"}
+    assert read_corpus_bands(spark, band_path).count() == 0
+    assert docs_t.read(spark).count() == 0
+
+    # the same text re-submitted under a new id publishes — no ghost
+    pq.write_table(pa.table({"doc_id": pa.array([2], type=pa.int64()),
+                             "text": [text]}), stream_dir / "f2.parquet")
+    near_dup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), band_path,
+    ).awaitTermination(120)
+    assert [r.doc_id for r in docs_t.read(spark).collect()] == [2]
+    qt = catalog.table("quarantine/near_dup_docs")
+    assert (not qt.exists()) or qt.read(spark).count() == 0
+
+
+def test_gated_ingest_collapses_replayed_doc_ids(spark, tmp_path):
+    """A landing replay can put the same doc_id in one micro-batch
+    twice; MERGE inserts one row per source duplicate, so prepare
+    must collapse to one row per key (merge_into_table's documented
+    contract — ADVICE r14). The max-full-row-struct rule keeps the
+    lexicographically larger version, deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.plans.corpus import (
+        near_dup_gated_ingest,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([7, 7], type=pa.int64()),
+                  "text": ["replay version aa", "replay version bb"]}),
+        stream_dir / "f1.parquet")
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    near_dup_gated_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), str(tmp_path / "bands"),
+    ).awaitTermination(120)
+
+    rows = catalog.table("bronze/documents_ingested").read(spark).collect()
+    assert [(r.doc_id, r.text) for r in rows] == [(7, "replay version bb")]
+
+
+def test_gated_ingest_flags_intra_batch_near_dups(spark, tmp_path):
+    """Two near-duplicates arriving in the SAME micro-batch: before
+    r15 both passed (the gate only checked the corpus band table) and
+    the next roll admitted both permanently. The intra-batch pass
+    keeps the LOWER doc_id and quarantines the higher with the lower
+    as provenance; the unrelated doc in the batch still publishes.
+    Runs with a never-materialized band table — also pinning the
+    bootstrap semantic (ADVICE r14: a pre-roll start used to die in
+    foreachBatch with an opaque FileNotFoundError)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.plans.corpus import (
+        near_dup_gated_ingest,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    other = "quark lepton boson hadron gluon photon neutrino meson"
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([11, 12, 13], type=pa.int64()),
+                  "text": [text, text, other]}),
+        stream_dir / "f1.parquet")
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    near_dup_gated_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), str(tmp_path / "bands"),
+    ).awaitTermination(120)
+
+    published = {r.doc_id
+                 for r in catalog.table("bronze/documents_ingested")
+                 .read(spark).collect()}
+    assert published == {11, 13}
+    qrows = catalog.table("quarantine/near_dup_docs").read(spark).collect()
+    assert [(r.doc_id, r._dup_of, r._dup_hamming, r._violated)
+            for r in qrows] == [(12, 11, 0, "near_dup")]
+
+
+def test_roll_corpus_bands_compaction_bounds_files(spark, tmp_path):
+    """A year of nightly rolls must not accumulate unbounded small
+    band files: roll_corpus_bands ends each roll with maybe_compact,
+    so once the snapshot passes compact_max_files one bin-pack commit
+    folds it back down — and the flagger's results are unchanged by
+    the rewrite. vacuum() then physically reclaims the superseded
+    fragments (explicit horizon: single-writer test)."""
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        corpus_band_table,
+        flag_near_dups,
+        read_corpus_bands,
+        roll_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables.format import ManagedTable
+
+    path = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliett", "kilo", "lima"]
+    docs = [(i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+            for i in range(12)]
+
+    for i, (doc_id, text) in enumerate(docs):
+        roll_corpus_bands(
+            spark.createDataFrame([(doc_id, text)], schema), path,
+            compact_max_files=4)
+    tbl = ManagedTable(path)
+    n_files = len(tbl.manifest()["files"])
+    assert n_files <= 8, n_files       # bounded, not one-per-roll x32
+
+    # compaction/no-compaction is invisible to the flagger: rolled ==
+    # one-shot materialization, and flags match the definitional join
+    rolled = {tuple(r) for r in read_corpus_bands(spark, path).collect()}
+    full_df = corpus_band_table(spark.createDataFrame(docs, schema))
+    assert rolled == {tuple(r) for r in full_df.collect()}
+    probe = spark.createDataFrame([(100, docs[3][1])], schema)
+    got = {tuple(r) for r in
+           flag_near_dups(probe, read_corpus_bands(spark, path)).collect()}
+    want = {tuple(r) for r in flag_near_dups(probe, full_df).collect()}
+    assert got == want and (100, 3, 0) in got
+
+    reclaimed = tbl.vacuum(keep_versions=1, min_age_seconds=0)
+    assert reclaimed                  # superseded fragments deleted
+    assert {tuple(r)
+            for r in read_corpus_bands(spark, path).collect()} == rolled

@@ -108,28 +108,56 @@ def near_dup_gated_ingest(
     policies the asset graph runs — so they NEVER reach the bronze
     documents table the incremental corpus build consumes.
 
-    Composition, no new machinery: ``prepare`` joins the batch
-    against its flags (one thin row per flagged doc — the CLOSEST
-    corpus match, min (hamming, dup_of)); the ``near_dup`` drop
-    expectation quarantines rows with a non-null ``_dup_of`` (tagged
-    with the violated expectation and carrying the dup provenance)
-    and merges the survivors on doc_id.  The always-null
-    ``_dup_of``/``_dup_hamming`` columns on published rows are the
-    audit trail that a row passed the gate.  Per-batch cost is the
-    band join on batch-sized input (the corpus side is a manifest
-    read + thin parquet scan — roll pickup and per-batch plan shape
-    pinned in tests/test_streaming.py)."""
+    Composition, no new machinery: ``prepare`` first collapses the
+    batch to ONE row per doc_id (``merge_into_table``'s documented
+    contract — a landing replay can put the same doc_id in one
+    micro-batch twice, and MERGE inserts one row per source
+    duplicate; the collapse keeps the max full-row struct, a
+    deterministic rule), then joins it against its flags (one thin
+    row per flagged doc — the CLOSEST match, min (hamming,
+    dup_of)); the ``near_dup`` drop expectation quarantines rows
+    with a non-null ``_dup_of`` (tagged with the violated
+    expectation and carrying the dup provenance) and merges the
+    survivors on doc_id.  The always-null ``_dup_of``/
+    ``_dup_hamming`` columns on published rows are the audit trail
+    that a row passed the gate.
+
+    Flags come from TWO directions: the materialized corpus band
+    table (skipped with a clean bootstrap semantic — all rows pass
+    the corpus gate — when the table has never been materialized;
+    before r15 a pre-roll start died inside foreachBatch with an
+    opaque FileNotFoundError), and an INTRA-batch pass of the same
+    flagger over the batch's own band table keeping the lower
+    doc_id — without it two near-dups arriving in the same
+    micro-batch both published and a subsequent roll admitted both
+    to the corpus permanently.  Per-batch cost stays batch-shaped:
+    the corpus side is a manifest read + thin parquet scan (roll
+    pickup and per-batch plan shape pinned in
+    tests/test_streaming.py), the intra-batch side folds only the
+    batch."""
     from ..streaming.dedupe import (  # noqa: PLC0415 — avoid import cycle
+        corpus_band_table,
         flag_near_dups,
         read_corpus_bands,
     )
     from ..streaming.sink import merge_into_table  # noqa: PLC0415
+    from ..tables.format import ManagedTable  # noqa: PLC0415
 
     def prepare(batch: DataFrame) -> DataFrame:
-        bands = read_corpus_bands(batch.sparkSession, band_table_path)
+        others = [c for c in batch.columns if c != "doc_id"]
+        batch = (
+            batch.groupBy("doc_id")
+            .agg(F.max(F.struct(*others)).alias("mx"))
+            .select("doc_id", *[F.col(f"mx.{c}").alias(c) for c in others])
+        )
+        intra = flag_near_dups(batch, corpus_band_table(batch)).where(
+            F.col("dup_of") < F.col("doc_id"))
+        flags = intra
+        if ManagedTable(band_table_path).exists():
+            bands = read_corpus_bands(batch.sparkSession, band_table_path)
+            flags = flags.unionByName(flag_near_dups(batch, bands))
         closest = (
-            flag_near_dups(batch, bands)
-            .groupBy("doc_id")
+            flags.groupBy("doc_id")
             .agg(F.min(F.struct("hamming", "dup_of")).alias("mx"))
             .select("doc_id", F.col("mx.dup_of").alias("_dup_of"),
                     F.col("mx.hamming").alias("_dup_hamming"))
@@ -191,6 +219,8 @@ def forget_documents(
     catalog: TableCatalog,
     doc_ids: list[int],
     merge_on_read: bool = False,
+    band_table_path: str | None = None,
+    extra_tables: tuple[str, ...] = (),
 ) -> dict[str, int]:
     """Right-to-be-forgotten over the corpus tables: remove the given
     documents from the shard table AND the seen-hash table (so
@@ -200,6 +230,23 @@ def forget_documents(
     docs leave holes rather than re-binning the corpus (re-binning
     would churn every later shard; a periodic full rebuild reclaims
     the holes).
+
+    ``band_table_path`` (r15, VERDICT r14 item 2): when the
+    deployment materializes a corpus band table for dedup-on-ingest
+    (``streaming.dedupe.materialize_corpus_bands``), pass its path so
+    the forgotten docs' simhash band rows are purged in the SAME
+    forget — otherwise the signature ghost keeps flagging new ingests
+    as dups of the forgotten doc_id until the next full band rebuild:
+    a re-submitted forgotten document would be quarantined against
+    its own ghost (contradicting the "re-submitted content is treated
+    as new" contract above) and the quarantine table would record the
+    forgotten doc's id as provenance.  ``extra_tables`` names any
+    deployment-specific doc-keyed tables to purge in the same call —
+    e.g. the gated-ingest deployment's ``bronze/documents_ingested``.
+    Never-materialized tables are skipped uniformly (deleting from a
+    table that was never created is a no-op, and an ingest-only
+    deployment has no shard/hash tables), so the returned dict names
+    exactly the tables that committed a delete.
 
     GDPR nuance the API makes explicit: the delete commits NEW
     versions — prior snapshots still reference the rows until
@@ -217,11 +264,20 @@ def forget_documents(
     vacuum that expires old snapshots."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from ..tables.format import ManagedTable  # noqa: PLC0415
+
     lo, hi = min(doc_ids), max(doc_ids)
     pred = F.col("doc_id").isin([int(d) for d in doc_ids])
+    targets: list[tuple[str, ManagedTable]] = [
+        (name, catalog.table(name))
+        for name in (SHARDS_TABLE, HASHES_TABLE, *extra_tables)
+    ]
+    if band_table_path is not None:
+        targets.append(("corpus_bands", ManagedTable(band_table_path)))
     out = {}
-    for name in (SHARDS_TABLE, HASHES_TABLE):
-        table = catalog.table(name)
+    for name, table in targets:
+        if not table.exists():
+            continue
         out[name] = table.delete_where(
             spark, {"doc_id": (lo, hi)}, predicate=pred,
             merge_on_read=merge_on_read)

@@ -176,7 +176,8 @@ def materialize_corpus_bands(docs: DataFrame, table_path: str) -> int:
     )
 
 
-def roll_corpus_bands(new_docs: DataFrame, table_path: str) -> int:
+def roll_corpus_bands(new_docs: DataFrame, table_path: str,
+                      compact_max_files: int | None = 64) -> int:
     """INCREMENTAL corpus roll: signature-fold ONLY the new documents
     and MERGE their 4 band rows into the materialized table on
     (doc_id, band_idx) — changed docs upsert, unseen docs insert, the
@@ -185,17 +186,33 @@ def roll_corpus_bands(new_docs: DataFrame, table_path: str) -> int:
     footer-stats-pruned rewrite of overlapping files), not the
     O(corpus) recompute of :func:`materialize_corpus_bands` — at
     100 TB that is the difference between folding a day's ingest and
-    folding the lake.  First roll bootstraps the table.  Keep the
-    full rebuild for compaction / after out-of-band deletes
-    (``forget_documents`` removes docs the band table would otherwise
-    still flag against)."""
+    folding the lake.  First roll bootstraps the table.
+
+    Retention (r15): every roll ends with the table layer's
+    ``maybe_compact`` small-files policy — a no-op until the snapshot
+    exceeds ``compact_max_files`` files, then one bin-pack commit —
+    so a year of nightly MERGEs cannot accumulate unbounded small
+    band files (``None`` disables; physical reclaim of the
+    superseded files is the caller's ``vacuum()`` within its safety
+    horizon, same split as every other managed table).  Losing the
+    compaction's OCC race skips it, never fails the roll.
+
+    ``forget_documents(band_table_path=...)`` purges forgotten docs'
+    band rows row-level; the full rebuild remains the recovery path
+    for bulk out-of-band surgery."""
     from ..tables.format import ManagedTable  # noqa: PLC0415
 
     tbl = ManagedTable(table_path)
     bands = corpus_band_table(new_docs)
     if not tbl.exists():
         return tbl.write(bands, operation="corpus_band_roll")
-    return tbl.merge(bands, keys=["doc_id", "band_idx"])
+    version = tbl.merge(bands, keys=["doc_id", "band_idx"])
+    if compact_max_files is not None:
+        compacted = tbl.maybe_compact(new_docs.sparkSession,
+                                      max_files=compact_max_files)
+        if compacted is not None:
+            version = compacted
+    return version
 
 
 def read_corpus_bands(spark, table_path: str) -> DataFrame:
