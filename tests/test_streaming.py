@@ -1129,3 +1129,69 @@ def test_roll_corpus_bands_compaction_bounds_files(spark, tmp_path):
     assert reclaimed                  # superseded fragments deleted
     assert {tuple(r)
             for r in read_corpus_bands(spark, path).collect()} == rolled
+
+
+def test_release_from_quarantine_restores_doc_with_provenance(
+        spark, tmp_path):
+    """The quarantine lifecycle closes (r15): a human-reviewed false
+    positive releases from quarantine back into the published docs
+    table KEEPING its _dup_of/_dup_hamming provenance (a non-null
+    pair on a published row = "flagged, human-released"; gate-passed
+    rows carry nulls), the released rows leave the quarantine table,
+    and the doc then enters the normal roll: after roll_corpus_bands
+    a near-dup of the RELEASED doc is flagged against it. Releasing
+    unknown ids is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.plans.corpus import (
+        near_dup_gated_ingest,
+        release_from_quarantine,
+    )
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        materialize_corpus_bands,
+        roll_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    text_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    band_path = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+    materialize_corpus_bands(
+        spark.createDataFrame([(1, text_a)], schema), band_path)
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([42], type=pa.int64()),
+                             "text": [text_a]}), stream_dir / "f1.parquet")
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    near_dup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), band_path,
+    ).awaitTermination(120)
+    quar = catalog.table("quarantine/near_dup_docs")
+    assert [r.doc_id for r in quar.read(spark).collect()] == [42]
+
+    assert release_from_quarantine(spark, catalog, [999]) == {}  # no-op
+
+    out = release_from_quarantine(spark, catalog, [42])
+    assert set(out) == {"bronze/documents_ingested",
+                        "quarantine/near_dup_docs"}
+    docs = catalog.table("bronze/documents_ingested").read(spark).collect()
+    assert [(r.doc_id, r.text, r._dup_of, r._dup_hamming)
+            for r in docs] == [(42, text_a, 1, 0)]   # provenance kept
+    assert quar.read(spark).count() == 0
+
+    # released doc joins the normal roll and becomes dedup corpus
+    roll_corpus_bands(
+        catalog.table("bronze/documents_ingested").read(spark)
+        .select("doc_id", "text"), band_path)
+    pq.write_table(pa.table({"doc_id": pa.array([77], type=pa.int64()),
+                             "text": [text_a]}), stream_dir / "f2.parquet")
+    near_dup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(stream_dir)),
+        catalog, str(tmp_path / "chk"), band_path,
+    ).awaitTermination(120)
+    qrows = quar.read(spark).collect()
+    assert len(qrows) == 1 and qrows[0].doc_id == 77
+    assert qrows[0]._dup_of in (1, 42)   # closest match, both corpus now

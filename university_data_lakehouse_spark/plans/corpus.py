@@ -175,6 +175,66 @@ def near_dup_gated_ingest(
     )
 
 
+def release_from_quarantine(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    doc_ids: list[int],
+    docs_table: str = "bronze/documents_ingested",
+    quarantine_table: str = "quarantine/near_dup_docs",
+) -> dict[str, int]:
+    """Human-review override for the dedup-on-ingest gate (r15): a
+    reviewed false positive — two legitimately distinct documents the
+    simhash geometry happened to collide — moves from the quarantine
+    table back into the published docs table, completing the
+    quarantine lifecycle (before this, quarantine was an append-only
+    dead end).
+
+    Semantics: the LATEST quarantine row per released doc_id (a doc
+    replayed across micro-batches can be quarantined more than once)
+    MERGEs into ``docs_table`` with its ``_dup_of``/``_dup_hamming``
+    provenance KEPT — on gate-passed rows those columns are null, so
+    a non-null pair on a published row is exactly the audit trail
+    "flagged, human-released"; only the ``_violated`` tag is dropped.
+    The released rows are then deleted row-level from the quarantine
+    table (same stats-pruned DELETE as ``forget_documents``).
+    Releasing ids with no quarantine row is a no-op returning {}.
+
+    The released docs are NOT folded into the corpus band table here:
+    that is the nightly ``roll_corpus_bands`` over newly published
+    docs, exactly as for gate-passed publishes — release restores a
+    doc to the normal pipeline rather than special-casing it.
+
+    Scale: the quarantine read prunes to files overlapping the
+    requested ids (footer stats), the MERGE rewrites only overlapping
+    docs files — O(touched files), never O(table)."""
+    quar = catalog.table(quarantine_table)
+    if not quar.exists():
+        return {}
+    lo, hi = min(doc_ids), max(doc_ids)
+    rows = quar.read_where(spark, {"doc_id": (lo, hi)}).where(
+        F.col("doc_id").isin([int(d) for d in doc_ids]))
+    others = [c for c in rows.columns if c not in ("doc_id", "_violated")]
+    latest = (
+        rows.groupBy("doc_id")
+        .agg(F.max(F.struct(*others)).alias("mx"))
+        .select("doc_id", *[F.col(f"mx.{c}").alias(c) for c in others])
+    )
+    if latest.limit(1).count() == 0:
+        return {}
+    docs_t = catalog.table(docs_table)
+    # first batch may have quarantined EVERYTHING -> docs table never
+    # bootstrapped; a release into nothing is the initial load (same
+    # rule as the streaming sink / plans/medallion.py)
+    if docs_t.exists():
+        out = {docs_table: docs_t.merge(latest, keys=["doc_id"])}
+    else:
+        out = {docs_table: docs_t.write(latest, operation="bootstrap")}
+    pred = F.col("doc_id").isin([int(d) for d in doc_ids])
+    out[quarantine_table] = quar.delete_where(
+        spark, {"doc_id": (lo, hi)}, predicate=pred)
+    return out
+
+
 def _doc_hashes(doc: DataFrame) -> DataFrame:
     return doc.select("doc_id", F.md5("text").alias("text_md5"))
 
