@@ -208,8 +208,13 @@ def roll_corpus_bands(new_docs: DataFrame, table_path: str,
         return tbl.write(bands, operation="corpus_band_roll")
     version = tbl.merge(bands, keys=["doc_id", "band_idx"])
     if compact_max_files is not None:
+        # cluster by doc_id: rolls and forgets prune on doc_id footer
+        # stats, so the bin-pack re-sorts fragments into disjoint
+        # doc_id ranges — post-compaction deletes/MERGEs stay
+        # O(touched files)
         compacted = tbl.maybe_compact(new_docs.sparkSession,
-                                      max_files=compact_max_files)
+                                      max_files=compact_max_files,
+                                      cluster_by=["doc_id"])
         if compacted is not None:
             version = compacted
     return version
