@@ -1195,3 +1195,85 @@ def test_release_from_quarantine_restores_doc_with_provenance(
     qrows = quar.read(spark).collect()
     assert len(qrows) == 1 and qrows[0].doc_id == 77
     assert qrows[0]._dup_of in (1, 42)   # closest match, both corpus now
+
+
+def test_forget_band_purge_merge_on_read_path(spark, tmp_path):
+    """RTBF at 100 TB uses deletion vectors: forgetting a handful of
+    doc_ids scattered across terabyte band files must not rewrite
+    them. merge_on_read=True flows through to the band-table delete —
+    bytes stay in place, a DV sidecar hides the rows, the flagger
+    stops matching the forgotten doc immediately, and compact+vacuum
+    completes physical removal."""
+    from university_data_lakehouse_spark.plans.corpus import (
+        forget_documents,
+    )
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        flag_near_dups,
+        materialize_corpus_bands,
+        read_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+    from university_data_lakehouse_spark.tables.format import ManagedTable
+
+    text_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    text_b = "quark lepton boson hadron gluon photon neutrino meson"
+    band_path = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+    materialize_corpus_bands(
+        spark.createDataFrame([(1, text_a), (2, text_b)], schema),
+        band_path)
+    files_before = {f["name"]
+                    for f in ManagedTable(band_path).manifest()["files"]}
+
+    catalog = TableCatalog(str(tmp_path / "lake"))   # no corpus tables
+    out = forget_documents(spark, catalog, [1], merge_on_read=True,
+                           band_table_path=band_path)
+    assert set(out) == {"corpus_bands"}
+    m = ManagedTable(band_path).manifest()
+    assert m["operation"] == "delete[mor]"
+    assert {f["name"] for f in m["files"]} == files_before  # bytes kept
+    assert any(f.get("dv") for f in m["files"])
+
+    bands = read_corpus_bands(spark, band_path)
+    assert {r.doc_id for r in bands.collect()} == {2}
+    probe = spark.createDataFrame([(100, text_a)], schema)
+    assert flag_near_dups(probe, bands).count() == 0   # ghost gone
+
+    tbl = ManagedTable(band_path)
+    tbl.compact(spark)
+    assert not any(f.get("dv") for f in tbl.manifest()["files"])
+    tbl.vacuum(keep_versions=1, min_age_seconds=0)
+    assert {r.doc_id
+            for r in read_corpus_bands(spark, band_path).collect()} == {2}
+
+
+def test_release_takes_latest_quarantine_row_per_doc(spark, tmp_path):
+    """A doc replayed across micro-batches quarantines more than
+    once; release must merge exactly ONE row per released doc_id —
+    the max-struct quarantine row, taken ATOMICALLY (the winning
+    row's own provenance fields ride along, never a cross-row mix) —
+    or the docs-table MERGE would insert one row per historical
+    quarantine entry."""
+    from university_data_lakehouse_spark.plans.corpus import (
+        release_from_quarantine,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    quar = catalog.table("quarantine/near_dup_docs")
+    rows = spark.createDataFrame(
+        [(5, "version one", 1, 2, "near_dup"),
+         (5, "version two", 1, 1, "near_dup"),
+         (6, "stays put", 1, 0, "near_dup")],
+        "doc_id long, text string, _dup_of long, _dup_hamming int, "
+        "_violated string")
+    quar.write(rows, operation="quarantine")
+
+    out = release_from_quarantine(spark, catalog, [5])
+    assert set(out) == {"bronze/documents_ingested",
+                        "quarantine/near_dup_docs"}
+    docs = catalog.table("bronze/documents_ingested").read(spark).collect()
+    assert [(r.doc_id, r.text, r._dup_of, r._dup_hamming)
+            for r in docs] == [(5, "version two", 1, 1)]
+    left = quar.read(spark).collect()
+    assert [(r.doc_id, r.text) for r in left] == [(6, "stays put")]
