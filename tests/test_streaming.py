@@ -1277,3 +1277,85 @@ def test_release_takes_latest_quarantine_row_per_doc(spark, tmp_path):
             for r in docs] == [(5, "version two", 1, 1)]
     left = quar.read(spark).collect()
     assert [(r.doc_id, r.text) for r in left] == [(6, "stays put")]
+
+
+def test_corpus_build_composes_with_gated_ingest(spark, tmp_path):
+    """The §2.9 x §2.12 loop closes (r15): documents enter through
+    near_dup_gated_ingest (a planted near-dup quarantined at the
+    door), and incremental_corpus_build_from_table runs its ticks
+    over the ADMITTED bronze table — two ticks over two ingest
+    batches produce shards bit-identical to the one-shot build over
+    everything that was admitted, and the quarantined doc never
+    reaches a shard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.operators.pipeline import (
+        corpus_build_df,
+    )
+    from university_data_lakehouse_spark.plans.corpus import (
+        SHARDS_TABLE,
+        incremental_corpus_build_from_table,
+        near_dup_gated_ingest,
+    )
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        materialize_corpus_bands,
+        roll_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    text_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    # ids/langs chosen to PASS the md5 sample gate (the corpus build
+    # keeps a stratified subset; an all-filtered fixture would make
+    # the equality below vacuous), texts to pass the quality gate
+    texts = {
+        3: "this is a small test document and it has some useful"
+           " words in it for the gate",
+        7: "we were there when the data was loaded and the results"
+           " are in the table now",
+        9: text_a,   # near-dup of the historical corpus -> quarantined
+        14: "a document about the model and the data that it was"
+            " trained on over the years",
+        16: "the system can read and write files and it will not"
+            " fail when the disk is full",
+    }
+    band_path = str(tmp_path / "bands")
+    schema = "doc_id long, text string, lang string"
+    materialize_corpus_bands(
+        spark.createDataFrame([(900, text_a)], "doc_id long, text string"),
+        band_path)
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    catalog = TableCatalog(str(tmp_path / "lake"))
+
+    langs = {3: "en", 7: "en", 9: "en", 14: "en", 16: "de"}
+
+    def ingest(ids, fname):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": [texts[i] for i in ids],
+                      "lang": [langs[i] for i in ids]}),
+            stream_dir / fname)
+        near_dup_gated_ingest(
+            spark.readStream.schema(schema).parquet(str(stream_dir)),
+            catalog, str(tmp_path / "chk"), band_path,
+        ).awaitTermination(120)
+
+    ingest([3, 7, 9], "f1.parquet")        # 2 admitted (9 = dup of 900)
+    v1 = incremental_corpus_build_from_table(spark, catalog)
+    roll_corpus_bands(
+        catalog.table("bronze/documents_ingested").read(spark)
+        .select("doc_id", "text"), band_path)
+    ingest([14, 16], "f2.parquet")         # both admitted
+    v2 = incremental_corpus_build_from_table(spark, catalog)
+    assert v2 > v1
+
+    admitted = catalog.table("bronze/documents_ingested").read(spark)
+    assert {r.doc_id for r in admitted.collect()} == {3, 7, 14, 16}
+    shards = catalog.table(SHARDS_TABLE).read(spark)
+    got = {tuple(r) for r in shards.collect()}
+    want = {tuple(r) for r in corpus_build_df(
+        admitted.drop("_dup_of", "_dup_hamming")).collect()}
+    assert got == want and len(got) > 0
+    assert shards.where("doc_id = 9").count() == 0   # quarantined: no shard

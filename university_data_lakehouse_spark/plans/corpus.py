@@ -344,11 +344,37 @@ def forget_documents(
     return out
 
 
+def incremental_corpus_build_from_table(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    docs_table: str = "bronze/documents_ingested",
+    upto_doc_id: int | None = None,
+) -> int:
+    """The §2.9 × §2.12 composition (r15): run a corpus tick over the
+    GATED-INGEST bronze table instead of the raw documents source —
+    the deployment where ``near_dup_gated_ingest`` admits documents
+    (near-dups already quarantined at the door) and the corpus build
+    consumes exactly what was admitted. Identical tick semantics to
+    :func:`incremental_corpus_build` (same cursor, dedup-vs-hashes,
+    gates, packing state — shards are bit-identical to a one-shot
+    build over the same rows, pytest-pinned); only the source frame
+    differs: a managed-table read, so the tick sees the table's
+    LATEST committed version, never a partially-written file.  The
+    gate's audit columns (``_dup_of``/``_dup_hamming``) are dropped
+    before the build — corpus shards carry corpus columns."""
+    docs = catalog.table(docs_table).read(spark)
+    docs = docs.drop("_dup_of", "_dup_hamming")
+    return incremental_corpus_build(
+        spark, sf_dir=None, catalog=catalog, upto_doc_id=upto_doc_id,
+        docs_df=docs)
+
+
 def incremental_corpus_build(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None,
     catalog: TableCatalog,
     upto_doc_id: int | None = None,
+    docs_df: DataFrame | None = None,
 ) -> int:
     """One availableNow-style tick of the corpus pipeline. Documents
     with doc_id in (cursor, upto_doc_id] are deduped against the
@@ -369,8 +395,14 @@ def incremental_corpus_build(
     packing windows shuffle new docs once on lang; the state join is
     a broadcast (one row per lang); the MERGE's footer-stats skipping
     rewrites only shard files whose key ranges overlap the new slice.
+
+    ``docs_df`` (r15) overrides the source frame — any DataFrame with
+    the documents schema (doc_id, text, lang, ...); see
+    :func:`incremental_corpus_build_from_table` for the gated-ingest
+    composition. With ``docs_df`` given, ``sf_dir`` is unused.
     """
-    doc_all = load_table(spark, sf_dir, "documents")
+    doc_all = (docs_df if docs_df is not None
+               else load_table(spark, sf_dir, "documents"))
     if upto_doc_id is not None:
         doc_all = doc_all.where(F.col("doc_id") <= upto_doc_id)
 
