@@ -184,6 +184,48 @@ def test_incremental_corpus_build_matches_batch(spark, sf_dir, tmp_path):
     assert _sorted_rows(shards.read(spark)) == _sorted_rows(batch_full)
 
 
+def test_from_table_ticks_respect_upto_and_drop_audit_cols(
+        spark, sf_dir, tmp_path):
+    """The gated-table tick path (r15) honors ``upto_doc_id`` exactly
+    like the source-dir path and strips the ingest gate's audit
+    columns before the build: two bounded ticks over a
+    ``bronze/documents_ingested`` table carrying ``_dup_of``/
+    ``_dup_hamming`` produce shards bit-identical to the one-shot
+    batch build over the SAME rows without those columns — corpus
+    shards carry corpus columns, and a mid-corpus cursor bound slices
+    the managed-table source just as it slices a parquet source."""
+    from university_data_lakehouse_spark.operators.pipeline import (
+        corpus_build_df,
+    )
+    from university_data_lakehouse_spark.plans.corpus import (
+        incremental_corpus_build_from_table,
+    )
+    from university_data_lakehouse_spark.sources.loader import load_table
+
+    catalog = TableCatalog(str(tmp_path / "warehouse"))
+    doc = load_table(spark, sf_dir, "documents")
+    ingested = doc.withColumn(
+        "_dup_of", F.lit(None).cast("long")).withColumn(
+        "_dup_hamming", F.lit(None).cast("int"))
+    catalog.table("bronze/documents_ingested").write(
+        ingested, operation="bootstrap")
+    mid = doc.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+
+    v1 = incremental_corpus_build_from_table(spark, catalog,
+                                             upto_doc_id=mid)
+    shards = catalog.table("gold/corpus_shards")
+    batch_half = corpus_build_df(doc.where(F.col("doc_id") <= mid))
+    assert _sorted_rows(shards.read(spark, v1)) == _sorted_rows(batch_half)
+    assert "_dup_of" not in shards.read(spark).columns
+
+    v2 = incremental_corpus_build_from_table(spark, catalog)
+    assert v2 > v1
+    batch_full = corpus_build_df(doc)
+    assert _sorted_rows(shards.read(spark)) == _sorted_rows(batch_full)
+    # replayed tick: cursor sees nothing new in the table -> no-op
+    assert incremental_corpus_build_from_table(spark, catalog) == v2
+
+
 def test_corpus_asset_graph_check_gated_publish(spark, sf_dir, tmp_path):
     """The corpus pipeline runs through the asset layer: blocking
     quality checks gate the publish, and both gold tables land as

@@ -1279,6 +1279,22 @@ def test_release_takes_latest_quarantine_row_per_doc(spark, tmp_path):
     assert [(r.doc_id, r.text) for r in left] == [(6, "stays put")]
 
 
+def test_release_before_any_quarantine_is_a_noop(spark, tmp_path):
+    """Releasing from a deployment that never quarantined anything
+    (the quarantine table was never created) returns {} without
+    touching or creating any table — the exists() guard, distinct
+    from the known-table-unknown-id no-op."""
+    from university_data_lakehouse_spark.plans.corpus import (
+        release_from_quarantine,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    catalog = TableCatalog(str(tmp_path / "lake"))
+    assert release_from_quarantine(spark, catalog, [1, 2]) == {}
+    assert not catalog.table("quarantine/near_dup_docs").exists()
+    assert not catalog.table("bronze/documents_ingested").exists()
+
+
 def test_corpus_build_composes_with_gated_ingest(spark, tmp_path):
     """The §2.9 x §2.12 loop closes (r15): documents enter through
     near_dup_gated_ingest (a planted near-dup quarantined at the
