@@ -130,7 +130,18 @@ def near_dup_gated_ingest(
     flagger over the batch's own band table keeping the lower
     doc_id — without it two near-dups arriving in the same
     micro-batch both published and a subsequent roll admitted both
-    to the corpus permanently.  Per-batch cost stays batch-shaped:
+    to the corpus permanently.  Transitive-quarantine semantic
+    (deliberate): the intra-batch keep-the-lower-id rule is applied
+    UNCONDITIONALLY, so when the kept lower doc is itself flagged by
+    the corpus check, BOTH copies quarantine — the higher one's
+    ``_dup_of`` then points at a doc_id sitting in quarantine, not
+    in the published table.  That is the conservative choice for a
+    dedup gate: content the corpus already near-has never publishes
+    through a same-batch sibling, nothing is lost (quarantine, not
+    deletion — ``release_from_quarantine`` restores either copy on
+    review), and the provenance chain (higher → lower → corpus
+    match) stays one join away in the quarantine table itself.
+    Per-batch cost stays batch-shaped:
     the corpus side is a manifest read + thin parquet scan (roll
     pickup and per-batch plan shape pinned in
     tests/test_streaming.py), the intra-batch side folds only the
@@ -195,9 +206,18 @@ def release_from_quarantine(
     provenance KEPT — on gate-passed rows those columns are null, so
     a non-null pair on a published row is exactly the audit trail
     "flagged, human-released"; only the ``_violated`` tag is dropped.
+    "Latest" is TEMPORAL (r16): the streaming sink stamps every
+    quarantine append with ``_quarantine_seq`` — the table's commit
+    version at append time — and the per-doc winner is the max
+    stamp, so a doc re-quarantined with an edited (even
+    lexicographically smaller) text releases the version the human
+    actually reviewed.  Ties and legacy rows without the stamp fall
+    back to the deterministic max-full-row-struct rule.  The stamp
+    itself never reaches the docs table.
     The released rows are then deleted row-level from the quarantine
     table (same stats-pruned DELETE as ``forget_documents``).
-    Releasing ids with no quarantine row is a no-op returning {}.
+    Releasing ids with no quarantine row — or an empty ``doc_ids``
+    list — is a no-op returning {}.
 
     The released docs are NOT folded into the corpus band table here:
     that is the nightly ``roll_corpus_bands`` over newly published
@@ -207,19 +227,31 @@ def release_from_quarantine(
     Scale: the quarantine read prunes to files overlapping the
     requested ids (footer stats), the MERGE rewrites only overlapping
     docs files — O(touched files), never O(table)."""
+    if not doc_ids:
+        return {}
     quar = catalog.table(quarantine_table)
     if not quar.exists():
         return {}
     lo, hi = min(doc_ids), max(doc_ids)
     rows = quar.read_where(spark, {"doc_id": (lo, hi)}).where(
         F.col("doc_id").isin([int(d) for d in doc_ids]))
-    others = [c for c in rows.columns if c not in ("doc_id", "_violated")]
+    if "_quarantine_seq" not in rows.columns:   # legacy pre-stamp table
+        rows = rows.withColumn("_quarantine_seq", F.lit(None).cast("long"))
+    others = [c for c in rows.columns
+              if c not in ("doc_id", "_violated", "_quarantine_seq")]
     latest = (
         rows.groupBy("doc_id")
-        .agg(F.max(F.struct(*others)).alias("mx"))
-        .select("doc_id", *[F.col(f"mx.{c}").alias(c) for c in others])
+        .agg(F.max(F.struct(
+            F.coalesce("_quarantine_seq", F.lit(-1)).alias("seq"),
+            F.struct(*others).alias("row"))).alias("mx"))
+        .select("doc_id",
+                *[F.col(f"mx.row.{c}").alias(c) for c in others])
     )
-    if latest.limit(1).count() == 0:
+    # materialize once: the winner set is O(released ids), and both
+    # the emptiness probe and the MERGE below reuse it — one job over
+    # the stats-pruned quarantine read, not two
+    latest = latest.localCheckpoint()
+    if latest.isEmpty():
         return {}
     docs_t = catalog.table(docs_table)
     # first batch may have quarantined EVERYTHING -> docs table never
@@ -326,6 +358,8 @@ def forget_documents(
 
     from ..tables.format import ManagedTable  # noqa: PLC0415
 
+    if not doc_ids:   # nothing to forget — uniform no-op, like
+        return {}     # unknown ids / never-materialized tables
     lo, hi = min(doc_ids), max(doc_ids)
     pred = F.col("doc_id").isin([int(d) for d in doc_ids])
     targets: list[tuple[str, ManagedTable]] = [

@@ -57,7 +57,15 @@ def merge_into_table(
     expectation) instead of vanishing; "fail" raises inside the batch,
     which fails the streaming query and leaves the checkpoint ready
     to replay the batch after the upstream fix; "warn" is a no-op in
-    the streaming path (no result object to carry counts)."""
+    the streaming path (no result object to carry counts).
+
+    Quarantined rows additionally carry ``_quarantine_seq`` — the
+    quarantine table's commit version at append time (monotone over
+    the table's lifetime, unlike foreachBatch's batch_id which
+    restarts with a new checkpoint) — so "the latest quarantine row
+    per doc" is a TEMPORAL fact downstream
+    (``plans.corpus.release_from_quarantine`` maxes on this stamp),
+    not a lexicographic accident of the payload columns."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
@@ -76,8 +84,15 @@ def merge_into_table(
                         "_violated", F.lit(name))
                     if not bad.isEmpty():
                         if quarantine.exists():
+                            seq = quarantine.latest_version() + 1
+                            bad = bad.withColumn(
+                                "_quarantine_seq",
+                                F.lit(seq).cast("long"))
                             quarantine.write(bad, mode="append")
                         else:
+                            bad = bad.withColumn(
+                                "_quarantine_seq",
+                                F.lit(1).cast("long"))
                             quarantine.write(bad, operation="quarantine")
                 batch_df = batch_df.where(ok)
         if batch_df.isEmpty():
