@@ -469,17 +469,23 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus composition report — the funnel numbers a
-    data curator reads before training: docs → exact-dedup canonicals
-    → quality survivors → sampled, with token totals and the dup
-    rate. One window for the dup flag (shuffle on the content hash)
-    and ONE groupBy lang with conditional aggregates — no joins, no
-    second scan; every stage predicate is the pipeline's own
-    definition (shared expression helpers), so this report can never
-    drift from what corpus_build actually does."""
+    data curator reads before training (see :func:`corpus_stats_df`,
+    the frame-level twin any source can feed)."""
+    return corpus_stats_df(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_stats_df(doc: DataFrame) -> DataFrame:
+    """Composition report over an arbitrary documents frame: docs →
+    exact-dedup canonicals → quality survivors → sampled, with token
+    totals and the dup rate. One window for the dup flag (shuffle on
+    the content hash) and ONE groupBy lang with conditional
+    aggregates — no joins, no second scan; every stage predicate is
+    the pipeline's own definition (shared expression helpers), so
+    this report can never drift from what corpus_build actually
+    does."""
     from .text import quality_score_expr  # noqa: PLC0415
     from ..functions.textfns import tokens  # noqa: PLC0415
 
-    doc = load_table(spark, sf_dir, "documents")
     wdup = Window.partitionBy(F.md5("text"))
     flagged = doc.select(
         "lang",

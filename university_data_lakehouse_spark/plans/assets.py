@@ -51,6 +51,12 @@ class AssetResult:
     error: str | None = None
     # expectation name → violating-row count (pre-drop)
     expectations: dict[str, int] = field(default_factory=dict)
+    # check name → the metadata dict the check returned alongside its
+    # verdict (r16): the reference attaches the same per-check
+    # metadata to asset materializations (Dagster check results);
+    # before this the dicts every plans/checks.py factory already
+    # built were discarded at the orchestrator boundary
+    check_meta: dict[str, dict] = field(default_factory=dict)
 
 
 class AssetGraph:
@@ -169,22 +175,26 @@ class AssetGraph:
                 blocked |= self.downstream_of(key)
                 continue
             check_outcomes: dict[str, bool] = {}
+            check_meta: dict[str, dict] = {}
             failed = exp_failed
             for name, check in asset.checks:
-                ok, _meta = check(df)
+                ok, meta = check(df)
                 check_outcomes[name] = ok
+                check_meta[name] = meta
                 failed = failed or not ok
             materialized[key] = df
             if failed:
                 results[key] = AssetResult(key, "check_failed", rows,
                                            check_outcomes,
-                                           expectations=exp_metrics)
+                                           expectations=exp_metrics,
+                                           check_meta=check_meta)
                 blocked |= self.downstream_of(key)
             else:
                 if catalog is not None:
                     catalog.write(key, df, mode="overwrite")
                 results[key] = AssetResult(key, "ok", rows, check_outcomes,
-                                           expectations=exp_metrics)
+                                           expectations=exp_metrics,
+                                           check_meta=check_meta)
 
     @staticmethod
     def _apply_expectations(asset: Asset, df: DataFrame):
