@@ -1393,6 +1393,123 @@ def test_gated_corpus_graph_covers_ingest_loop(spark, tmp_path):
     assert res2["gold/corpus_stats"].status == "skipped"
 
 
+def test_gated_corpus_tick_composes_ingest_roll_and_build(
+        spark, tmp_path):
+    """(r16) gated_corpus_tick is the nightly job as a first-class
+    plan: drain the landing stream through the gate, roll ONLY the
+    newly admitted docs into the band table (cursor = the band
+    table's own doc_id footer stats), then run the corpus tick over
+    the admitted table. Two ticks: the second tick's near-dup is
+    flagged against a doc the FIRST tick rolled (the roll feeds the
+    gate), rolls only its one new doc, and shards stay bit-identical
+    to the one-shot build over everything admitted. A no-new-data
+    tick is a rolled_docs=0 no-op, and a sub-cursor release rolls
+    its own band rows eagerly (release_from_quarantine
+    band_table_path) without being re-rolled by the next tick."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from university_data_lakehouse_spark.operators.pipeline import (
+        corpus_build_df,
+    )
+    from university_data_lakehouse_spark.plans.corpus import (
+        gated_corpus_tick,
+        release_from_quarantine,
+    )
+    from university_data_lakehouse_spark.streaming.dedupe import (
+        flag_near_dups,
+        materialize_corpus_bands,
+        read_corpus_bands,
+    )
+    from university_data_lakehouse_spark.tables import TableCatalog
+
+    text_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    novel = [
+        "The quarterly report shows steady growth in renewable energy "
+        "adoption across the region, with solar installations up by a "
+        "third over the previous year.",
+        "Researchers at the institute published findings on coastal "
+        "erosion patterns, noting that sediment transport models now "
+        "match observed shoreline changes closely.",
+        "The library expanded its weekend hours after a community "
+        "survey showed strong demand for evening study spaces among "
+        "students and remote workers alike.",
+        "A new bus route connecting the harbor district to the "
+        "university campus began service this week, cutting average "
+        "commute times by fifteen minutes.",
+        "Volunteers planted over two thousand native trees along the "
+        "river corridor, part of a decade-long effort to restore "
+        "habitat for migratory birds.",
+    ]
+    band_path = str(tmp_path / "bands")
+    schema = "doc_id long, text string, lang string"
+    materialize_corpus_bands(
+        spark.createDataFrame([(1, text_a)], "doc_id long, text string"),
+        band_path)
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    catalog = TableCatalog(str(tmp_path / "lake"))
+
+    def tick():
+        return gated_corpus_tick(
+            spark, catalog,
+            spark.readStream.schema(schema).parquet(str(stream_dir)),
+            str(tmp_path / "chk"), band_path)
+
+    # tick 1: four novel docs admitted, one planted dup quarantined
+    pq.write_table(pa.table({
+        "doc_id": pa.array([101, 102, 103, 104, 200], type=pa.int64()),
+        "text": novel[:4] + [text_a], "lang": ["en"] * 5,
+    }), stream_dir / "f1.parquet")
+    t1 = tick()
+    assert t1["rolled_docs"] == 4 and "shards_version" in t1
+    assert {r.doc_id for r in read_corpus_bands(spark, band_path)
+            .select("doc_id").distinct().collect()} == {1, 101, 102,
+                                                        103, 104}
+
+    # tick 2: doc 301 duplicates doc 101's text -> flagged against
+    # the doc the FIRST tick rolled; only doc 300 is new to the bands
+    pq.write_table(pa.table({
+        "doc_id": pa.array([300, 301], type=pa.int64()),
+        "text": [novel[4], novel[0]], "lang": ["en", "en"],
+    }), stream_dir / "f2.parquet")
+    t2 = tick()
+    assert t2["rolled_docs"] == 1
+    qrows = {r.doc_id: r._dup_of for r in
+             catalog.table("quarantine/near_dup_docs")
+             .read(spark).collect()}
+    assert qrows == {200: 1, 301: 101}
+
+    admitted = catalog.table("bronze/documents_ingested").read(spark)
+    assert {r.doc_id for r in admitted.select("doc_id").collect()} == {
+        101, 102, 103, 104, 300}
+    expect = {tuple(r) for r in corpus_build_df(
+        admitted.drop("_dup_of", "_dup_hamming")).collect()}
+    got = {tuple(r) for r in
+           catalog.table("gold/corpus_shards").read(spark).collect()}
+    assert got == expect and expect
+
+    # no-new-data tick: pure no-op at the same shards version
+    t3 = tick()
+    assert t3["rolled_docs"] == 0
+    assert t3["shards_version"] == t2["shards_version"]
+
+    # sub-cursor release: 200 < the band cursor (300), so the next
+    # tick would never roll it — release rolls its band rows eagerly
+    rel = release_from_quarantine(spark, catalog, [200],
+                                  band_table_path=band_path)
+    assert "corpus_bands" in rel
+    bands = read_corpus_bands(spark, band_path)
+    assert 200 in {r.doc_id for r in
+                   bands.select("doc_id").distinct().collect()}
+    probe = spark.createDataFrame([(999, text_a)],
+                                  "doc_id long, text string")
+    assert {r.dup_of for r in flag_near_dups(probe, bands).collect()} \
+        <= {1, 200} != set()
+    t4 = tick()
+    assert t4["rolled_docs"] == 0   # released doc not re-rolled
+
+
 def test_release_winner_is_temporal_not_lexicographic(spark, tmp_path):
     """r16 (VERDICT r15 what's-wrong #1): "latest quarantine row" is
     a TEMPORAL fact, not a lexicographic one.  Doc 42 streams through

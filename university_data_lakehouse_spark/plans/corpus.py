@@ -277,12 +277,86 @@ def near_dup_gated_ingest(
     )
 
 
+def gated_corpus_tick(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    stream_docs: DataFrame,
+    checkpoint_dir: str,
+    band_table_path: str,
+    docs_table: str = "bronze/documents_ingested",
+    quarantine_table: str = "quarantine/near_dup_docs",
+    upto_doc_id: int | None = None,
+) -> dict[str, int]:
+    """ONE nightly tick of the full gated deployment (r16) — the
+    orchestration the r14–r15 tests composed by hand, as a
+    first-class plan: (1) drain the landing stream through
+    :func:`near_dup_gated_ingest` (availableNow — near-dups
+    quarantined at the door), (2) roll ONLY the newly admitted
+    documents into the corpus band table, (3) run the corpus tick
+    over the admitted table (:func:`incremental_corpus_build_from_table`).
+
+    The roll cursor is the BAND TABLE's own max doc_id, derived from
+    parquet footer stats in its manifest — O(files) driver-side
+    metadata, zero data scan, the same discipline as the corpus tick
+    cursor over ``silver/doc_hashes``.  Because the cursor derives
+    from the roll's OUTPUT, a tick that crashed between ingest and
+    roll self-heals: the next tick re-selects everything above the
+    last durable roll and the (doc_id, band_idx) MERGE is idempotent
+    — effectively-once without coordination.
+
+    Cost shape per tick at 100 TB: ingest is per-micro-batch
+    band-join against the materialized table (thin parquet, manifest
+    read); the roll folds O(new docs) signatures and MERGEs
+    footer-pruned; the corpus tick is O(new docs + state).  Nothing
+    in the tick scans the standing corpus.
+
+    Arrival-order assumption (same as the corpus tick, documented in
+    the module header): doc_id-monotone ingest.  The one legitimate
+    sub-cursor publish — a human release — must therefore roll its
+    own band rows: pass this same ``band_table_path`` to
+    :func:`release_from_quarantine`.
+
+    Returns {"rolled_docs": n, "bands_version": v?, "shards_version": v}.
+    """
+    from ..streaming.dedupe import roll_corpus_bands  # noqa: PLC0415
+    from ..tables.format import ManagedTable  # noqa: PLC0415
+
+    near_dup_gated_ingest(
+        stream_docs, catalog, checkpoint_dir, band_table_path,
+        docs_table=docs_table, quarantine_table=quarantine_table,
+    ).awaitTermination(600)
+
+    out: dict[str, int] = {}
+    docs_t = catalog.table(docs_table)
+    if not docs_t.exists():      # everything quarantined / empty tick
+        out["rolled_docs"] = 0
+        return out
+    admitted = docs_t.read(spark).select("doc_id", "text")
+    band_t = ManagedTable(band_table_path)
+    if band_t.exists():
+        entries = band_t.manifest()["files"]
+        bounds = [f["stats"]["doc_id"][1] for f in entries
+                  if f.get("stats", {}).get("doc_id")]
+        if bounds:
+            admitted = admitted.where(F.col("doc_id") > max(bounds))
+    new_docs = admitted.localCheckpoint()   # cursor slice is O(new)
+    n_new = new_docs.count()
+    out["rolled_docs"] = n_new
+    if n_new:
+        out["bands_version"] = roll_corpus_bands(new_docs,
+                                                 band_table_path)
+    out["shards_version"] = incremental_corpus_build_from_table(
+        spark, catalog, docs_table=docs_table, upto_doc_id=upto_doc_id)
+    return out
+
+
 def release_from_quarantine(
     spark: SparkSession,
     catalog: TableCatalog,
     doc_ids: list[int],
     docs_table: str = "bronze/documents_ingested",
     quarantine_table: str = "quarantine/near_dup_docs",
+    band_table_path: str | None = None,
 ) -> dict[str, int]:
     """Human-review override for the dedup-on-ingest gate (r15): a
     reviewed false positive — two legitimately distinct documents the
@@ -310,10 +384,22 @@ def release_from_quarantine(
     Releasing ids with no quarantine row — or an empty ``doc_ids``
     list — is a no-op returning {}.
 
-    The released docs are NOT folded into the corpus band table here:
-    that is the nightly ``roll_corpus_bands`` over newly published
-    docs, exactly as for gate-passed publishes — release restores a
-    doc to the normal pipeline rather than special-casing it.
+    ``band_table_path`` (r16): in a deployment whose nightly roll is
+    the CURSOR-based :func:`gated_corpus_tick` (band-table footer
+    stats, strictly doc_id-monotone), a released doc whose id sits
+    BELOW the cursor would never be picked up by a later roll — so
+    pass the band path here and the released rows' band signatures
+    MERGE immediately (O(released ids), the symmetric twin of
+    ``forget_documents(band_table_path=...)`` purging them).  Without
+    it, release restores the doc to the published table only and the
+    deployment's own roll discipline (full ``materialize_corpus_bands``
+    rebuilds, or a manual ``roll_corpus_bands`` over the table as in
+    the pre-r16 flow) must cover the band seam.  The SHARD seam is
+    deliberately different: a sub-cursor release is an out-of-order
+    arrival under the doc_id-monotone packing contract (module
+    header), so its corpus-shard entry lands at the next periodic
+    full rebuild, not at the next tick — eagerly re-binning around
+    one released doc would churn every later shard.
 
     Scale: the quarantine read prunes to files overlapping the
     requested ids (footer stats), the MERGE rewrites only overlapping
@@ -355,6 +441,11 @@ def release_from_quarantine(
     pred = F.col("doc_id").isin([int(d) for d in doc_ids])
     out[quarantine_table] = quar.delete_where(
         spark, {"doc_id": (lo, hi)}, predicate=pred)
+    if band_table_path is not None:
+        from ..streaming.dedupe import roll_corpus_bands  # noqa: PLC0415
+
+        out["corpus_bands"] = roll_corpus_bands(
+            latest.select("doc_id", "text"), band_table_path)
     return out
 
 
