@@ -118,6 +118,76 @@ def test_schedules_cron():
     assert nxt == dt.datetime(2024, 5, 2, 2, 0)
 
 
+def test_scheduler_tick_runs_due_jobs(spark, tmp_path):
+    """(r16) run_scheduled_jobs is the daemon tick: due schedules
+    resolve their selection DSL to asset keys and materialize exactly
+    that closure — disabled schedules never fire, a non-matching cron
+    never fires, an aware timestamp is matched on each schedule's OWN
+    timezone wall clock (02:00 America/New_York == 06:00Z in July,
+    07:00Z in January), and an empty selection records {} instead of
+    materializing everything."""
+    from university_data_lakehouse_spark.plans.assets import (
+        Asset,
+        AssetGraph,
+    )
+    from university_data_lakehouse_spark.plans.checks import row_count
+    from university_data_lakehouse_spark.plans.schedules import (
+        due_schedules,
+        parse_schedules,
+        run_scheduled_jobs,
+    )
+
+    ran = []
+
+    def mk(key, group, deps=()):
+        def fn(spark, sf_dir, **_):
+            ran.append(key)
+            return spark.range(3).withColumnRenamed("id", "pk")
+        return Asset(key=key, fn=fn, deps=deps, group=group,
+                     checks=(("row_count", row_count(1)),))
+
+    g = AssetGraph([
+        mk("bronze/src", "bronze"),
+        mk("gold/report", "gold", deps=("bronze/src",)),
+        mk("gold/other", "isolated"),       # not selected, no dep edge
+    ])
+    schedules = parse_schedules([
+        {"name": "nightly_gold", "cron_schedule": "0 2 * * *",
+         "asset_selection": "group:gold",
+         "timezone": "America/New_York"},
+        {"name": "disabled", "cron_schedule": "0 2 * * *",
+         "enabled": False},
+        {"name": "weekly", "cron_schedule": "0 2 * * 0",
+         "asset_selection": "*"},
+        {"name": "no_match", "cron_schedule": "0 2 * * *",
+         "asset_selection": "group:nothing",
+         "timezone": "America/New_York"},
+    ])
+
+    # 2024-07-01 06:00Z is a Monday, 02:00 EDT: nightly fires (on its
+    # local wall clock), weekly (Sunday) and disabled don't
+    t_summer = dt.datetime(2024, 7, 1, 6, 0, tzinfo=dt.timezone.utc)
+    assert [s.name for s in due_schedules(schedules, t_summer)] == [
+        "nightly_gold", "no_match"]
+    # same 06:00Z in January is 01:00 EST — nothing due
+    t_winter = dt.datetime(2024, 1, 15, 6, 0, tzinfo=dt.timezone.utc)
+    assert due_schedules(schedules, t_winter) == []
+    assert [s.name for s in due_schedules(
+        schedules, dt.datetime(2024, 1, 15, 7, 0,
+                               tzinfo=dt.timezone.utc))] == [
+        "nightly_gold", "no_match"]
+
+    out = run_scheduled_jobs(spark, str(tmp_path), g, schedules,
+                             t_summer)
+    assert set(out) == {"nightly_gold", "no_match"}
+    # the gold selection materialized its upstream closure, nothing else
+    assert set(out["nightly_gold"]) == {"bronze/src", "gold/report"}
+    assert all(r.status == "ok"
+               for r in out["nightly_gold"].values())
+    assert out["no_match"] == {}
+    assert ran == ["bronze/src", "gold/report"]   # gold/other never ran
+
+
 def test_lineage_matches_live_schemas(spark, sf_dir):
     """Registry column names/types must match the actual operator
     outputs (the reference never validates this; we do)."""
