@@ -86,7 +86,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 content hash, min-doc_id winner per group."""
-    doc = load_table(spark, sf_dir, "documents")
+    doc = scatter(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window  # noqa: PLC0415
 
     h = F.md5("text")
@@ -246,7 +246,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that array — a shuffle-free per-row projection, versus the
     exploded formulation's tokens × 32 blow-up plus two groupBy
     shuffles. At 100 TB the signature stage is then map-only."""
-    doc = load_table(spark, sf_dir, "documents")
+    doc = scatter(load_table(spark, sf_dir, "documents"))
     hs = doc.select(
         "doc_id",
         F.transform(
@@ -377,7 +377,7 @@ def _simhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py) plus the DuckDB oracle."""
     from ..streaming.dedupe import simhash_tag  # noqa: PLC0415 — lazy, cycle-free
 
-    doc = load_table(spark, sf_dir, "documents")
+    doc = scatter(load_table(spark, sf_dir, "documents"))
     return simhash_tag(doc).select("doc_id", "simhash")
 
 
@@ -424,7 +424,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flags share every stage up to the join by construction.
     from ..streaming.dedupe import corpus_band_table  # noqa: PLC0415
 
-    melted = corpus_band_table(load_table(spark, sf_dir, "documents"))
+    melted = corpus_band_table(scatter(load_table(spark, sf_dir, "documents")))
     a = melted.select(
         F.col("doc_id").alias("id_a"), F.col("sig_hi").alias("hi_a"),
         F.col("sig_lo").alias("lo_a"), "band_idx",
@@ -514,7 +514,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle-checked correctness baseline, O(n²) by definition —
     never the production path); the bucketed scale path is
     dedup_embedding_lsh below. Deterministic left-fold dot product."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(load_table(spark, sf_dir, "embeddings"))
     v = emb.select(
         "vec_id",
         as_double_vec(F.col("embedding")).alias("v"),
@@ -676,6 +676,8 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAW table (corpus size including invalid rows — cheap, and the
     oracle's COUNT(*) must see the same number); the chosen geometry
     then applies its own ``_valid_vec`` entry filter."""
+    # NOT scattered: this frame only feeds the metadata-cheap count —
+    # a repartition before a count() would be a pure-overhead shuffle.
     emb = load_table(spark, sf_dir, "embeddings")
     if emb.count() >= WIDE_MIN_VECTORS:
         return dedup_embedding_lsh_wide(spark, sf_dir)
@@ -919,7 +921,7 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back → per-doc aggregate. At 100 TB the span-count table is
     vocabulary-sized (spans hash to 16 bytes regardless of text
     length) and hot spans are exactly what AQE's skew-join splits."""
-    doc = load_table(spark, sf_dir, "documents")
+    doc = scatter(load_table(spark, sf_dir, "documents"))
     base = doc.select(
         "doc_id",
         F.floor(F.size(tokens(F.col("text"))).cast("double") / SPAN_W)
@@ -1004,7 +1006,7 @@ def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-per-span against the one-row-per-distinct-span aggregate,
     then one per-doc aggregate.  All shuffles are md5-keyed —
     uniformly distributed by construction."""
-    doc = load_table(spark, sf_dir, "documents")
+    doc = scatter(load_table(spark, sf_dir, "documents"))
     # single-arg lambda on purpose: F.trim has an optional second
     # parameter (trim characters), so passing it bare would make
     # transform() call trim(element, index).

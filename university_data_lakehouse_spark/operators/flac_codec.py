@@ -21,32 +21,52 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 __all__ = ["encode_flac", "flac_samples"]
 
 
 # ---------------------------------------------------------------- CRC
 
+def _crc_tables() -> tuple[list[int], list[int]]:
+    """256-entry lookup tables for both CRCs (classic table-driven
+    form — same polynomials, same bit order, byte-at-a-time instead
+    of bit-at-a-time: ~8x fewer Python ops on the per-frame CRC-16,
+    which runs over every frame byte on encode AND decode)."""
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8 over the frame header: poly x^8+x^2+x+1 (0x07), init 0,
-    MSB-first, no reflection (RFC 9639 §9.1.5)."""
+    MSB-first, no reflection (RFC 9639 §9.1.5). Table-driven."""
     crc = 0
+    tab = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = tab[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16 over the whole frame: poly x^16+x^15+x^2+1 (0x8005),
-    init 0, MSB-first, no reflection (RFC 9639 §9.3)."""
+    init 0, MSB-first, no reflection (RFC 9639 §9.3). Table-driven."""
     crc = 0
+    tab = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -78,6 +98,21 @@ class _Writer:
             self.put(0, 1)
         self.put(1, 1)
 
+    def put_bits(self, bits: "np.ndarray") -> None:
+        """Append a 0/1 uint8 array in stream (MSB-first) order —
+        bit-identical to put()ing each element, but the byte-aligned
+        middle is bulk-packed with np.packbits instead of looping
+        per bit (the encoder's Rice residuals go through here)."""
+        n = len(bits)
+        head = min(n, (8 - self.nbits) % 8)
+        for i in range(head):                # align to a byte boundary
+            self.put(int(bits[i]), 1)
+        body = (n - head) & ~7
+        if body:
+            self.buf += np.packbits(bits[head:head + body]).tobytes()
+        for i in range(head + body, n):      # trailing partial byte
+            self.put(int(bits[i]), 1)
+
     def align(self) -> None:
         if self.nbits:
             self.put(0, 8 - self.nbits)
@@ -87,25 +122,42 @@ class _Writer:
         return bytes(self.buf)
 
 
+def _bit_field(data: bytes, bitpos: int, n: int) -> int:
+    """n bits of ``data`` starting at absolute bit offset ``bitpos``,
+    MSB-first — the random-access twin of _Reader.take for the
+    vectorized Rice path. Raises the same truncation ValueError."""
+    if n == 0:
+        return 0
+    end = bitpos + n
+    if end > len(data) * 8:
+        raise ValueError("flac: bitstream truncated")
+    first = bitpos >> 3
+    last = (end + 7) >> 3
+    return (int.from_bytes(data[first:last], "big")
+            >> ((last << 3) - end)) & ((1 << n) - 1)
+
+
 class _Reader:
     """MSB-first bit reader; raises ValueError past the end (which the
-    Arrow null-row boundary converts to a null row)."""
+    Arrow null-row boundary converts to a null row).
 
-    def __init__(self, data: bytes, pos: int = 0) -> None:
+    ``ones`` (optional) is the sorted list of set-bit offsets of
+    ``data`` — precomputed once per payload by flac_samples so the
+    Rice residual reader can find unary terminators by bisect instead
+    of taking one bit at a time."""
+
+    def __init__(self, data: bytes, pos: int = 0,
+                 ones: list[int] | None = None) -> None:
         self.data = data
         self.pos = pos                       # byte position
         self.bit = 0
+        self.ones = ones
 
     def take(self, n: int) -> int:
-        out = 0
-        for _ in range(n):
-            if self.pos >= len(self.data):
-                raise ValueError("flac: bitstream truncated")
-            out = (out << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        bitpos = (self.pos << 3) + self.bit
+        out = _bit_field(self.data, bitpos, n)
+        bitpos += n
+        self.pos, self.bit = bitpos >> 3, bitpos & 7
         return out
 
     def take_signed(self, n: int) -> int:
@@ -181,6 +233,28 @@ _BPS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110,
 _FIXED_COEFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
 
 
+def _interleaved_le_bytes(channels: list[list[int]], bps: int,
+                          total: int) -> bytes:
+    """The FLAC MD5 input stream: samples interleaved across channels,
+    each as bps/8 signed little-endian bytes — built with one numpy
+    transpose+cast instead of a per-sample int.to_bytes loop (the
+    fold ran over every sample on encode AND decode). Byte-identical:
+    numpy's little-endian signed cast IS two's-complement
+    int.to_bytes(..., "little", signed=True) for values in range,
+    which the callers' sample range checks guarantee."""
+    nbytes = bps // 8
+    arr = np.array([c[:total] for c in channels], dtype=np.int64).T
+    if nbytes == 1:
+        return arr.astype("<i1").tobytes()
+    if nbytes == 2:
+        return arr.astype("<i2").tobytes()
+    if nbytes == 4:
+        return arr.astype("<i4").tobytes()
+    # 24-bit: cast to <i4 and drop each sample's high byte
+    flat = arr.astype("<i4").reshape(-1).view(np.uint8).reshape(-1, 4)
+    return flat[:, :3].tobytes()
+
+
 # ------------------------------------------------------------ encoder
 
 def _zigzag(v: int) -> int:
@@ -195,22 +269,42 @@ def _write_residual(w: _Writer, residuals: list[int], blocksize: int,
                     order: int, part_order: int) -> None:
     """Rice method 0 (4-bit parameters), one parameter per partition
     chosen by exhaustive cost search — a real (if small) encoder
-    decision, not a constant."""
+    decision, not a constant.
+
+    Vectorized: the 15-parameter cost search runs as one numpy shift
+    table over the zigzagged partition (np.argmin takes the FIRST
+    minimum, the same tie-break as min(range(15), key=...)), and the
+    unary+remainder bits are scattered into one 0/1 array emitted via
+    put_bits — identical bitstream to the per-residual put_unary/put
+    loop (tests pin encode_flac bytes)."""
     w.put(0, 2)                              # coding method: rice 4-bit
     w.put(part_order, 4)
     nparts = 1 << part_order
     psize = blocksize >> part_order
+    ks = np.arange(15, dtype=np.int64)
     pos = 0
     for p in range(nparts):
         count = psize - (order if p == 0 else 0)
         part = residuals[pos:pos + count]
         pos += count
-        best_k = min(range(15), key=lambda k: _rice_cost(part, k))
+        if not part:
+            w.put(0, 4)                      # empty partition: k=0
+            continue
+        v = np.asarray(part, dtype=np.int64)
+        u = np.where(v >= 0, v << 1, ((-v) << 1) - 1)
+        costs = (u[:, None] >> ks[None, :]).sum(axis=0) \
+            + len(part) * (1 + ks)
+        best_k = int(np.argmin(costs))
         w.put(best_k, 4)
-        for v in part:
-            u = _zigzag(v)
-            w.put_unary(u >> best_k)
-            w.put(u & ((1 << best_k) - 1), best_k)
+        q = u >> best_k
+        lens = q + 1 + best_k
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        term = starts + q
+        bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+        bits[term] = 1
+        for i in range(best_k):              # remainder bits, MSB first
+            bits[term + 1 + i] = (u >> (best_k - 1 - i)) & 1
+        w.put_bits(bits)
 
 
 def _encode_subframe(w: _Writer, samples: list[int], bps: int,
@@ -253,10 +347,7 @@ def encode_flac(channels: list[list[int]], sample_rate: int = 8000,
     ns = len(channels[0])
     assert all(len(c) == ns for c in channels)
     md5 = hashlib.md5()
-    for j in range(ns):
-        for c in channels:
-            md5.update(int(c[j]).to_bytes(bps // 8, "little",
-                                          signed=True))
+    md5.update(_interleaved_le_bytes(channels, bps, ns))
     frames = bytearray()
     frame_no = 0
     pos = 0
@@ -340,6 +431,9 @@ def _read_residual(r: _Reader, blocksize: int, order: int) -> list[int]:
     if blocksize % nparts or (blocksize >> part_order) < order:
         raise ValueError("flac: bad partition order")
     residuals: list[int] = []
+    if r.ones is not None:
+        return _read_residual_fast(r, blocksize, order, pbits, escape,
+                                   part_order, nparts)
     for p in range(nparts):
         count = (blocksize >> part_order) - (order if p == 0 else 0)
         if count < 0:
@@ -355,6 +449,98 @@ def _read_residual(r: _Reader, blocksize: int, order: int) -> list[int]:
                 u = (q << param) | r.take(param)
                 residuals.append((u >> 1) ^ -(u & 1))
     return residuals
+
+
+def _read_residual_fast(r: _Reader, blocksize: int, order: int,
+                        pbits: int, escape: int, part_order: int,
+                        nparts: int) -> list[int]:
+    """Rice residual reader over the payload's precomputed set-bit
+    index: each unary terminator is found by walking ``r.ones``
+    (bisect for the first, pointer advance after — total work is
+    O(set bits consumed), not O(all bits)) and remainders are random-
+    access _bit_field reads. Decodes the identical values, raises the
+    identical truncation errors, and leaves the reader at the
+    identical bit position as the take()-at-a-time path (pytest pins
+    decode equality on the encoder's streams)."""
+    from bisect import bisect_left  # noqa: PLC0415 — stdlib, tiny
+
+    data, ones = r.data, r.ones
+    nbits_total = len(data) * 8
+    bitpos = (r.pos << 3) + r.bit
+    i = bisect_left(ones, bitpos)
+    n_ones = len(ones)
+    residuals: list[int] = []
+    for p in range(nparts):
+        count = (blocksize >> part_order) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("flac: partition smaller than order")
+        param = _bit_field(data, bitpos, pbits)
+        bitpos += pbits
+        if param == escape:                  # raw n-bit residuals
+            raw = _bit_field(data, bitpos, 5)
+            bitpos += 5
+            if raw == 0:
+                residuals += [0] * count
+            else:
+                sign = 1 << (raw - 1)
+                full = 1 << raw
+                for _ in range(count):
+                    v = _bit_field(data, bitpos, raw)
+                    bitpos += raw
+                    residuals.append(v - full if v >= sign else v)
+            while i < n_ones and ones[i] < bitpos:
+                i += 1
+            continue
+        for _ in range(count):
+            while i < n_ones and ones[i] < bitpos:
+                i += 1
+            if i >= n_ones:
+                raise ValueError("flac: bitstream truncated")
+            term = ones[i]
+            q = term - bitpos
+            u = (q << param) | _bit_field(data, term + 1, param)
+            residuals.append((u >> 1) ^ -(u & 1))
+            bitpos = term + 1 + param
+            i += 1
+    if bitpos > nbits_total:
+        raise ValueError("flac: bitstream truncated")
+    r.pos, r.bit = bitpos >> 3, bitpos & 7
+    return residuals
+
+
+def _fixed_reconstruct(warmup: list[int], res: list[int],
+                       order: int) -> list[int]:
+    """Rebuild a FIXED subframe from its residuals. The FIXED
+    predictor of order o makes the residual the o-th finite
+    difference of the signal, so reconstruction is o cumulative sums
+    seeded from the warm-up samples' difference table — one numpy
+    cumsum per order level instead of a per-sample Python recurrence.
+    int64 cumsums are exact; the numpy path only runs when the worst-
+    case growth (|values| × n per level) provably fits 63 bits, else
+    the arbitrary-precision Python loop keeps the decoder's exact
+    semantics on hostile streams."""
+    if not res:
+        return list(warmup)
+    if order == 0:
+        return list(warmup) + list(res)
+    arr = np.asarray(res, dtype=np.int64)
+    wup = np.asarray(warmup, dtype=np.int64)
+    mag = max(int(np.abs(arr).max()), int(np.abs(wup).max()), 1)
+    if mag.bit_length() + order * max(len(res).bit_length(), 1) < 62:
+        # difference table of the warm-up: D[l][-1] seeds level l
+        d = [wup]
+        for _ in range(order - 1):
+            d.append(np.diff(d[-1]))
+        cur = arr
+        for level in range(order, 0, -1):
+            cur = int(d[level - 1][-1]) + np.cumsum(cur)
+        return list(warmup) + cur.tolist()
+    out = list(warmup)
+    coefs = _FIXED_COEFS[order]
+    for v in res:
+        pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+        out.append(pred + v)
+    return out
 
 
 def _read_subframe(r: _Reader, blocksize: int, bps: int) -> list[int]:
@@ -373,10 +559,8 @@ def _read_subframe(r: _Reader, blocksize: int, bps: int) -> list[int]:
     elif 0b001000 <= stype <= 0b001100:      # FIXED order 0-4
         order = stype & 0x07
         out = [r.take_signed(bps) for _ in range(order)]
-        coefs = _FIXED_COEFS[order]
-        for res in _read_residual(r, blocksize, order):
-            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-            out.append(pred + res)
+        res = _read_residual(r, blocksize, order)
+        out = _fixed_reconstruct(out, res, order)
     elif stype >= 0b100000:                  # LPC order 1-32
         order = (stype & 0x1F) + 1
         out = [r.take_signed(bps) for _ in range(order)]
@@ -438,9 +622,14 @@ def flac_samples(payload: bytes) -> tuple[list[list[int]], int] | None:
     md5_expect = streaminfo[18:34]
     channels: list[list[int]] = [[] for _ in range(nch)]
     sample_rate = stream_rate
+    # one set-bit index for the whole payload: every frame's Rice
+    # reader finds unary terminators by bisect into this instead of
+    # pulling single bits (see _read_residual_fast)
+    ones = np.flatnonzero(
+        np.unpackbits(np.frombuffer(payload, dtype=np.uint8))).tolist()
     while len(channels[0]) < total:
         frame_start = pos
-        r = _Reader(payload, pos)
+        r = _Reader(payload, pos, ones=ones)
         if r.take(14) != 0b11111111111110:
             raise ValueError("flac: lost frame sync")
         if r.take(1):
@@ -530,12 +719,8 @@ def flac_samples(payload: bytes) -> tuple[list[list[int]], int] | None:
             raise ValueError("flac: decoded sample exceeds stream "
                              "bits-per-sample")
     if md5_expect != b"\x00" * 16 and stream_bps % 8 == 0:
-        md5 = hashlib.md5()
-        nbytes = stream_bps // 8
-        for j in range(total):
-            for c in channels:
-                md5.update(int(c[j]).to_bytes(nbytes, "little",
-                                              signed=True))
+        md5 = hashlib.md5(
+            _interleaved_le_bytes(channels, stream_bps, total))
         if md5.digest() != md5_expect:
             raise ValueError("flac: stream MD5 mismatch")
     return channels, sample_rate

@@ -71,7 +71,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, scatter
 from .flac_codec import encode_flac, flac_samples
 from .mpa_codec import scalefactor_sql_literals
 from .mpeg1_codec import encode_mpeg1_intra, mpeg1_frames
@@ -119,7 +119,10 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from documents: utf-8 payload bytes as
     the opaque binary column (the plumbing is identical for real
     image/audio bytes), typed metadata derived JVM-side."""
-    doc = load_table(spark, sf_dir, "documents")
+    # scatter: single-row-group test parquet arrives as ONE partition,
+    # which would serialize every downstream Arrow decode pass onto
+    # one core (guide §2.5); no-op when the scan is already wide.
+    doc = scatter(load_table(spark, sf_dir, "documents"))
     payload = F.encode("text", "utf-8")
     return doc.select(
         "doc_id",
@@ -2166,7 +2169,7 @@ def media_table_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Synthesis runs in the same Arrow-batched mapInPandas shape the
     decode uses — in production these bytes arrive from object
     storage instead."""
-    doc = load_table(spark, sf_dir, "documents").select(
+    doc = scatter(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -2270,7 +2273,11 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, synth_fn,
     doc_ids → Arrow mapInPandas → MEDIA_SCHEMA rows whose payload is
     ``synth_fn(doc_id)``. One definition so a schema change edits one
     place, not eight copies."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    # scatter: the synth+decode mapInPandas chain is narrow end-to-end,
+    # so the input partition count IS the pipeline's parallelism — one
+    # single-row-group file would run the whole Python codec stage on
+    # one core (guide §2.5); no-op on already-wide scans.
+    doc = scatter(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -23,7 +23,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, scatter
 from ..sources.registry import SOURCE_REGISTRY
 
 # Tables covered by PK-style checks (every registered table).
@@ -649,7 +649,9 @@ def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan, one narrow fold per row, map-side-combined
     groupBy(label) → |labels|-sized output."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scatter: the per-row fold work (64-element HOF folds, no
+    # codegen) otherwise runs on the single-row-group scan's ONE task.
+    emb = scatter(load_table(spark, sf_dir, "embeddings"))
     v = F.col("embedding")
     dim_ok = F.size(v) == EMB_DIM_EXPECTED
     n_bad = F.aggregate(

@@ -29,7 +29,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from ..functions.vector import as_double_vec, dot
-from ..sources.loader import load_table
+from ..sources.loader import load_table, scatter
 
 TOP_K = 10
 QUERY_MOD = 100          # vec_id % 100 == 0 → query set
@@ -71,6 +71,15 @@ _SQL_VALID_VEC = (
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately NOT scatter()ed: this frame is cached compact and
+    # re-read by MANY small driver jobs (quantizer seed picks, Lloyd
+    # rounds, convergence probes) whose cost is per-task scheduling,
+    # not per-row work — widening the cache to cluster parallelism
+    # made every one of those tiny jobs launch 32 tasks and REGRESSED
+    # sim_knn_ivf/pq/ivfpq ~1.5-2x at sf0.1 (measured r16). The heavy
+    # per-pair fold stages scatter their own join input instead
+    # (sim_knn_bruteforce), or inherit shuffle parallelism from the
+    # band/candidate exchanges.
     emb = load_table(spark, sf_dir, "embeddings").where(
         _valid_vec(F.col("embedding")))
     return emb.select(
@@ -91,9 +100,13 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
+    # scatter the corpus side of the nested-loop: the O(n·q) cosine
+    # folds are evaluated on the join's probe partitions, so a single-
+    # row-group scan would run ALL of them on one core (guide §2.5);
+    # no-op once the scan is already at cluster parallelism.
     return (
         F.broadcast(q)
-        .join(v, F.col("vec_id") != F.col("query_id"))
+        .join(scatter(v), F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -465,19 +478,6 @@ PQ_ITERS = 2                 # Lloyd rounds per subspace quantizer
 PQ_RERANK = 4 * TOP_K        # ADC candidates exact-re-ranked per query
 
 
-def _sub_frame(v: DataFrame) -> DataFrame:
-    """(vec_id, m, s): the m-th PQ_SUB-dim subvector of each
-    embedding — one narrow explode, all PQ_M quantizers train in the
-    SAME pass (one shuffle per Lloyd round total, not per subspace)."""
-    entries = F.array(*[
-        F.struct(F.lit(m).alias("m"),
-                 F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("s"))
-        for m in range(PQ_M)
-    ])
-    return v.select("vec_id", F.explode(entries).alias("e")).select(
-        "vec_id", F.col("e.m").alias("m"), F.col("e.s").alias("s"))
-
-
 def _sqdist(sub_col: F.Column, cvals: list[float]) -> F.Column:
     """Strict left-fold squared L2 distance to a literal centroid —
     bit-identical to the DuckDB list_reduce replay (terms are squares,
@@ -546,18 +546,23 @@ def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
     Arrow-batched assign pass + a 32-row champion aggregate + a
     32-row subvector fetch — only codebook-sized data ever reaches
     the driver."""
-    sub = _sub_frame(v)
-    wseed = Window.partitionBy("m").orderBy(
-        F.md5(F.col("vec_id").cast("string")))
+    # Seed pick: the PQ_K smallest-md5 vectors, sliced per subspace
+    # driver-side. Equivalent to (but far cheaper than) the previous
+    # per-m row_number window over the 4x-exploded subvector frame:
+    # md5(vec_id) does not depend on m, so every subspace's top-K is
+    # the SAME K vectors in the same order — one TakeOrdered job on v
+    # replaces an explode + full sort shuffle (guide §2.4).
     seeds = (
-        sub.withColumn("k", F.row_number().over(wseed) - 1)
-        .where(F.col("k") < PQ_K)
-        .select("m", "k", "s")
+        v.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(PQ_K)
         .collect()
     )
     cb: list[list[list[float]]] = [[None] * PQ_K for _ in range(PQ_M)]
-    for r in seeds:
-        cb[r["m"]][r["k"]] = [float(x) for x in r["s"]]
+    for k, r in enumerate(seeds):
+        vec = [float(x) for x in r["v"]]
+        for m in range(PQ_M):
+            cb[m][k] = vec[m * PQ_SUB:(m + 1) * PQ_SUB]
 
     vt = _train_sample(v)   # Lloyd rounds train on the md5 sample only
     for _ in range(PQ_ITERS):
@@ -684,8 +689,18 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is the probed-cell code scan + re-rank, which is the part
     that scales."""
     v = _vectors(spark, sf_dir).cache()
-    centroids = _ivf_centroids(v)
-    cb = _pq_codebooks(v)
+    # the two quantizer trainings are INDEPENDENT given v (PQ trains
+    # on raw vectors, not residuals — see docstring), but each is a
+    # chain of small sequential driver jobs; submitting them from two
+    # driver threads lets the second training's jobs back-fill the
+    # idle cores during the first's launch/collect gaps (guide §2.6).
+    # Results are unchanged: same jobs, same deterministic math.
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_c = pool.submit(_ivf_centroids, v)
+        fut_cb = pool.submit(_pq_codebooks, v)
+        centroids, cb = fut_c.result(), fut_cb.result()
     cd = pq_assign_kernel(cb)(F.col("v"))
     corpus = v.select(
         "vec_id",
@@ -810,7 +825,7 @@ def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels| fold evaluations per vector; the confusion output is
     |labels|² rows. All dot products are strict left folds
     (functions/vector.py), so the whole pipeline replays in DuckDB."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(load_table(spark, sf_dir, "embeddings"))
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "x")
     ).select(
@@ -887,7 +902,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is already cheap). The md5-derived matrix is shared
     verbatim with the DuckDB oracle, so the projection is
     bit-reproducible across engines and runs."""
-    v = load_table(spark, sf_dir, "embeddings").where(
+    v = scatter(load_table(spark, sf_dir, "embeddings")).where(
         _valid_vec(F.col("embedding"))
     ).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
@@ -965,7 +980,7 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot/norm/cosine are EXACT scalings of their unscaled forms — no
     new rounding anywhere — and the md5-frozen matrix makes the whole
     pipeline replay bit-identically in DuckDB."""
-    emb = load_table(spark, sf_dir, "embeddings").where(
+    emb = scatter(load_table(spark, sf_dir, "embeddings")).where(
         _valid_vec(F.col("embedding")))
     base = emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
