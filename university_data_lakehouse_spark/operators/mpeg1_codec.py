@@ -391,6 +391,7 @@ def _decode_block(br: _BitReader, dc_table: dict, pred: int,
     coef = np.zeros((8, 8))
     coef[0, 0] = max(-2048, min(2047, qdc * 8))
     k = 0
+    ac_seen = False
     while True:
         code, length = 0, 0
         sym = None
@@ -443,6 +444,18 @@ def _decode_block(br: _BitReader, dc_table: dict, pred: int,
         if val and val % 2 == 0:             # oddification
             val += 1 if val < 0 else -1
         coef[r, c] = max(-2048, min(2047, val))
+        ac_seen = True
+    if not ac_seen:
+        # DC-only block (every block of the constant-block synth
+        # streams): the IDCT of a lone DC coefficient is the constant
+        # (M[0,i]·DC)·M[0,j] with M[0,*] all equal — the identical
+        # two float products the general matmul performs for the one
+        # non-zero row (the rest are exact-zero adds), so the scalar
+        # short-circuit is bit-identical (pytest-pinned). A scalar
+        # return assigns into the caller's 8×8 plane slice unchanged.
+        m0 = _IDCT_M[0, 0]
+        val = min(max(round((m0 * coef[0, 0]) * m0), 0.0), 255.0)
+        return val, qdc
     block = _IDCT_M.T @ coef @ _IDCT_M
     return np.clip(np.round(block), 0, 255), qdc
 

@@ -1741,6 +1741,7 @@ def _jpeg_decode_block(br: _BitReader, qtab: list, dc_tab: dict,
     pred += diff
     zz[0] = pred * qtab[0]
     k = 1
+    ac_seen = False
     while k < 64:
         sym = br.huff(ac_tab)
         if sym == 0x00:                      # EOB
@@ -1754,6 +1755,20 @@ def _jpeg_decode_block(br: _BitReader, qtab: list, dc_tab: dict,
             raise ValueError("jpeg: AC index past block")
         zz[k] = _jpeg_extend(br.take(size), size) * qtab[k]
         k += 1
+        ac_seen = True
+    if not ac_seen:
+        # DC-only block (every block of the constant-block synth
+        # corpora): the IDCT of a lone DC coefficient is the constant
+        # (M[0,i]·DC)·M[0,j] with M[0,*] all equal — the exact same
+        # two float products the general matmul performs for the one
+        # non-zero row (its remaining terms are exact-zero adds), so
+        # the scalar short-circuit is bit-identical (pytest-pinned
+        # against the matmul path). Returning a scalar is fine: the
+        # callers assign it into an 8×8 plane slice.
+        m0 = _JPEG_IDCT_M[0, 0]
+        val = min(max(round((m0 * float(zz[0])) * m0) + 128.0, 0.0),
+                  255.0)
+        return val, pred
     coef = np.zeros((8, 8))
     for i, (r, c) in enumerate(_JPEG_ZIGZAG):
         coef[r, c] = zz[i]
@@ -2911,18 +2926,27 @@ def normalize_resize(payload: bytes, target: int = 32
     w, h, nch, pix = got
     if w <= 0 or h <= 0:
         return None
-    out = bytearray(target * target * 3)
-    for y in range(target):
-        sy = y * h // target
-        for x in range(target):
-            sx = x * w // target
-            base = (sy * w + sx) * nch
-            o = (y * target + x) * 3
-            if nch == 1:
-                out[o] = out[o + 1] = out[o + 2] = pix[base]
-            else:                            # RGB / RGBA: take 3
-                out[o:o + 3] = pix[base:base + 3]
-    return w, h, bytes(out)
+    # vectorized nearest-neighbor gather — the same sy/sx integer
+    # source grid as the per-pixel loop it replaced (byte-identical
+    # output; a short pixel buffer raises IndexError exactly like the
+    # loop's pix[base], which the callers' null-row boundary catches)
+    pix_a = (np.frombuffer(pix, dtype=np.uint8)
+             if isinstance(pix, (bytes, bytearray, memoryview))
+             else np.asarray(pix, dtype=np.uint8))
+    sy = (np.arange(target, dtype=np.int64) * h) // target
+    sx = (np.arange(target, dtype=np.int64) * w) // target
+    if nch == 1:
+        flat = sy[:, None] * w + sx[None, :]
+        if int(flat.max()) >= len(pix_a):
+            raise IndexError("normalize_resize: pixel buffer too short")
+        out = np.repeat(pix_a[flat].reshape(-1), 3)
+    else:                                    # RGB / RGBA: take 3
+        base = (sy[:, None] * w + sx[None, :]) * nch
+        idx = base[..., None] + np.arange(3, dtype=np.int64)
+        if int(idx.max()) >= len(pix_a):
+            raise IndexError("normalize_resize: pixel buffer too short")
+        out = pix_a[idx].reshape(-1)
+    return w, h, out.tobytes()
 
 
 def synth_mixed_payload(doc_id: int) -> bytes:
