@@ -514,7 +514,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle-checked correctness baseline, O(n²) by definition —
     never the production path); the bucketed scale path is
     dedup_embedding_lsh below. Deterministic left-fold dot product."""
-    emb = scatter(load_table(spark, sf_dir, "embeddings"))
+    emb = scatter(load_table(spark, sf_dir, "embeddings"),
+                  min_input_bytes=2 << 20)
     v = emb.select(
         "vec_id",
         as_double_vec(F.col("embedding")).alias("v"),
@@ -581,12 +582,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    # maybe_broadcast (guide §3.1): at bench SFs the vector table is
+    # MBs, but its Catalyst estimate (a cached Python-UDF projection)
+    # lands just over the 10 MB auto threshold at sf1, flipping BOTH
+    # verify joins to sort-merge — two full shuffles+sorts of the
+    # candidate-pair table carrying 64-double arrays (measured 23-107s
+    # at sf1 vs seconds broadcast). The gate stays scale-safe: above
+    # the threshold the hint is withheld and AQE picks from runtime
+    # stats, which is the correct shuffled join at corpus scale.
+    from ..functions.joins import maybe_broadcast  # noqa: PLC0415
+
     va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
     cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(maybe_broadcast(va, max_bytes=64 << 20), "id_a")
+        .join(maybe_broadcast(vb, max_bytes=64 << 20), "id_b")
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= COSINE_TAU)
         .select("id_a", "id_b", "cosine")
@@ -648,14 +659,19 @@ def dedup_embedding_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    # same size-gated broadcast as the narrow geometry's verify joins
+    # (see dedup_embedding_lsh): scale-safe, and avoids two sort-merge
+    # shuffles of the candidate table carrying 64-double arrays
+    from ..functions.joins import maybe_broadcast  # noqa: PLC0415
+
     va = v.select(F.col("vec_id").alias("id_a"),
                   F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = v.select(F.col("vec_id").alias("id_b"),
                   F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
     cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(maybe_broadcast(va, max_bytes=64 << 20), "id_a")
+        .join(maybe_broadcast(vb, max_bytes=64 << 20), "id_b")
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= COSINE_TAU)
         .select("id_a", "id_b", "cosine")

@@ -651,7 +651,8 @@ def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(label) → |labels|-sized output."""
     # scatter: the per-row fold work (64-element HOF folds, no
     # codegen) otherwise runs on the single-row-group scan's ONE task.
-    emb = scatter(load_table(spark, sf_dir, "embeddings"))
+    emb = scatter(load_table(spark, sf_dir, "embeddings"),
+                  min_input_bytes=2 << 20)
     v = F.col("embedding")
     dim_ok = F.size(v) == EMB_DIM_EXPECTED
     n_bad = F.aggregate(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
+from ..functions.joins import maybe_broadcast
 from ..functions.vector import as_double_vec, dot
 from ..sources.loader import load_table, scatter
 
@@ -106,7 +107,8 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-op once the scan is already at cluster parallelism.
     return (
         F.broadcast(q)
-        .join(scatter(v), F.col("vec_id") != F.col("query_id"))
+        .join(scatter(v, min_input_bytes=2 << 20),
+              F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -270,7 +272,13 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("vec_id")
     )
     return (
-        cands.join(v.select("vec_id", "v", "nrm"), "vec_id")
+        cands.join(
+            # size-gated broadcast of the vector side (guide §3.1): its
+            # Catalyst estimate sits just over the 10 MB auto threshold at
+            # sf1, flipping the re-rank join to sort-merge — a shuffle of
+            # the candidate table; above the gate AQE still decides
+            maybe_broadcast(v.select("vec_id", "v", "nrm"),
+                            max_bytes=64 << 20), "vec_id")
         .join(F.broadcast(q.select("query_id", "v_q", "n_q")), "query_id")
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
@@ -437,7 +445,10 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vectors(spark, sf_dir).cache()
     centroids = _ivf_centroids(v)
-    corpus = v.withColumn(
+    # scatter BEFORE the assignment kernel: the exchange sits under
+    # the per-row scoring and the probe join, so both parallelize off
+    # the compact training cache (§2.5); no-op on wide scans
+    corpus = scatter(v, min_input_bytes=2 << 20).withColumn(
         "cell", F.array_max(_centroid_scores(centroids)).getField("cell")
     )
     q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -619,7 +630,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE-CHECKED; recall vs brute force is pytest-gated."""
     v = _vectors(spark, sf_dir).cache()
     cb = _pq_codebooks(v)
-    codes = _pq_codes(v, cb)
+    codes = _pq_codes(scatter(v, min_input_bytes=2 << 20), cb)  # §2.5
     q = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("v_q"),
@@ -662,7 +673,8 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (
-        cand.join(v, "vec_id")
+        cand.join(maybe_broadcast(v, max_bytes=64 << 20),  # §3.1 gate
+                  "vec_id")
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -702,7 +714,7 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_cb = pool.submit(_pq_codebooks, v)
         centroids, cb = fut_c.result(), fut_cb.result()
     cd = pq_assign_kernel(cb)(F.col("v"))
-    corpus = v.select(
+    corpus = scatter(v, min_input_bytes=2 << 20).select(  # §2.5
         "vec_id",
         F.array_max(_centroid_scores(centroids)).getField("cell").alias("cell"),
         *[F.element_at(cd, m + 1).cast("int").alias(f"code{m}")
@@ -756,7 +768,8 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (
-        cand.join(v, "vec_id")
+        cand.join(maybe_broadcast(v, max_bytes=64 << 20),  # §3.1 gate
+                  "vec_id")
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -825,7 +838,8 @@ def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels| fold evaluations per vector; the confusion output is
     |labels|² rows. All dot products are strict left folds
     (functions/vector.py), so the whole pipeline replays in DuckDB."""
-    emb = scatter(load_table(spark, sf_dir, "embeddings"))
+    emb = scatter(load_table(spark, sf_dir, "embeddings"),
+                  min_input_bytes=2 << 20)
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "x")
     ).select(
@@ -902,7 +916,8 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is already cheap). The md5-derived matrix is shared
     verbatim with the DuckDB oracle, so the projection is
     bit-reproducible across engines and runs."""
-    v = scatter(load_table(spark, sf_dir, "embeddings")).where(
+    v = scatter(load_table(spark, sf_dir, "embeddings"),
+                min_input_bytes=2 << 20).where(
         _valid_vec(F.col("embedding"))
     ).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
@@ -980,7 +995,8 @@ def sim_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot/norm/cosine are EXACT scalings of their unscaled forms — no
     new rounding anywhere — and the md5-frozen matrix makes the whole
     pipeline replay bit-identically in DuckDB."""
-    emb = scatter(load_table(spark, sf_dir, "embeddings")).where(
+    emb = scatter(load_table(spark, sf_dir, "embeddings"),
+                  min_input_bytes=2 << 20).where(
         _valid_vec(F.col("embedding")))
     base = emb.select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
@@ -1076,7 +1092,11 @@ def sim_knn_ivf_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _ivf_centroids(v)
     cp = [_project(c) for c in centroids]
     base = v.withColumn("vp", rp_project_kernel(F.col("v")))
-    corpus = base.withColumn(
+    # §2.5: scatter under the projection+assignment kernels so encode
+    # and the probe join parallelize off the compact training cache
+    corpus = scatter(v, min_input_bytes=2 << 20).withColumn(
+        "vp", rp_project_kernel(F.col("v"))
+    ).withColumn(
         "cell", F.array_max(_cell_scores_p(cp, "vp")).getField("cell")
     )
     q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(

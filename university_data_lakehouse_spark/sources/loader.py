@@ -51,7 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def scatter(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def scatter(df: DataFrame, min_parts: int | None = None,
+            min_input_bytes: int = 0) -> DataFrame:
     """Raise the partition count of a compute-dense input to the
     cluster's parallelism.
 
@@ -63,7 +64,33 @@ def scatter(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     the (small) input, and it only fires when the scan yields fewer
     partitions than the session's parallelism — at 100 TB the file
     count already gives natural parallelism and this is a no-op.
+
+    ``min_input_bytes`` (r16): call sites whose per-row work is CHEAP
+    (JVM folds over small vectors, not Python decode) only repay the
+    exchange + per-task scheduling once there is enough input to
+    spread — below the floor the frame is returned untouched (the
+    probe reads the scan's file sizes from the already-loaded file
+    index, ~ms). The floor compares RAW INPUT bytes, so the decision
+    is scale-adaptive, not tuned to any core count: tiny test inputs
+    skip the exchange, production inputs sail past the floor (and are
+    already wide, making scatter a no-op anyway).
     """
+    if min_input_bytes:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        if files:
+            total = 0
+            for f in files:
+                p = f.removeprefix("file://").removeprefix("file:")
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    total = min_input_bytes  # unknown size: don't gate
+                    break
+            if total < min_input_bytes:
+                return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     # The getNumPartitions probe costs one driver-side plan conversion
     # (~ms) but is load-bearing: it makes scatter a guaranteed no-op on
