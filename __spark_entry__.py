@@ -27,63 +27,63 @@ from university_data_lakehouse_spark.session import tune_existing
 # proof, and EVERY key regardless of position passes the identical
 # pytest oracle gate (tests/test_oracle_parity.py).
 _PRIORITY_KEYS = (
-    # r16 rotation. Lead: the 49 keys whose last driver row is
-    # CORRECTNESS_r13 (2 rounds old, the invariant's limit) —
-    # mechanically r13 green keys minus r14 minus r15-window, exactly
-    # the r15 earmark. tools/window_check.py enforces this ordering.
-    "chunk_documents", "corpus_build", "corpus_manifest",
-    "corpus_mixture_plan", "corpus_stats", "dedup_boilerplate",
-    "dedup_cluster_canonical", "dedup_cluster_canonical_fast",
-    "dedup_cluster_sizes", "dedup_name_fuzzy", "dedup_simhash",
-    "dq_value_outliers", "emb_label_centroids",
-    "emb_nearest_centroid", "events_active_users", "events_anomaly",
-    "events_cohort_retention", "events_error_attribution",
-    "events_first_last_touch", "events_funnel_windowed",
-    "events_inter_event_gap", "events_json_props",
-    "events_moving_avg", "events_resample_1h", "events_rfm",
-    "events_top_paths", "events_transition_matrix",
-    "events_value_histogram", "events_value_percentiles",
-    "events_value_quartiles", "multimodal_decoded",
-    "multimodal_features", "multimodal_gif", "multimodal_mpeg1",
-    "olap_avg_yearly", "olap_big_orders",
-    "olap_customer_distribution", "olap_disjunctive_revenue",
-    "olap_excess_suppliers", "olap_grouping_sets",
-    "olap_important_parts", "olap_nation_trade",
-    "olap_repeat_customers", "olap_revenue_mom", "sim_knn_ivf_rp",
-    "text_entropy", "text_gopher_rules", "text_tfidf_topk",
-    "text_vocab_topk",
-    # Slot 50 (spare): no registry key's plan changes this round
-    # (r16 capability ships on plans/streaming/bench surfaces —
-    # temporal release stamp, HIGH_VARIANCE promotion, simhash_wide
-    # bench row), so the spare pulls FORWARD the alphabetically-first
-    # r14-aged key, trimming the r17 mandatory window to 49 + 1
-    # spare. Registry stays 149/150 (1 banked slot per the endgame
-    # policy — no new key this round).
-    "dedup_embedding_lsh_auto",
-    # r17 MUST lead with the keys whose last driver row is
-    # CORRECTNESS_r14 (mechanically r14 minus r15-window minus
-    # r16-window —
-    # "dedup_simhash_incremental", "dq_benford",
-    # "dq_embedding_health", "dq_ks_drift", "dq_no_duplicates",
-    # "dq_not_null_pk", "dq_psi_drift", "dq_referential_integrity",
-    # "dq_row_count", "dq_value_range", "gold_order_metrics",
-    # "gold_revenue_analytics", "gold_status_funnel",
-    # "multimodal_adpcm", "multimodal_jpeg", "multimodal_jpeg_420",
-    # "multimodal_jpeg_color", "multimodal_jpeg_progressive",
-    # "multimodal_mixed", "multimodal_mulaw", "olap_cube_revenue",
-    # "olap_customer_abc", "olap_customer_abc_banded",
-    # "olap_inactive_customers", "olap_priority_shipmode",
-    # "olap_profit_by_nation", "olap_promo_revenue",
-    # "olap_prospect_customers", "olap_returned_items",
-    # "olap_supplier_part_counts", "olap_top_supplier",
-    # "olap_waiting_suppliers", "pack_token_bins", "sample_split",
-    # "sample_stratified", "sample_weighted", "silver_dim_customers",
-    # "silver_dim_parts", "silver_dim_suppliers",
-    # "silver_fact_contacts", "silver_fact_lineitems",
-    # "silver_fact_orders", "sim_knn_lsh", "text_contamination",
-    # "text_contamination_semantic", "text_fineweb_rules",
-    # "text_lm_quality", "text_pii_redact", "text_repetition",
-    # ) = 49 keys + 1 spare slot for r17-changed/new keys.
+    # r17 rotation. Lead: the 49 keys whose last driver row is
+    # CORRECTNESS_r14 (2 rounds old, the invariant's limit) —
+    # mechanically r14 green keys minus r15-window minus r16-window,
+    # exactly the r16 earmark. tools/window_check.py enforces this
+    # ordering.
+    "dedup_simhash_incremental", "dq_benford",
+    "dq_embedding_health", "dq_ks_drift", "dq_no_duplicates",
+    "dq_not_null_pk", "dq_psi_drift", "dq_referential_integrity",
+    "dq_row_count", "dq_value_range", "gold_order_metrics",
+    "gold_revenue_analytics", "gold_status_funnel",
+    "multimodal_adpcm", "multimodal_jpeg", "multimodal_jpeg_420",
+    "multimodal_jpeg_color", "multimodal_jpeg_progressive",
+    "multimodal_mixed", "multimodal_mulaw", "olap_cube_revenue",
+    "olap_customer_abc", "olap_customer_abc_banded",
+    "olap_inactive_customers", "olap_priority_shipmode",
+    "olap_profit_by_nation", "olap_promo_revenue",
+    "olap_prospect_customers", "olap_returned_items",
+    "olap_supplier_part_counts", "olap_top_supplier",
+    "olap_waiting_suppliers", "pack_token_bins", "sample_split",
+    "sample_stratified", "sample_weighted", "silver_dim_customers",
+    "silver_dim_parts", "silver_dim_suppliers",
+    "silver_fact_contacts", "silver_fact_lineitems",
+    "silver_fact_orders", "sim_knn_lsh", "text_contamination",
+    "text_contamination_semantic", "text_fineweb_rules",
+    "text_lm_quality", "text_pii_redact", "text_repetition",
+    # Slot 50 (spare): r17 is an optimization round — no new registry
+    # key — so the spare pulls FORWARD the alphabetically-first
+    # r15-aged key (the r16 policy), trimming the r18 mandatory
+    # window to 49 + 1 spare. The r17 plan changes (scatter gating,
+    # VLC tables) don't need window slots: every key passes the
+    # identical pytest oracle gate regardless of position, and the
+    # optimization discipline proves equivalence before landing.
+    "dedup_c4_spans",
+    # r18 MUST lead with the keys whose last driver row is
+    # CORRECTNESS_r15 (mechanically r15 green minus r16-window minus
+    # r17-window —
+    # "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    # "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    # "dedup_simhash_wide", "dq_freshness", "dq_profile",
+    # "emb_random_projection", "events_asof_join", "events_funnel",
+    # "events_retention", "events_sessionize", "events_user_stats",
+    # "events_windowed_agg", "multimodal_alaw",
+    # "multimodal_audio_stats", "multimodal_avi", "multimodal_flac",
+    # "multimodal_frame_sample", "multimodal_meta",
+    # "multimodal_mjpeg", "multimodal_mpa_subbands",
+    # "multimodal_normalize", "multimodal_png", "multimodal_y4m",
+    # "olap_basket_affinity", "olap_late_orders",
+    # "olap_local_supplier_volume", "olap_market_pivot",
+    # "olap_market_share", "olap_min_cost_supplier",
+    # "olap_price_percentiles", "olap_pricing_summary",
+    # "olap_revenue_forecast", "olap_rollup_revenue",
+    # "olap_running_revenue", "olap_shipping_priority",
+    # "olap_top_k_per_group", "sim_knn_bruteforce", "sim_knn_ivf",
+    # "sim_knn_ivfpq", "sim_knn_pq", "sim_knn_rp", "text_c4_rules",
+    # "text_fingerprint", "text_langid", "text_quality_score",
+    # "text_token_stats",
+    # ) = 49 keys + 1 spare slot for r18-changed/new keys.
     # tools/window_check.py verifies (W5: 49 <= 50).
 )
 

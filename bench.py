@@ -473,21 +473,51 @@ def emit(out: dict, full_path: str | None = None) -> None:
         json.dump(out, fh)
         fh.write("\n")
 
-    budget = 1800  # driver tail is 2000; leave interleaving headroom
-    q = {k: round(v, 2) for k, v in out["queries"].items()}
-    compact = {
-        "metric": out["metric"], "value": out["value"], "unit": "sec",
-        "core_total": out["core_total"], "n_queries": len(q),
-        "queries": q, "sf": out["sf"], "full": "bench_full.json",
-    }
-    if "sf1_synth" in out:
-        compact["sf1_core_total"] = out["sf1_synth"]["core_total"]
-    line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > budget and compact["queries"]:
-        keep = sorted(q, key=q.get, reverse=True)[:max(len(q) - 8, 0)]
-        q = {k: q[k] for k in keep}
-        compact["queries"] = q
-        line = json.dumps(compact, separators=(",", ":"))
+    # r17 (VERDICT r16 item 2): the old overflow path trimmed the 8
+    # CHEAPEST keys from "queries", which the driver's PERF read as
+    # dropped_from_bench — dq_benford/events_funnel were mis-reported
+    # dropped in r16 while both were timed and committed. A timed key
+    # must NEVER disappear from the line. Shrink the ENCODING instead,
+    # least-informative-field-first: drop the non-contract extras one
+    # by one (full → n_queries → sf1_core_total → core_total), then
+    # fall back to 1-decimal medians. Only if even that overflows,
+    # replace the whole dict with {} + "queries_in" — complete-or-
+    # absent, never silently partial. Budget: the capture tail is
+    # exactly 2000 chars and this line is physically LAST in it —
+    # stderr progress lines flush immediately while stdout is
+    # block-buffered under a pipe and flushes at exit — so 100 chars
+    # of trailing headroom suffices (r16's line ended its tail).
+    budget = 1900
+    extras_order = ["full", "n_queries", "sf1_core_total", "core_total"]
+
+    def encode(ndec: int, extras: list) -> str:
+        c = {"metric": out["metric"], "value": out["value"],
+             "unit": "sec"}
+        if "core_total" in extras:
+            c["core_total"] = out["core_total"]
+        if "n_queries" in extras:
+            c["n_queries"] = len(out["queries"])
+        c["queries"] = {k: round(v, ndec)
+                        for k, v in out["queries"].items()}
+        c["sf"] = out["sf"]
+        if "full" in extras:
+            c["full"] = "bench_full.json"
+        if "sf1_core_total" in extras and "sf1_synth" in out:
+            c["sf1_core_total"] = out["sf1_synth"]["core_total"]
+        return json.dumps(c, separators=(",", ":"))
+
+    candidates = [encode(2, extras_order[i:])
+                  for i in range(len(extras_order) + 1)]
+    candidates += [encode(1, extras_order), encode(1, [])]
+    for line in candidates:
+        if len(line) <= budget:
+            break
+    else:
+        fallback = {"metric": out["metric"], "value": out["value"],
+                    "unit": "sec", "n_queries": len(out["queries"]),
+                    "queries": {}, "queries_in": "bench_full.json",
+                    "sf": out["sf"]}
+        line = json.dumps(fallback, separators=(",", ":"))
     print(line)
 
 
