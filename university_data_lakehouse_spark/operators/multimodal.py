@@ -114,6 +114,30 @@ FEATURE_SCHEMA = StructType([
 # catch set. Larger legitimate media belongs to the codec tier.
 _MAX_DECODE_PIXELS = 1 << 26
 
+# Per-task input-byte budgets for the media-pipeline scatter sites
+# (guide §2.5, VERDICT r16 item 1). The probe measures the RAW
+# documents scan (the synth corpora derive one media row per doc), so
+# these are data-volume knobs, not core-count knobs: the scatter
+# width becomes ceil(input_bytes / budget) clamped to cluster
+# parallelism — tiny inputs get a few tasks, production inputs clamp
+# to full width (and at 100 TB the scan is already wide, so scatter
+# no-ops). Graded by measured PER-ROW decode cost (single-task sf0.1
+# wall times: mpeg1 4.9 s, mjpeg 3.9, flac 3.6 vs y4m 0.75, BMP/WAV
+# header keys ~1.0 — a 6x spread no single budget fits; the r16
+# ungated full-width exchange regressed every cheap key, driver rows
+# decoded 0.98 s vs 0.47 at 8 cores, while the heavy entropy codecs
+# measurably want the full width even at sf0.1). Width sweep evidence
+# in OPTIMIZATION_r17.md.
+_MEDIA_BPT_HEAVY = 16 << 10   # per-bit entropy decode (MJPEG, FLAC):
+#                               ~0.7-0.8 ms/row — full width from
+#                               ~512 KiB of input up
+_MEDIA_BPT_MED = 32 << 10     # block codecs (JPEG family, PNG, GIF,
+#                               MPEG-1, MPA): ~0.3-1 ms/row
+_MEDIA_BPT = 64 << 10         # light synth/decode (G.711, ADPCM,
+#                               Y4M, AVI, mixed/normalize): ≤0.2 ms
+_MEDIA_BPT_ENC = 128 << 10    # media_table_encoded (BMP/WAV synth +
+#                               header or sample reads)
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from documents: utf-8 payload bytes as
@@ -122,7 +146,12 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scatter: single-row-group test parquet arrives as ONE partition,
     # which would serialize every downstream Arrow decode pass onto
     # one core (guide §2.5); no-op when the scan is already wide.
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    # r17 (VERDICT r16 item 1): this table feeds only JVM byte-stat
+    # work (multimodal_meta's md5 — no Python decode), so it gets the
+    # cheap-per-row floor the vector sites use: below 2 MiB the
+    # exchange costs more than the single-task md5 it spreads.
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  min_input_bytes=2 << 20)
     payload = F.encode("text", "utf-8")
     return doc.select(
         "doc_id",
@@ -2184,7 +2213,8 @@ def media_table_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Synthesis runs in the same Arrow-batched mapInPandas shape the
     decode uses — in production these bytes arrive from object
     storage instead."""
-    doc = scatter(load_table(spark, sf_dir, "documents")).select(
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=_MEDIA_BPT_ENC).select(
         "doc_id",
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -2282,7 +2312,8 @@ _DECODE_ERRORS = (ValueError, KeyError, IndexError, struct.error,
 
 
 def _synth_media_df(spark: SparkSession, sf_dir: str, synth_fn,
-                    media_type: str) -> DataFrame:
+                    media_type: str,
+                    bytes_per_task: int = _MEDIA_BPT) -> DataFrame:
     """Shared synthesis stage for the per-format pipelines
     (png/gif/jpeg/jpeg_color/adpcm/mulaw/avi/frame_sample): documents
     doc_ids → Arrow mapInPandas → MEDIA_SCHEMA rows whose payload is
@@ -2291,8 +2322,13 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, synth_fn,
     # scatter: the synth+decode mapInPandas chain is narrow end-to-end,
     # so the input partition count IS the pipeline's parallelism — one
     # single-row-group file would run the whole Python codec stage on
-    # one core (guide §2.5); no-op on already-wide scans.
-    doc = scatter(load_table(spark, sf_dir, "documents").select("doc_id"))
+    # one core (guide §2.5); no-op on already-wide scans. r17: width
+    # follows input bytes at the caller's per-row-cost grade (r16's
+    # unconditional 32-way split cost more scheduling/Arrow overhead
+    # than it saved on the cheap formats at sf0.1 — VERDICT item 1;
+    # the probe reads documents' raw file size, a row-count proxy).
+    doc = scatter(load_table(spark, sf_dir, "documents").select("doc_id"),
+                  bytes_per_task=bytes_per_task)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2473,7 +2509,8 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is a pure function of doc_id — the filters and the deflate
     round trip must cancel exactly for the chunk means to match."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_png_payload, "image"))
+        _synth_media_df(spark, sf_dir, synth_png_payload, "image",
+                        bytes_per_task=_MEDIA_BPT_MED))
 
 
 def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2486,7 +2523,8 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((doc_id + j//3) + 85*(j%3)) % 256 — so the LZW round trip and the
     palette lookup must cancel exactly for the chunk means to match."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_gif_payload, "image"))
+        _synth_media_df(spark, sf_dir, synth_gif_payload, "image",
+                        bytes_per_task=_MEDIA_BPT_MED))
 
 
 def multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2542,7 +2580,8 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays the pipeline with no codec knowledge
     (the PNG/GIF argument extended to audio)."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_flac_payload, "audio"),
+        _synth_media_df(spark, sf_dir, synth_flac_payload, "audio",
+                        bytes_per_task=_MEDIA_BPT_HEAVY),
         with_dims=False)
 
 
@@ -2558,7 +2597,8 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id*3 + (j÷w÷8)·(w÷8) + (j mod w)÷8) mod 256, which DuckDB
     replays symbolically."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_jpeg_payload, "image"))
+        _synth_media_df(spark, sf_dir, synth_jpeg_payload, "image",
+                        bytes_per_task=_MEDIA_BPT_MED))
 
 
 def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2568,7 +2608,8 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the lossy codec exactly lossless so DuckDB replays the RGB
     stream in closed form."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_jpeg_color_payload, "image"))
+        _synth_media_df(spark, sf_dir, synth_jpeg_color_payload, "image",
+                        bytes_per_task=_MEDIA_BPT_MED))
 
 
 def multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2597,7 +2638,8 @@ def multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame uses the constant-block/DC-q=8 construction that makes the
     lossy codec exactly lossless (see synth_mjpeg_payload)."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_mjpeg_payload, "video"))
+        _synth_media_df(spark, sf_dir, synth_mjpeg_payload, "video",
+                        bytes_per_task=_MEDIA_BPT_HEAVY))
 
 
 FRAME_SAMPLE_SCHEMA = StructType([
@@ -2635,7 +2677,8 @@ def multimodal_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG DC-q=8 argument); P/B prediction stays on the decode_real
     probe tier."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_mpeg1_payload, "video"))
+        _synth_media_df(spark, sf_dir, synth_mpeg1_payload, "video",
+                        bytes_per_task=_MEDIA_BPT_MED))
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
@@ -2761,7 +2804,8 @@ def multimodal_mpa_subbands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact one round before registration (tests/test_mpa.py)."""
     from .mpa_codec import decode_mpa_l1  # noqa: PLC0415
 
-    media = _synth_media_df(spark, sf_dir, synth_mpa_payload, "audio")
+    media = _synth_media_df(spark, sf_dir, synth_mpa_payload, "audio",
+                             bytes_per_task=_MEDIA_BPT_MED)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3027,7 +3071,8 @@ def multimodal_jpeg_progressive(spark: SparkSession,
     multi-scan coefficient accumulation, decoded stdlib-side and
     oracle-replayed in closed form (see synth_jpeg_prog_payload)."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_jpeg_prog_payload, "image"))
+        _synth_media_df(spark, sf_dir, synth_jpeg_prog_payload, "image",
+                        bytes_per_task=_MEDIA_BPT_MED))
 
 
 def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3037,7 +3082,8 @@ def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded stdlib-side and oracle-replayed in closed form (see
     synth_jpeg_420_payload)."""
     return _decoded_feature_select(
-        _synth_media_df(spark, sf_dir, synth_jpeg_420_payload, "image"))
+        _synth_media_df(spark, sf_dir, synth_jpeg_420_payload, "image",
+                        bytes_per_task=_MEDIA_BPT_MED))
 
 
 QUERIES = {

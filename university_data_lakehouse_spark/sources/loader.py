@@ -52,7 +52,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def scatter(df: DataFrame, min_parts: int | None = None,
-            min_input_bytes: int = 0) -> DataFrame:
+            min_input_bytes: int = 0,
+            bytes_per_task: int = 0) -> DataFrame:
     """Raise the partition count of a compute-dense input to the
     cluster's parallelism.
 
@@ -74,8 +75,23 @@ def scatter(df: DataFrame, min_parts: int | None = None,
     is scale-adaptive, not tuned to any core count: tiny test inputs
     skip the exchange, production inputs sail past the floor (and are
     already wide, making scatter a no-op anyway).
+
+    ``bytes_per_task`` (r17, guide §2.5 — right-size the exchange to
+    the work): an unconditional jump to defaultParallelism
+    over-splits SMALL inputs — at sf0.1 every media/text key ran
+    FASTER on 8 cores than 32 in the r16 driver artifacts
+    (multimodal_decoded 0.47 s vs 0.98 s, mpeg1 0.83 vs 3.22:
+    per-task Arrow/scheduling overhead exceeded the decode saved).
+    With a floor-per-task byte budget the width GROWS with the input
+    instead: target = min(parallelism, ceil(input_bytes /
+    bytes_per_task)). Data-driven, not core-count-driven: tiny inputs
+    get a few tasks, production inputs clamp to full cluster
+    parallelism (and arrive wide from the file count anyway, making
+    scatter a no-op). Width 1 means the exchange is pure overhead, so
+    the frame is returned untouched.
     """
-    if min_input_bytes:
+    total = None
+    if min_input_bytes or bytes_per_task:
         try:
             files = df.inputFiles()
         except Exception:
@@ -87,11 +103,16 @@ def scatter(df: DataFrame, min_parts: int | None = None,
                 try:
                     total += os.path.getsize(p)
                 except OSError:
-                    total = min_input_bytes  # unknown size: don't gate
+                    total = None             # unknown size: don't gate
                     break
-            if total < min_input_bytes:
-                return df
+        if min_input_bytes and total is not None and total < min_input_bytes:
+            return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if bytes_per_task and total is not None:
+        width = -(-total // bytes_per_task)  # ceil
+        if width <= 1:
+            return df
+        target = min(target, width)
     # The getNumPartitions probe costs one driver-side plan conversion
     # (~ms) but is load-bearing: it makes scatter a guaranteed no-op on
     # already-wide inputs. An unconditional repartition(n) would add a
