@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import TOKEN_RE, shingles, tokens
 from ..functions.vector import as_double_vec, dot
-from ..sources.loader import load_table, scatter
+from ..sources.loader import DOC_SCATTER_BPT, load_table, scatter
 
 NGRAM_TAU = 0.5          # jaccard threshold for near-dup pairs
 NGRAM_DF_CAP_FRAC = 1    # % of corpus: shingles above this df are
@@ -59,7 +59,8 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cached rows are one array per doc; at 100 TB you would write
     this stage to a table instead.
     """
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     # Materialize the token array BEFORE shingling: shingles()
     # references the token array ~3× per element, and inlining the
     # regexp into each reference re-runs it per element (measured
@@ -86,7 +87,8 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 content hash, min-doc_id winner per group."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     from pyspark.sql import Window  # noqa: PLC0415
 
     h = F.md5("text")
@@ -246,7 +248,8 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that array — a shuffle-free per-row projection, versus the
     exploded formulation's tokens × 32 blow-up plus two groupBy
     shuffles. At 100 TB the signature stage is then map-only."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     hs = doc.select(
         "doc_id",
         F.transform(
@@ -377,7 +380,12 @@ def _simhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py) plus the DuckDB oracle."""
     from ..streaming.dedupe import simhash_tag  # noqa: PLC0415 — lazy, cycle-free
 
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    # DOC_SCATTER_BPT A/B'd against full width in one session: medians
+    # identical (1.52 s both, hot ambient window) and the driver's
+    # c8/c32 ratio is 0.91 ≈ flat — the banded fold amortizes either
+    # width, so the shared budget stays for policy consistency.
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     return simhash_tag(doc).select("doc_id", "simhash")
 
 
@@ -424,7 +432,8 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flags share every stage up to the join by construction.
     from ..streaming.dedupe import corpus_band_table  # noqa: PLC0415
 
-    melted = corpus_band_table(scatter(load_table(spark, sf_dir, "documents")))
+    melted = corpus_band_table(scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT))
     a = melted.select(
         F.col("doc_id").alias("id_a"), F.col("sig_hi").alias("hi_a"),
         F.col("sig_lo").alias("lo_a"), "band_idx",
@@ -500,7 +509,8 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_near_dups,
     )
 
-    docs = scatter(load_table(spark, sf_dir, "documents"))
+    docs = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     gate = F.substring(
         F.md5(F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))),
         1, 1,
@@ -937,7 +947,8 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back → per-doc aggregate. At 100 TB the span-count table is
     vocabulary-sized (spans hash to 16 bytes regardless of text
     length) and hot spans are exactly what AQE's skew-join splits."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     base = doc.select(
         "doc_id",
         F.floor(F.size(tokens(F.col("text"))).cast("double") / SPAN_W)
@@ -1022,7 +1033,8 @@ def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-per-span against the one-row-per-distinct-span aggregate,
     then one per-doc aggregate.  All shuffles are md5-keyed —
     uniformly distributed by construction."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     # single-arg lambda on purpose: F.trim has an optional second
     # parameter (trim characters), so passing it bare would make
     # transform() call trim(element, index).

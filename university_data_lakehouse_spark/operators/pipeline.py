@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import TOKEN_RE
-from ..sources.loader import load_table, scatter
+from ..sources.loader import DOC_SCATTER_BPT, load_table, scatter
 from .dedup import _SH_CTE, _doc_shingle_sets
 
 # --- stratified sampling -------------------------------------------------
@@ -174,7 +174,8 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    doc = scatter(load_table(spark, sf_dir, "documents")).where(
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT).where(
         F.col("doc_id") % CONTAM_BENCH_MOD != 0
     )
     ratio = F.coalesce(
@@ -292,7 +293,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable character-class regexes — no backrefs/lookarounds, so
     Java regex and RE2 agree). One narrow map stage; the redacted
     text is fingerprinted (md5) so the output stays thin."""
-    return pii_scrub(scatter(load_table(spark, sf_dir, "documents")))
+    return pii_scrub(scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT))
 
 
 # --- context-window chunking ---------------------------------------------
@@ -443,7 +445,8 @@ def corpus_build_df(doc: DataFrame) -> DataFrame:
 def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus construction pass — the pipeline a shard
     writer actually runs (see :func:`corpus_build_df`)."""
-    return corpus_build_df(scatter(load_table(spark, sf_dir, "documents")))
+    return corpus_build_df(scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT))
 
 
 def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,7 +544,8 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag) and 0.0 if untargeted; the oracle mirrors the branch."""
     from ..functions.textfns import tokens  # noqa: PLC0415
 
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     per_lang = doc.select(
         "lang", F.size(tokens(F.col("text"))).alias("nt")
     ).groupBy("lang").agg(

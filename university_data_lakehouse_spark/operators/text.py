@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import TOKEN_RE, shingles, tokens
-from ..sources.loader import load_table, scatter
+from ..sources.loader import DOC_SCATTER_BPT, load_table, scatter
 
 EN_STOP = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 ES_STOP = ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por")
@@ -37,7 +37,8 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace/regex token counting: totals, uniques, mean token
     length (BPE-ish pre-tokenization statistics)."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     toks = tokens(F.col("text"))
     char_sum = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
@@ -80,7 +81,8 @@ def quality_score_expr() -> Column:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / digit / stopword-ratio quality scoring
     (the usual pretraining-corpus heuristics)."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     toks = tokens(F.col("text"))
     n = F.length("text")
     nd = n.cast("double")
@@ -107,7 +109,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language-ID heuristic over en/es/fr/de lists with a
     deterministic preference order on ties."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     toks = tokens(F.col("text"))
     en, es = _count_in(toks, EN_STOP), _count_in(toks, ES_STOP)
     fr, de = _count_in(toks, FR_STOP), _count_in(toks, DE_STOP)
@@ -132,7 +135,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the token-normalized content +
     min-shingle-hash (a 1-hash MinHash, the rolling-fingerprint
     analog used for container-level dedup)."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     toks = tokens(F.col("text"))
     sh = shingles(toks, 3)
     return doc.select(
@@ -159,7 +163,8 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     math cannot be made bit-exact."""
     from ..functions.joins import maybe_broadcast  # noqa: PLC0415
 
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     tok = doc.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     # the MODEL (vocabulary + counts) is cached: it is metadata-sized
     # next to the corpus and is read twice (total + score join); the
@@ -227,7 +232,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-pinned); DuckDB replays it as a gaps-and-islands window —
     same integers either way. The O(unique×len) mode scan is bounded
     by the per-doc token count, never the corpus."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     toks = tokens(F.col("text"))
     n = F.size(toks)
 
@@ -301,7 +307,8 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the per-language distinct-bigram vocabulary (billions of
     rows at corpus scale) in a single task. Ties break
     deterministically by bigram text at both phases."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     toks = tokens(F.col("text"))
     bi = doc.select(
         "lang", F.explode(shingles(toks, 2)).alias("bigram")
@@ -344,7 +351,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides and the per-doc rank orders by the ROUNDED score (then term
     text), never the raw double. The rank window shares no state with
     the corpus: it partitions on doc_id over the tf-table rows."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     tf = (
         doc.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("doc_id", "t")
@@ -386,7 +394,8 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline; the alphabet is sorted on BOTH sides so the float
     fold order is pinned (list_distinct order is not guaranteed in
     either engine). O(alphabet × len) per doc, bounded by the doc."""
-    doc = scatter(load_table(spark, sf_dir, "documents"))
+    doc = scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT)
     # [\s\S] matches EVERY char incl. newlines — the one split idiom
     # Spark's Java regex and DuckDB's RE2 agree on
     cs = F.regexp_extract_all("text", F.lit(r"[\s\S]"), F.lit(0))
@@ -515,7 +524,8 @@ def gopher_rules(doc: DataFrame) -> DataFrame:
 
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: ``gopher_rules`` over the documents table."""
-    return gopher_rules(scatter(load_table(spark, sf_dir, "documents")))
+    return gopher_rules(scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT))
 
 
 # C4 page/line filters (Raffel et al. 2020, "Exploring the Limits of
@@ -585,7 +595,8 @@ def c4_rules(doc: DataFrame) -> DataFrame:
 
 def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: ``c4_rules`` over the documents table."""
-    return c4_rules(scatter(load_table(spark, sf_dir, "documents")))
+    return c4_rules(scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT))
 
 
 # FineWeb quality filters (Penedo et al. 2024, "The FineWeb Datasets"
@@ -660,7 +671,8 @@ def fineweb_rules(doc: DataFrame) -> DataFrame:
 
 def text_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: ``fineweb_rules`` over the documents table."""
-    return fineweb_rules(scatter(load_table(spark, sf_dir, "documents")))
+    return fineweb_rules(scatter(load_table(spark, sf_dir, "documents"),
+                  bytes_per_task=DOC_SCATTER_BPT))
 
 
 def _sql_count_in(words: tuple[str, ...]) -> str:

@@ -125,6 +125,17 @@ def scatter(df: DataFrame, min_parts: int | None = None,
     return df
 
 
+# Shared per-task input budget for JVM text/hash map stages over the
+# documents table (tokenize/regex rule gates, shingle+md5 signature
+# stages): ~10 tasks at sf0.1 (594 KiB), full parallelism from
+# ~2 MiB of input up (guide §2.5 — right-size the exchange; the r16
+# full-width exchange made every text key slower at 32 cores than 8
+# at this input size: driver rows text_lm_quality 0.54 s vs 1.28,
+# text_gopher_rules 0.31 vs 0.77). Media sites carry their own
+# per-row-cost-graded budgets in operators/multimodal.py.
+DOC_SCATTER_BPT = 64 << 10
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
