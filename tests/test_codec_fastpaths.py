@@ -150,3 +150,143 @@ def test_mpeg1_dc_only_scalar_equals_matmul():
         assert (ref == ref[0, 0]).all()
         val = min(max(round((m0 * coef[0, 0]) * m0), 0.0), 255.0)
         assert val == ref[0, 0], qdc
+
+
+# ------------------------------------------- r17: VLC prefix tables
+
+def test_jpeg_huff_lut_equals_per_bit_walk():
+    """Decoding with the peek-11 prefix LUT must be bit-identical to
+    the legacy per-bit walk — forced by stripping the _HuffTable
+    wrapper (plain dicts take the fallback path) — across baseline,
+    4:2:0, progressive and MJPEG payloads."""
+    orig = mm._parse_dht
+
+    def plain(seg, dc_tabs, ac_tabs):
+        orig(seg, dc_tabs, ac_tabs)
+        for d in (dc_tabs, ac_tabs):
+            for k in d:
+                d[k] = dict(d[k])            # drops .lut
+
+    for i in (0, 7, 1234, 4999):
+        for synth, decode in (
+            (mm.synth_jpeg_payload,
+             lambda p: mm.decode_jpeg(p, want_pixels=True)),
+            (mm.synth_jpeg_420_payload,
+             lambda p: mm.decode_jpeg(p, want_pixels=True)),
+            (mm.synth_jpeg_prog_payload,
+             lambda p: mm.decode_jpeg(p, want_pixels=True)),
+            (mm.synth_mjpeg_payload, mm._avi_mjpeg_pixels),
+        ):
+            p = synth(i)
+            fast = decode(p)
+            mm._parse_dht = plain
+            try:
+                slow = decode(p)
+            finally:
+                mm._parse_dht = orig
+            assert fast == slow
+
+
+def test_jpeg_dht_memo_returns_equal_tables():
+    """The (bits, vals)-keyed memo must hand back a mapping equal to
+    a fresh canonical build (a hit is definitionally the same
+    table), and the LUT must agree with the dict on every code."""
+    mm._DHT_MEMO.clear()
+    p = bytes(mm.synth_jpeg_payload(11))
+    dc1, ac1 = {}, {}
+    dc2, ac2 = {}, {}
+    pos = 2
+    segs = []
+    while pos + 4 <= len(p):
+        marker = p[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        seg_len = int.from_bytes(p[pos + 2:pos + 4], "big")
+        if marker == 0xC4:
+            segs.append(p[pos + 4:pos + 2 + seg_len])
+        pos += 2 + seg_len
+    assert segs, "payload must carry DHT segments"
+    for seg in segs:
+        mm._parse_dht(seg, dc1, ac1)   # cold build
+        mm._parse_dht(seg, dc2, ac2)   # memo hit
+    for a, b in ((dc1, dc2), (ac1, ac2)):
+        assert a == b
+        for tbl in a.values():
+            assert isinstance(tbl, mm._HuffTable)
+            for (code, length), sym in tbl.items():
+                if length <= mm._HUFF_PEEK:
+                    idx = code << (mm._HUFF_PEEK - length)
+                    assert tbl.lut[idx] == (length << 8) | sym
+
+
+def test_mpeg1_luts_equal_walk_tables():
+    """Every LUT entry must agree with the table the per-bit walk
+    consults, and every code must be reachable: probe all 2^k
+    prefixes and cross-check against a reference longest... shortest
+    prefix scan of the decode dicts."""
+    from university_data_lakehouse_spark.operators import mpeg1_codec as mc
+
+    def ref(dec, extras, prefix_bits, k):
+        code = 0
+        for length in range(1, k + 1):
+            code = (code << 1) | ((prefix_bits >> (k - length)) & 1)
+            for tab, sym in extras:
+                if (code, length) == tab:
+                    return (sym, length)
+            got = dec.get((code, length))
+            if got is not None:
+                return (got, length)
+        return None
+
+    for lut, dec, extras, k in (
+        (mc._DC_LUMA_LUT, mc._DC_LUMA_DEC, [], 8),
+        (mc._DC_CHROMA_LUT, mc._DC_CHROMA_DEC, [], 8),
+        (mc._TCOEFF_LUT, mc._TCOEFF,
+         [(mc._EOB, "eob"), (mc._ESCAPE, "esc")], 10),
+        (mc._MB_LUT, mc._MB_INC_DEC,
+         [(mc._MB_STUFFING, "stuff"), (mc._MB_ESCAPE, "esc")], 11),
+    ):
+        for p in range(1 << k):
+            assert lut[p] == ref(dec, extras, p, k), (k, p)
+
+
+def test_mpeg1_lut_decode_equals_walk_decode():
+    """Force the walk by blanking the LUTs; frames must be identical
+    (covers DC sizes, tcoeff incl. EOB, MB increments, and the AC/
+    escape fixtures via the synth range)."""
+    from university_data_lakehouse_spark.operators import mpeg1_codec as mc
+
+    saved = (mc._DC_LUTS, mc._TCOEFF_LUT, mc._MB_LUT)
+    for i in (0, 5, 321, 4998):
+        p = mm.synth_mpeg1_payload(i)
+        fast = mc.mpeg1_frames(p)
+        mc._DC_LUTS = {}
+        mc._TCOEFF_LUT = [None] * (1 << 10)
+        mc._MB_LUT = [None] * (1 << 11)
+        try:
+            slow = mc.mpeg1_frames(p)
+        finally:
+            mc._DC_LUTS, mc._TCOEFF_LUT, mc._MB_LUT = saved
+        assert fast == slow, i
+
+
+def test_jpeg_progressive_dc_only_reconstruction_is_scalar_exact():
+    """The progressive reconstruction's DC-only short-circuit must
+    equal the full zigzag + matmul for every DC level with every
+    quant step that appears in a table (int32 product semantics
+    preserved by float() of the same product)."""
+    m0 = mm._JPEG_IDCT_M[0, 0]
+    for q in (1, 2, 16, 255):
+        for dc in list(range(-1024, 1025, 13)) + [-1024, 1023]:
+            zz = np.zeros(64, dtype=np.int32)
+            zz[0] = dc * 8
+            qtab = [q] * 64
+            coef = np.zeros((8, 8))
+            for i, (r, c) in enumerate(mm._JPEG_ZIGZAG):
+                coef[r, c] = zz[i] * qtab[i]
+            block = mm._JPEG_IDCT_M.T @ coef @ mm._JPEG_IDCT_M
+            ref = np.clip(np.round(block) + 128, 0, 255)
+            assert (ref == ref[0, 0]).all()
+            val = min(max(round((m0 * float(zz[0] * qtab[0])) * m0)
+                          + 128.0, 0.0), 255.0)
+            assert val == ref[0, 0], (q, dc)

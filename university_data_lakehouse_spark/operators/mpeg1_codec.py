@@ -126,6 +126,35 @@ _MB_ESCAPE = (0b00000001000, 11)
 _MB_STUFFING = (0b00000001111, 11)
 
 
+def _peek_lut(entries, k: int) -> list:
+    """Prefix LUT over a VLC table: lut[next k bits] = (symbol,
+    length), None where no code of <= k bits owns the prefix. All
+    tables here are STATIC module constants, so the build cost is
+    paid once at import; decode becomes one table probe instead of a
+    per-bit walk (r17, guide §4.2). Prefix-code uniqueness makes the
+    probe bit-identical to the walk it replaces."""
+    lut: list = [None] * (1 << k)
+    for (code, length), sym in entries:
+        base = code << (k - length)
+        fill = (sym, length)
+        for i in range(1 << (k - length)):
+            lut[base + i] = fill
+    return lut
+
+
+# dct_dc_size codes are <= 8 bits; dct_coeff (incl. EOB/ESCAPE)
+# <= 10; mb_address_increment (incl. stuffing/escape) <= 11.
+_DC_LUMA_LUT = _peek_lut(_DC_LUMA_DEC.items(), 8)
+_DC_CHROMA_LUT = _peek_lut(_DC_CHROMA_DEC.items(), 8)
+_DC_LUTS = {id(_DC_LUMA_DEC): _DC_LUMA_LUT,
+            id(_DC_CHROMA_DEC): _DC_CHROMA_LUT}
+_TCOEFF_LUT = _peek_lut(
+    [*_TCOEFF.items(), (_EOB, "eob"), (_ESCAPE, "esc")], 10)
+_MB_LUT = _peek_lut(
+    [*_MB_INC_DEC.items(), (_MB_STUFFING, "stuff"),
+     (_MB_ESCAPE, "esc")], 11)
+
+
 def _idct_matrix() -> np.ndarray:
     """The 8-point DCT basis M[u, x] = a(u)/2 · cos((2x+1)uπ/16)
     (a(0) = 1/√2, else 1) — numerically identical to the JPEG
@@ -201,8 +230,30 @@ class _BitReader:
             return False
         return self.pos >= self._nz_end
 
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits without consuming, or -1 when fewer remain
+        (the LUT callers then fall back to the per-bit walk, which
+        reproduces the legacy end-of-stream errors exactly)."""
+        data = self.data
+        ln = len(data)
+        while self.nbits < n:
+            if self.pos >= ln:
+                return -1
+            self.acc = (self.acc << 8) | data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
 
 def _dc_size_decode(br: _BitReader, table: dict) -> int:
+    lut = _DC_LUTS.get(id(table))
+    if lut is not None:
+        p = br.peek(8)
+        if p >= 0:
+            hit = lut[p]
+            if hit is not None:
+                br.nbits -= hit[1]
+                return hit[0]
     code, length = 0, 0
     while length < 9:
         code = (code << 1) | br.take(1)
@@ -388,26 +439,39 @@ def _decode_block(br: _BitReader, dc_table: dict, pred: int,
     size = _dc_size_decode(br, dc_table)
     diff = _extend(br.take(size), size) if size else 0
     qdc = pred + diff
-    coef = np.zeros((8, 8))
-    coef[0, 0] = max(-2048, min(2047, qdc * 8))
+    dc_val = max(-2048, min(2047, qdc * 8))
+    # coef allocated LAZILY on the first AC coefficient: the
+    # constant-block synth streams are 100% DC-only, and the 8x8
+    # numpy zeros per block was pure overhead on that path (r17)
+    coef = None
     k = 0
     ac_seen = False
     while True:
-        code, length = 0, 0
+        # peek-10 prefix probe replaces the per-bit walk (bit-
+        # identical; the walk below stays as the fallback for the
+        # stream tail and reproduces the legacy error behavior)
         sym = None
-        while length < 11:
-            code = (code << 1) | br.take(1)
-            length += 1
-            if (code, length) == _EOB:
-                sym = "eob"
-                break
-            if (code, length) == _ESCAPE:
-                sym = "esc"
-                break
-            rl = _TCOEFF.get((code, length))
-            if rl is not None:
-                sym = rl
-                break
+        p = br.peek(10)
+        if p >= 0:
+            hit = _TCOEFF_LUT[p]
+            if hit is not None:
+                br.nbits -= hit[1]
+                sym = hit[0]
+        if sym is None:
+            code, length = 0, 0
+            while length < 11:
+                code = (code << 1) | br.take(1)
+                length += 1
+                if (code, length) == _EOB:
+                    sym = "eob"
+                    break
+                if (code, length) == _ESCAPE:
+                    sym = "esc"
+                    break
+                rl = _TCOEFF.get((code, length))
+                if rl is not None:
+                    sym = rl
+                    break
         if sym is None:
             raise ValueError("mpeg1: invalid dct_coeff code")
         if sym == "eob":
@@ -443,6 +507,9 @@ def _decode_block(br: _BitReader, dc_table: dict, pred: int,
         val = -((-val) // 16) if val < 0 else val // 16
         if val and val % 2 == 0:             # oddification
             val += 1 if val < 0 else -1
+        if coef is None:
+            coef = np.zeros((8, 8))
+            coef[0, 0] = dc_val
         coef[r, c] = max(-2048, min(2047, val))
         ac_seen = True
     if not ac_seen:
@@ -453,8 +520,10 @@ def _decode_block(br: _BitReader, dc_table: dict, pred: int,
         # non-zero row (the rest are exact-zero adds), so the scalar
         # short-circuit is bit-identical (pytest-pinned). A scalar
         # return assigns into the caller's 8×8 plane slice unchanged.
+        # float(dc_val) reproduces the retired coef[0, 0] float64
+        # read exactly (dc_val is an integer within ±2048).
         m0 = _IDCT_M[0, 0]
-        val = min(max(round((m0 * coef[0, 0]) * m0), 0.0), 255.0)
+        val = min(max(round((m0 * float(dc_val)) * m0), 0.0), 255.0)
         return val, qdc
     block = _IDCT_M.T @ coef @ _IDCT_M
     return np.clip(np.round(block), 0, 255), qdc
@@ -576,21 +645,28 @@ def _decode_slice(code: int, body: bytes, planes: tuple, w: int,
         # macroblock_address_increment (stuffing discarded, escape +33)
         inc = 0
         while True:
-            code2, length = 0, 0
             sym = None
-            while length < 11:
-                code2 = (code2 << 1) | br.take(1)
-                length += 1
-                if (code2, length) == _MB_STUFFING:
-                    sym = "stuff"
-                    break
-                if (code2, length) == _MB_ESCAPE:
-                    sym = "esc"
-                    break
-                got = _MB_INC_DEC.get((code2, length))
-                if got is not None:
-                    sym = got
-                    break
+            p = br.peek(11)              # LUT probe, walk fallback
+            if p >= 0:
+                hit = _MB_LUT[p]
+                if hit is not None:
+                    br.nbits -= hit[1]
+                    sym = hit[0]
+            if sym is None:
+                code2, length = 0, 0
+                while length < 11:
+                    code2 = (code2 << 1) | br.take(1)
+                    length += 1
+                    if (code2, length) == _MB_STUFFING:
+                        sym = "stuff"
+                        break
+                    if (code2, length) == _MB_ESCAPE:
+                        sym = "esc"
+                        break
+                    got = _MB_INC_DEC.get((code2, length))
+                    if got is not None:
+                        sym = got
+                        break
             if sym is None:
                 raise ValueError("mpeg1: invalid mb address increment")
             if sym == "stuff":

@@ -795,6 +795,47 @@ def _huffman_codes(bits: tuple, vals: tuple) -> dict:
     return out
 
 
+# Peek-width of the Huffman prefix LUT (r17, guide §4.2): one
+# 2^11-entry table lookup replaces the per-bit walk for every code of
+# <= 11 bits (all codes of the synth corpora; T.81 allows up to 16 —
+# longer codes fall back to the walk, bit-identical by prefix-code
+# uniqueness). 11 balances hit rate against build cost for the
+# per-table fill of 2^(11-len) slots per symbol.
+_HUFF_PEEK = 11
+
+
+class _HuffTable(dict):
+    """Decode table {(code, length): symbol} plus its prefix LUT:
+    ``lut[next 11 bits] = (length << 8) | symbol`` (0 = no code of
+    <= 11 bits on that prefix → per-bit fallback). A dict subclass so
+    every existing consumer (``.get``, None checks, equality in
+    tests) sees the plain mapping unchanged."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, dec: dict) -> None:
+        super().__init__(dec)
+        lut = [0] * (1 << _HUFF_PEEK)
+        for (code, length), sym in dec.items():
+            if length <= _HUFF_PEEK:
+                base = code << (_HUFF_PEEK - length)
+                fill = (length << 8) | sym
+                for i in range(1 << (_HUFF_PEEK - length)):
+                    lut[base + i] = fill
+        self.lut = lut
+
+
+# (bits, vals) -> _HuffTable memo: every frame of an MJPEG stream and
+# every payload of a synth corpus re-declares the SAME tables, and the
+# per-DHT rebuild (canonical assignment + LUT fill) was the single
+# largest cost of the MJPEG decode (~35% — r17 profile). Keyed by the
+# exact spec bytes, so a hit is definitionally the same table. Bounded
+# so a crafted stream declaring thousands of distinct tables cannot
+# grow worker memory without limit.
+_DHT_MEMO: dict[tuple, _HuffTable] = {}
+_DHT_MEMO_MAX = 512
+
+
 class _BitWriter:
     """MSB-first bit packer with JPEG 0xFF byte stuffing."""
 
@@ -862,9 +903,36 @@ class _BitReader:
         self.pos += 2
 
     def huff(self, table: dict) -> int:
-        """table: {(code, length): symbol} decoded bit-by-bit (JPEG
-        codes are <= 16 bits; the per-bit walk is simple and the
-        blocks here are tiny)."""
+        """table: {(code, length): symbol}, normally a _HuffTable —
+        then one peek-11 LUT probe decodes the symbol (r17, guide
+        §4.2). The peek refill mirrors take()'s unstuffing but STOPS
+        at a marker / stream end instead of raising, so the per-bit
+        fallback below reproduces the exact legacy behavior (and its
+        exact errors) for long codes, invalid prefixes and the
+        stream tail. Prefix-code uniqueness makes the LUT decode
+        bit-identical to the walk."""
+        lut = getattr(table, "lut", None)
+        if lut is not None:
+            data, n = self.data, len(self.data)
+            while self.nbits < _HUFF_PEEK:
+                pos = self.pos
+                if pos >= n:
+                    break
+                byte = data[pos]
+                if byte == 0xFF:
+                    if pos + 1 >= n or data[pos + 1] != 0x00:
+                        break                # marker / dangling 0xFF
+                    self.pos = pos + 2       # stuffed data byte
+                else:
+                    self.pos = pos + 1
+                self.acc = (self.acc << 8) | byte
+                self.nbits += 8
+            if self.nbits >= _HUFF_PEEK:
+                v = lut[(self.acc >> (self.nbits - _HUFF_PEEK))
+                        & ((1 << _HUFF_PEEK) - 1)]
+                if v:
+                    self.nbits -= v >> 8
+                    return v & 0xFF
         code, length = 0, 0
         while length <= 16:
             code = (code << 1) | self.take(1)
@@ -1658,8 +1726,17 @@ def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
         bits = tuple(seg[p + 1:p + 17])
         nv = sum(bits)
         vals = tuple(seg[p + 17:p + 17 + nv])
-        table = {(c, ln): s for s, (c, ln)
-                 in _huffman_codes(bits, vals).items()}
+        # memo on the exact spec bytes: MJPEG re-declares the same
+        # tables every frame, synth corpora every payload — the
+        # rebuild (canonical assignment + LUT fill) dominated the
+        # MJPEG decode profile before r17
+        table = _DHT_MEMO.get((bits, vals))
+        if table is None:
+            if len(_DHT_MEMO) >= _DHT_MEMO_MAX:
+                _DHT_MEMO.clear()
+            table = _HuffTable({(c, ln): s for s, (c, ln)
+                                in _huffman_codes(bits, vals).items()})
+            _DHT_MEMO[(bits, vals)] = table
         (dc_tabs if tc == 0 else ac_tabs)[th] = table
         p += 17 + nv
 
@@ -2022,18 +2099,34 @@ def _jpeg_progressive(payload: bytes, pos: int, w: int, h: int,
             continue
         pos += 2 + seg_len
     planes, samplings = [], []
+    m0 = _JPEG_IDCT_M[0, 0]
     for cid, hi, vi, tq in comps:
         ci = info[cid]
         qtab = qtabs.get(tq)
         if qtab is None:
             return None
         plane = np.full((ci["hb"] * 8, ci["wb"] * 8), 128.0)
-        for b in range(ci["coefs"].shape[0]):
-            zz = ci["coefs"][b]
-            if not zz.any():
-                continue                     # all-zero (incl. padding)
-                # blocks IDCT to a flat 128 — preinitialized
-            by, bx = divmod(b, ci["wb"])
+        coefs = ci["coefs"]
+        # vectorized block triage (r17): one pass finds the nonzero
+        # blocks and which of them carry AC, instead of a per-block
+        # .any() Python call over the whole grid
+        nonzero = np.flatnonzero(coefs.any(axis=1))
+        has_ac = coefs[:, 1:].any(axis=1)
+        for b in nonzero:
+            zz = coefs[b]
+            by, bx = divmod(int(b), ci["wb"])
+            if not has_ac[b]:
+                # DC-only block (every block of the constant-block
+                # synth corpus): same scalar short-circuit as
+                # _jpeg_decode_block's pinned fast path — the IDCT of
+                # a lone DC is the constant (M[0,i]·DC)·M[0,j], the
+                # identical two float products the matmul performs
+                # for its one non-zero row. float() of the int32
+                # product reproduces the coef-array float64 store.
+                val = min(max(round((m0 * float(zz[0] * qtab[0])) * m0)
+                              + 128.0, 0.0), 255.0)
+                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = val
+                continue
             coef = np.zeros((8, 8))
             for i, (r, c) in enumerate(_JPEG_ZIGZAG):
                 coef[r, c] = zz[i] * qtab[i]
