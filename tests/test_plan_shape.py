@@ -609,6 +609,9 @@ def test_map_only_keys_have_zero_exchanges(spark, sf_dir, key):
     tree = _tree(plan)
     assert tree.count("Exchange") <= 1, tree
     assert "hashpartitioning" not in tree, tree
+    # rangepartitioning too (ADVICE r16): an accidental orderBy would
+    # satisfy the hash-only ban while violating the map-only claim
+    assert "rangepartitioning" not in tree, tree
     assert "Join" not in tree, tree
     if key.startswith("text_"):
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)

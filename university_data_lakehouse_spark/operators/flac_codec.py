@@ -141,13 +141,18 @@ class _Reader:
     """MSB-first bit reader; raises ValueError past the end (which the
     Arrow null-row boundary converts to a null row).
 
-    ``ones`` (optional) is the sorted list of set-bit offsets of
-    ``data`` — precomputed once per payload by flac_samples so the
-    Rice residual reader can find unary terminators by bisect instead
-    of taking one bit at a time."""
+    ``ones`` (optional) is the sorted int64 ndarray of set-bit
+    offsets of ``data`` — precomputed once per payload by
+    flac_samples so the Rice residual reader can find unary
+    terminators by searchsorted instead of taking one bit at a time.
+    Kept as the ndarray np.flatnonzero returns (r17, ADVICE r16): a
+    Python int list costs ~28-32 B per set bit — ~100x the payload
+    in heap for a multi-MB real audio payload inside an Arrow
+    worker — vs 8 B/entry for the ndarray, same O(set-bits)
+    behavior."""
 
     def __init__(self, data: bytes, pos: int = 0,
-                 ones: list[int] | None = None) -> None:
+                 ones=None) -> None:
         self.data = data
         self.pos = pos                       # byte position
         self.bit = 0
@@ -451,24 +456,34 @@ def _read_residual(r: _Reader, blocksize: int, order: int) -> list[int]:
     return residuals
 
 
+# Bounded Python-list window over the set-bit ndarray: list-speed
+# pointer walks in _read_residual_fast with ~32 KiB peak extra heap
+# regardless of payload size (4096 entries x ~8 B).
+_ONES_WINDOW = 4096
+
+
 def _read_residual_fast(r: _Reader, blocksize: int, order: int,
                         pbits: int, escape: int, part_order: int,
                         nparts: int) -> list[int]:
     """Rice residual reader over the payload's precomputed set-bit
     index: each unary terminator is found by walking ``r.ones``
-    (bisect for the first, pointer advance after — total work is
-    O(set bits consumed), not O(all bits)) and remainders are random-
-    access _bit_field reads. Decodes the identical values, raises the
+    (searchsorted for the first, pointer advance after — total work
+    is O(set bits consumed), not O(all bits)) and remainders are
+    random-access _bit_field reads. The walk runs over a BOUNDED
+    list window of the int64 index (r17, ADVICE r16): list-speed
+    element access without materializing the whole index as Python
+    ints — peak extra heap is _ONES_WINDOW entries (~32 KiB) however
+    large the payload. Decodes the identical values, raises the
     identical truncation errors, and leaves the reader at the
     identical bit position as the take()-at-a-time path (pytest pins
     decode equality on the encoder's streams)."""
-    from bisect import bisect_left  # noqa: PLC0415 — stdlib, tiny
-
     data, ones = r.data, r.ones
     nbits_total = len(data) * 8
     bitpos = (r.pos << 3) + r.bit
-    i = bisect_left(ones, bitpos)
+    i = int(np.searchsorted(ones, bitpos, side="left"))
     n_ones = len(ones)
+    win: list[int] = ones[i:i + _ONES_WINDOW].tolist()
+    wi = 0
     residuals: list[int] = []
     for p in range(nparts):
         count = (blocksize >> part_order) - (order if p == 0 else 0)
@@ -488,20 +503,30 @@ def _read_residual_fast(r: _Reader, blocksize: int, order: int,
                     v = _bit_field(data, bitpos, raw)
                     bitpos += raw
                     residuals.append(v - full if v >= sign else v)
-            while i < n_ones and ones[i] < bitpos:
-                i += 1
+            # skip the whole raw partition in one probe (it can span
+            # thousands of bits) and restart the window there
+            i = int(np.searchsorted(ones, bitpos, side="left"))
+            win = ones[i:i + _ONES_WINDOW].tolist()
+            wi = 0
             continue
         for _ in range(count):
-            while i < n_ones and ones[i] < bitpos:
-                i += 1
-            if i >= n_ones:
-                raise ValueError("flac: bitstream truncated")
-            term = ones[i]
+            while True:
+                if wi >= len(win):
+                    i += wi
+                    win = ones[i:i + _ONES_WINDOW].tolist()
+                    wi = 0
+                    if not win:
+                        raise ValueError("flac: bitstream truncated")
+                term = win[wi]
+                if term < bitpos:
+                    wi += 1
+                    continue
+                break
             q = term - bitpos
             u = (q << param) | _bit_field(data, term + 1, param)
             residuals.append((u >> 1) ^ -(u & 1))
             bitpos = term + 1 + param
-            i += 1
+            wi += 1
     if bitpos > nbits_total:
         raise ValueError("flac: bitstream truncated")
     r.pos, r.bit = bitpos >> 3, bitpos & 7
@@ -623,10 +648,12 @@ def flac_samples(payload: bytes) -> tuple[list[list[int]], int] | None:
     channels: list[list[int]] = [[] for _ in range(nch)]
     sample_rate = stream_rate
     # one set-bit index for the whole payload: every frame's Rice
-    # reader finds unary terminators by bisect into this instead of
-    # pulling single bits (see _read_residual_fast)
+    # reader finds unary terminators by searchsorted into this
+    # instead of pulling single bits (see _read_residual_fast). Kept
+    # as the int64 ndarray — no .tolist(): the list form needed
+    # ~100x the payload size in heap (ADVICE r16).
     ones = np.flatnonzero(
-        np.unpackbits(np.frombuffer(payload, dtype=np.uint8))).tolist()
+        np.unpackbits(np.frombuffer(payload, dtype=np.uint8)))
     while len(channels[0]) < total:
         frame_start = pos
         r = _Reader(payload, pos, ones=ones)

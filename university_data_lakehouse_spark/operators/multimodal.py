@@ -3065,8 +3065,13 @@ def normalize_resize(payload: bytes, target: int = 32
         return None
     # vectorized nearest-neighbor gather — the same sy/sx integer
     # source grid as the per-pixel loop it replaced (byte-identical
-    # output; a short pixel buffer raises IndexError exactly like the
-    # loop's pix[base], which the callers' null-row boundary catches)
+    # output on well-formed buffers). Short-buffer behavior: the
+    # grayscale path raises IndexError exactly like the loop's
+    # pix[base]; the retired RGB/RGBA loop instead did bytearray
+    # slice assignment, which silently SHRANK the output — the strict
+    # IndexError below is a deliberate change from silent short
+    # output to an explicit error, absorbed by the callers' null-row
+    # boundary (ADVICE r16).
     pix_a = (np.frombuffer(pix, dtype=np.uint8)
              if isinstance(pix, (bytes, bytearray, memoryview))
              else np.asarray(pix, dtype=np.uint8))
