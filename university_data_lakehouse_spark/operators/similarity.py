@@ -374,7 +374,23 @@ def _centroid_scores(centroids: list[list[float]],
     )
 
 
-def _ivf_centroids(v: DataFrame) -> list[list[float]]:
+def _seed_rows(v: DataFrame, k: int) -> list:
+    """The k rows of smallest md5(vec_id) (engine-independent
+    pseudorandom pick), sorted by that hash — ONE TakeOrdered job.
+    Shared by both quantizer trainers (r17, guide §2.4): because the
+    ordering does not depend on which trainer asks, the PQ_K-seed
+    list is exactly the prefix of the IVF_CELLS-seed list, so ivfpq
+    collects max(IVF_CELLS, PQ_K) rows once instead of running two
+    near-identical seed jobs."""
+    return (
+        v.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+
+
+def _ivf_centroids(v: DataFrame, seeds: list | None = None) -> list[list[float]]:
     """Deterministic coarse quantizer: seed cells with the IVF_CELLS
     vectors of smallest md5(vec_id) (engine-independent pseudorandom
     pick), then IVF_ITERS Lloyd-style rounds over the deterministic
@@ -394,13 +410,10 @@ def _ivf_centroids(v: DataFrame) -> list[list[float]]:
     order-independent, so the whole quantizer replays bit-for-bit in
     the DuckDB oracle. It is also the cheaper agg at 100 TB: max_by
     keeps one 64-float buffer per cell vs collect-or-mean state."""
-    seeds = (
-        v.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
-        .orderBy("h")
-        .limit(IVF_CELLS)
-        .collect()
-    )
-    centroids = [_normalize([float(x) for x in r["v"]]) for r in seeds]
+    if seeds is None:
+        seeds = _seed_rows(v, IVF_CELLS)
+    centroids = [_normalize([float(x) for x in r["v"]])
+                 for r in seeds[:IVF_CELLS]]
     vt = _train_sample(v)   # Lloyd rounds train on the md5 sample only
     for _ in range(IVF_ITERS):
         best = F.array_max(_centroid_scores(centroids))
@@ -546,7 +559,8 @@ def pq_assign_kernel(cb: list[list[list[float]]]):
     return assign
 
 
-def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
+def _pq_codebooks(v: DataFrame,
+                  seeds: list | None = None) -> list[list[list[float]]]:
     """Deterministic per-subspace quantizers: seeds are the PQ_K
     subvectors of smallest md5(vec_id) per subspace, then PQ_ITERS
     medoid-style Lloyd rounds — the new entry is the member subvector
@@ -563,14 +577,10 @@ def _pq_codebooks(v: DataFrame) -> list[list[list[float]]]:
     # md5(vec_id) does not depend on m, so every subspace's top-K is
     # the SAME K vectors in the same order — one TakeOrdered job on v
     # replaces an explode + full sort shuffle (guide §2.4).
-    seeds = (
-        v.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
-        .orderBy("h")
-        .limit(PQ_K)
-        .collect()
-    )
+    if seeds is None:
+        seeds = _seed_rows(v, PQ_K)
     cb: list[list[list[float]]] = [[None] * PQ_K for _ in range(PQ_M)]
-    for k, r in enumerate(seeds):
+    for k, r in enumerate(seeds[:PQ_K]):
         vec = [float(x) for x in r["v"]]
         for m in range(PQ_M):
             cb[m][k] = vec[m * PQ_SUB:(m + 1) * PQ_SUB]
@@ -709,9 +719,14 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Results are unchanged: same jobs, same deterministic math.
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+    # ONE shared seed job (r17, guide §2.4): both trainers order by
+    # the same md5(vec_id), so PQ's PQ_K seeds are exactly the prefix
+    # of IVF's IVF_CELLS seeds — collect the longer list once instead
+    # of two near-identical TakeOrdered jobs.
+    seeds = _seed_rows(v, max(IVF_CELLS, PQ_K))
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_c = pool.submit(_ivf_centroids, v)
-        fut_cb = pool.submit(_pq_codebooks, v)
+        fut_c = pool.submit(_ivf_centroids, v, seeds)
+        fut_cb = pool.submit(_pq_codebooks, v, seeds)
         centroids, cb = fut_c.result(), fut_cb.result()
     cd = pq_assign_kernel(cb)(F.col("v"))
     corpus = scatter(v, min_input_bytes=2 << 20).select(  # §2.5
