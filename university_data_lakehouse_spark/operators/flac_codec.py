@@ -481,7 +481,6 @@ def _read_residual_fast(r: _Reader, blocksize: int, order: int,
     nbits_total = len(data) * 8
     bitpos = (r.pos << 3) + r.bit
     i = int(np.searchsorted(ones, bitpos, side="left"))
-    n_ones = len(ones)
     win: list[int] = ones[i:i + _ONES_WINDOW].tolist()
     wi = 0
     residuals: list[int] = []
